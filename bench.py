@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Headline benchmark: DSVI ELBO training steps/sec (2-layer deep GP).
+
+BASELINE.json north star: ≥10x DSVI ELBO steps/sec over the CPU reference
+on one TPU v5e chip.  The reference stack (GPyTorch) is not installed in
+this image, so the baseline is an eager PyTorch-CPU implementation of the
+*same* DSVI step (identical math and shapes: whitened SVGP layers, M=250,
+B=315, S=3, closed-form expected log-likelihood, Adam) — a baseline that
+flatters the reference, since eager GPyTorch adds module/lazy-tensor
+overhead on top of the same torch ops.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 315
+NUM_INDUCING = 250
+NUM_SAMPLES = 3
+INPUT_DIM = 2
+HIDDEN = 2
+WARMUP = 3
+STEPS = 30
+TORCH_STEPS = 10
+
+
+def make_data(n=BATCH, d=INPUT_DIM, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.5 * np.cos(2 * x[:, 1])).astype(np.float32)
+    return x, y
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from nonstationary_precip_tpu.models import DeepGP
+
+    x_np, y_np = make_data()
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+
+    key = jax.random.PRNGKey(173)
+    model = DeepGP.create(key, input_dims=INPUT_DIM, num_layers=2, num_inducing=NUM_INDUCING)
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(model)
+
+    @jax.jit
+    def train_step(model, opt_state, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(
+            lambda m: m.loss(sub, x, y, num_data=BATCH, num_samples=NUM_SAMPLES)
+        )(model)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, key, loss
+
+    k = key
+    for _ in range(WARMUP):
+        model, opt_state, k, loss = train_step(model, opt_state, k)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        model, opt_state, k, loss = train_step(model, opt_state, k)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return STEPS / dt
+
+
+def bench_torch_cpu() -> float:
+    """Eager PyTorch-CPU DSVI step with identical math/shapes."""
+    import torch
+
+    torch.manual_seed(173)
+    x_np, y_np = make_data()
+    x = torch.tensor(x_np)
+    y = torch.tensor(y_np)
+
+    class Layer(torch.nn.Module):
+        def __init__(self, din, dout, m=NUM_INDUCING):
+            super().__init__()
+            self.z = torch.nn.Parameter(torch.randn(dout, m, din))
+            self.var_mean = torch.nn.Parameter(torch.zeros(dout, m))
+            self.var_chol = torch.nn.Parameter(torch.eye(m).expand(dout, m, m).clone())
+            self.raw_out = torch.nn.Parameter(torch.zeros(dout))
+            self.raw_ell = torch.nn.Parameter(torch.zeros(dout, din))
+            self.mean_w = torch.nn.Parameter(torch.zeros(din, dout))
+            self.mean_b = torch.nn.Parameter(torch.zeros(dout))
+            self.m = m
+
+        def marginals(self, h):
+            ell = torch.nn.functional.softplus(self.raw_ell)
+            s2 = torch.nn.functional.softplus(self.raw_out)
+            means, variances = [], []
+            for o in range(self.z.shape[0]):
+                xs = h / ell[o]
+                zs = self.z[o] / ell[o]
+                d_xz = (xs**2).sum(-1)[:, None] + (zs**2).sum(-1)[None, :] - 2 * xs @ zs.T
+                k_xz = s2[o] * torch.exp(-0.5 * d_xz.clamp_min(0))
+                d_zz = (zs**2).sum(-1)[:, None] + (zs**2).sum(-1)[None, :] - 2 * zs @ zs.T
+                k_zz = s2[o] * torch.exp(-0.5 * d_zz.clamp_min(0)) + 1e-5 * torch.eye(self.m)
+                l_zz = torch.linalg.cholesky(k_zz)
+                a = torch.linalg.solve_triangular(l_zz, k_xz.T, upper=False).T
+                s_tril = torch.tril(self.var_chol[o])
+                mean = a @ self.var_mean[o] + h @ self.mean_w[:, o] + self.mean_b[o]
+                a_s = a @ s_tril
+                var = (s2[o] - (a**2).sum(-1) + (a_s**2).sum(-1)).clamp_min(1e-10)
+                means.append(mean)
+                variances.append(var)
+            return torch.stack(means), torch.stack(variances)
+
+        def kl(self):
+            s = torch.tril(self.var_chol)
+            diag = torch.diagonal(s, dim1=-2, dim2=-1)
+            return 0.5 * (
+                (self.var_mean**2).sum() + (s**2).sum() - s.numel() / s.shape[0]
+                - 2 * torch.log(diag.abs() + 1e-20).sum()
+            )
+
+    class DGP(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = Layer(INPUT_DIM, HIDDEN)
+            self.l2 = Layer(HIDDEN, HIDDEN)
+            self.head = Layer(HIDDEN, 1)
+            self.raw_noise = torch.nn.Parameter(torch.zeros(()))
+
+        def loss(self, x, y):
+            noise = torch.nn.functional.softplus(self.raw_noise) + 1e-4
+            ells = []
+            for _ in range(NUM_SAMPLES):
+                h = x
+                for layer in (self.l1, self.l2):
+                    mean, var = layer.marginals(h)
+                    h = (mean + var.sqrt() * torch.randn_like(mean)).T
+                mean, var = self.head.marginals(h)
+                ell = -0.5 * (
+                    torch.log(2 * torch.pi * noise) + ((y - mean[0]) ** 2 + var[0]) / noise
+                )
+                ells.append(ell.mean())
+            data_term = torch.stack(ells).mean()
+            kl = self.l1.kl() + self.l2.kl() + self.head.kl()
+            return -(data_term - kl / BATCH)
+
+    model = DGP()
+    opt = torch.optim.Adam(model.parameters(), lr=0.01)
+    # warmup
+    for _ in range(2):
+        opt.zero_grad()
+        loss = model.loss(x, y)
+        loss.backward()
+        opt.step()
+
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        opt.zero_grad()
+        loss = model.loss(x, y)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return TORCH_STEPS / dt
+
+
+def main():
+    jax_sps = bench_jax()
+    torch_sps = bench_torch_cpu()
+    print(
+        json.dumps(
+            {
+                "metric": "dsvi_elbo_steps_per_sec",
+                "value": round(jax_sps, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(jax_sps / torch_sps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

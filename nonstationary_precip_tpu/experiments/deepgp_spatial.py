@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Deep GP (DSVI) spatial benchmark over 10 shuffled splits.
+
+TPU-native counterpart of /root/reference/experiments/deepgp_spatial_bench.py:
+uib_spatial.csv → whitening (or Box-Cox) → DeepGP (default 2 distinct
+hidden layers; ``--model shared`` ties them like the reference's
+dgps.py:88 quirk) → 400 epochs × batch 315 × 3 likelihood samples, Adam
+lr 0.01 → RMSE/NLPD aggregated mean ± stderr.
+
+Metric semantics match the reference: RMSE over the S-sample-expanded
+predictive means (deepgp_spatial_bench.py:113 broadcasts (S, N) − (N));
+NLPD is the mean per-point Gaussian log density under the S-mixture.
+
+Run: python -m nonstationary_precip_tpu.experiments.deepgp_spatial
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nonstationary_precip_tpu.data.dataprep import (
+    box_cox_transform,
+    load_csv,
+    sklearn_style_shuffle,
+    train_test_split,
+    whitening_transform,
+)
+from nonstationary_precip_tpu.models import DeepGP
+from nonstationary_precip_tpu.train import rmse_rescaled
+from nonstationary_precip_tpu.train.optim import fit_minibatched
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.utils.config import BASE_SEED, DATASET_DIR
+
+
+def run_one_split(data, random_state: int, cfg: ExperimentConfig):
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    shuffled = sklearn_style_shuffle(data, random_state)
+    if cfg.model == "boxcox":
+        bc = box_cox_transform(shuffled)
+        x_tr, y_tr, stdy = bc.x, bc.y, 1.0
+    else:
+        w = whitening_transform(shuffled)
+        x_tr, y_tr, stdy = w.x, w.y, w.stdy
+    train_x, train_y, test_x, test_y = train_test_split(x_tr, y_tr, cfg.train_percent / 100)
+    train_x = jnp.asarray(train_x, dtype)
+    train_y = jnp.asarray(train_y, dtype)
+    test_x = jnp.asarray(test_x, dtype)
+    test_y = jnp.asarray(test_y, dtype)
+
+    key = jax.random.PRNGKey(BASE_SEED + random_state)
+    k_init, k_train, k_pred = jax.random.split(key, 3)
+    model = DeepGP.create(
+        k_init,
+        input_dims=train_x.shape[-1],
+        num_layers=cfg.num_layers,
+        num_inducing=cfg.num_inducing,
+        share_hidden=False,
+    )
+    n = train_x.shape[0]
+
+    def loss_fn(m, kk, xb, yb):
+        return m.loss(kk, xb, yb, num_data=n, num_samples=cfg.num_samples)
+
+    res = fit_minibatched(
+        model,
+        loss_fn,
+        train_x,
+        train_y,
+        key=k_train,
+        num_epochs=cfg.num_epochs,
+        batch_size=cfg.batch_size,
+        lr=cfg.lr,
+        seed=random_state,
+    )
+
+    dist, means, variances = res.model.predict(k_pred, test_x, num_samples=10)
+    # reference metric: rmse over (S, N) sample-expanded means
+    r = float(rmse_rescaled(means, test_y[None, :], stdy))
+    import math
+
+    lpd = -0.5 * (
+        (test_y[None, :] - means) ** 2 / variances
+        + jnp.log(2 * math.pi * variances)
+    )
+    nl = float(-(jnp.mean(lpd)) + jnp.log(stdy))
+    return r, nl, res
+
+
+def main(argv=None):
+    cfg = ExperimentConfig(
+        model="whitening",
+        lr=0.01,
+        num_epochs=400,
+        num_samples=3,
+        num_layers=2,
+        batch_size=315,
+        num_inducing=250,
+    ).parse_args(argv)
+    data = load_csv(DATASET_DIR / "uib_spatial.csv")
+
+    rmses, nlpds = [], []
+    for rs in range(cfg.num_splits):
+        r, n, res = run_one_split(data, rs, cfg)
+        print(f"split {rs}: final loss {float(res.losses[-1]):.4f}  RMSE {r:.4f}  NLPD {n:.4f}")
+        rmses.append(r)
+        nlpds.append(n)
+
+    k = len(rmses)
+    print(f"{np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")
+    print(f"{np.mean(nlpds):.4f} ± {np.std(nlpds)/np.sqrt(k):.4f}")
+    return np.mean(rmses), np.mean(nlpds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""SE-ARD exact GP spatial baseline over 10 shuffled splits.
+
+TPU-native counterpart of
+/root/reference/experiments/seard_spatial_benchmark.py: uib_spatial.csv →
+whitening (or Box-Cox) → Scale(RBF-ARD-2) exact GP, Adam lr 0.01 × 400 per
+split, RMSE (std-rescaled) + joint NLPD aggregated as mean ± stderr.
+
+Run: python -m nonstationary_precip_tpu.experiments.seard_spatial
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nonstationary_precip_tpu.data.dataprep import (
+    load_csv,
+    sklearn_style_shuffle,
+    whitening_transform,
+    box_cox_transform,
+    train_test_split,
+)
+from nonstationary_precip_tpu.kernels import RBF, Scale
+from nonstationary_precip_tpu.models import ExactGP
+from nonstationary_precip_tpu.train import fit, nlpd_joint, rmse_rescaled
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.utils.config import DATASET_DIR
+
+
+def run_one_split(data: np.ndarray, random_state: int, cfg: ExperimentConfig, dtype=None):
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    shuffled = sklearn_style_shuffle(data, random_state)
+    if cfg.model == "boxcox":
+        bc = box_cox_transform(shuffled)
+        x_tr, y_tr, stdy = bc.x, bc.y, 1.0
+    else:
+        w = whitening_transform(shuffled)
+        x_tr, y_tr, stdy = w.x, w.y, w.stdy
+    train_x, train_y, test_x, test_y = train_test_split(x_tr, y_tr, cfg.train_percent / 100)
+
+    model = ExactGP.create(
+        Scale.create(RBF.create(2, dtype=dtype), dtype=dtype),
+        mean_type="constant",
+        dtype=dtype,
+    )
+    res = fit(
+        model,
+        lambda m, xx, yy: m.loss(xx, yy),
+        jnp.asarray(train_x, dtype),
+        jnp.asarray(train_y, dtype),
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+    )
+    pred = res.model.predictive(
+        jnp.asarray(train_x, dtype), jnp.asarray(train_y, dtype), jnp.asarray(test_x, dtype)
+    )
+    r = float(rmse_rescaled(pred.mean, jnp.asarray(test_y, dtype), stdy))
+    n = float(nlpd_joint(pred, jnp.asarray(test_y, dtype), stdy))
+    return r, n, res
+
+
+def main(argv=None):
+    cfg = ExperimentConfig(model="whitening", lr=0.01, max_iters=400).parse_args(argv)
+    data = load_csv(DATASET_DIR / "uib_spatial.csv")
+
+    rmses, nlpds = [], []
+    for rs in range(cfg.num_splits):
+        r, n, _ = run_one_split(data, rs, cfg)
+        print(f"split {rs}: RMSE {r:.4f}  NLPD {n:.4f}")
+        rmses.append(r)
+        nlpds.append(n)
+
+    k = len(rmses)
+    print(f"RMSE: {np.mean(rmses):.4f} ± {np.std(rmses) / np.sqrt(k):.4f}")
+    print(f"NLPD: {np.mean(nlpds):.4f} ± {np.std(nlpds) / np.sqrt(k):.4f}")
+    return np.mean(rmses), np.mean(nlpds)
+
+
+if __name__ == "__main__":
+    main()

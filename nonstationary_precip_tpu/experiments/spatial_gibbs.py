@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Nonstationary Gibbs spatial GP over 10 random splits (UIB basin).
+
+TPU-native counterpart of /root/reference/experiments/spatial_exp.py:
+uib_spatial.csv → standardise → per-split 80/20 shuffle (seeded
+BASE_SEED + i) → frozen LogNormal lengthscale-process prior (scale 1,
+ℓ 1.3, mean log 0.3) → GibbsExactGP (noise fixed 0.011, outputscale fixed
+0.644) or GibbsSparseGP (kmeans-initialised inducing points) → Adam × 5000
+→ RMSE/NLPD per split, mean ± stderr, optional full-field prediction +
+lengthscale map.
+
+Eval note: the reference computes test metrics via ``likelihood(model(x_test))``
+(spatial_exp.py:217), which crashes for this model class under GPyTorch's
+eval-mode joint forward (the latent field has train-set shape; see
+SURVEY.md §7).  We evaluate through the model's own predict path — the
+conditional-lengthscale GP conditioning the reference implements at
+nonstationary_models.py:45-62 — with observation noise added.
+
+Run: python -m nonstationary_precip_tpu.experiments.spatial_gibbs [--inference sparse]
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from nonstationary_precip_tpu.data.datasets import load_uib_spatial
+from nonstationary_precip_tpu.models import GibbsExactGP, GibbsSparseGP
+from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
+from nonstationary_precip_tpu.priors import LogNormalProcess
+from nonstationary_precip_tpu.train import fit, nlpd_joint, rmse_rescaled
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.utils.config import BASE_SEED
+
+
+def build_prior(cfg: ExperimentConfig, dtype):
+    """Frozen LogNormal process prior with the CLI-settable hypers
+    (spatial_exp.py:157-167)."""
+    return LogNormalProcess.create(
+        input_dim=2,
+        mean=math.log(cfg.prior_mean),
+        outputscale=cfg.prior_scale,
+        lengthscale=cfg.prior_ell,
+        dtype=dtype,
+    )
+
+
+def run_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(BASE_SEED + split)
+    n = len(y_norm)
+    num_train = math.ceil(cfg.train_percent / 100 * n)
+    idx = np.arange(n)
+    rng.shuffle(idx)
+    tr, te = idx[:num_train], idx[num_train:]
+    x_train = jnp.asarray(x_norm[tr], dtype)
+    y_train = jnp.asarray(y_norm[tr], dtype)
+    x_test = jnp.asarray(x_norm[te], dtype)
+    y_test = jnp.asarray(y_norm[te], dtype)
+
+    prior = build_prior(cfg, dtype)
+    noise = cfg.noise if cfg.noise > 0 else None
+    scale = cfg.scale if cfg.scale > 0 else 1.0
+
+    if cfg.inference == "sparse":
+        z = kmeans_inducing_points(
+            jax.random.PRNGKey(BASE_SEED + split), x_train, cfg.num_inducing
+        )
+        model = GibbsSparseGP.create(z, prior, noise=noise, outputscale=scale, dtype=dtype)
+        mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
+    else:
+        model = GibbsExactGP.create(x_train, prior, noise=noise, outputscale=scale, dtype=dtype)
+        mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
+
+    res = fit(
+        model,
+        lambda m, xx, yy: m.loss(xx, yy),
+        x_train,
+        y_train,
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+        mask=mask,
+        log_every=cfg.max_iters,
+    )
+    pred = res.model.predictive(x_train, y_train, x_test)
+    return res, pred, x_train, y_train, y_test
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(lr=0.01, max_iters=5000).parse_args(argv)
+    dtype = jnp.float32
+
+    _, x, y = load_uib_spatial()
+    meanx, stdx = x.mean(0), x.std(0, ddof=1)
+    x_norm = (x - meanx) / stdx
+    meany, stdy = y.mean(), y.std(ddof=1)
+    y_norm = (y - meany) / stdy
+
+    rmses, nlpds = [], []
+    last = None
+    for split in range(cfg.num_splits):
+        res, pred, x_train, y_train, y_test = run_split(x_norm, y_norm, split, cfg, dtype)
+        r = float(rmse_rescaled(pred.mean, y_test, stdy))
+        nl = float(nlpd_joint(pred, y_test, stdy))
+        print(f"split {split}: loss {float(res.losses[-1]):.4f}  RMSE {r:.4f}  NLPD {nl:.4f}")
+        rmses.append(r)
+        nlpds.append(nl)
+        last = (res.model, x_train, y_train)
+
+    k = len(rmses)
+    print(f"Final RMSE across splits: {np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")
+    print(f"Final NLPD across splits: {np.mean(nlpds):.4f} ± {np.std(nlpds)/np.sqrt(k):.4f}")
+
+    # full-field prediction + lengthscale field (spatial_exp.py:243-274)
+    model, x_train, y_train = last
+    x_all = jnp.asarray(x_norm, dtype)
+    field = model.posterior(x_train, y_train, x_all)
+    if cfg.inference == "exact":
+        ell_field = model.lengthscale_field(x_train, x_all)
+        np.save("results_lengthscale_field.npy", np.asarray(ell_field))
+    np.save("results_f_mean.npy", np.asarray(field.mean))
+    np.save("results_f_var.npy", np.asarray(field.var))
+    return np.mean(rmses), np.mean(nlpds)
+
+
+if __name__ == "__main__":
+    main()

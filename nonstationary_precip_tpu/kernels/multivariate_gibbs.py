@@ -1,0 +1,127 @@
+"""Multivariate (full-matrix) Gibbs kernel — Paciorek & Schervish (2003).
+
+    k(xᵢ, xⱼ) = |Σᵢ|^{1/4} |Σⱼ|^{1/4} |(Σᵢ+Σⱼ)/2|^{-1/2}
+                · exp( − dᵀ ((Σᵢ+Σⱼ)/2)⁻¹ d ),   d = xᵢ − xⱼ
+
+with per-point 2×2 covariances built from a latent N×2 matrix H:
+
+    Σ(x) = softplus( (h(x) h(x)ᵀ)²_elementwise ) + D²_elementwise
+
+(reference: /root/reference/models/multivariate_gibbs_kernel.py:98,128-129;
+the elementwise squares — including of the learnable D matrix — are the
+reference's parameterisation and are replicated exactly).
+
+TPU-first redesign vs the reference:
+  * the reference builds Σ(x) with a *Python list comprehension over N*
+    (multivariate_gibbs_kernel.py:98) and materialises (N, N, 2, 2) tensors
+    with torch.det/torch.inverse; here everything is closed-form 2×2
+    algebra on (N₁, N₂) broadcast arrays — five elementwise planes, no
+    batched det/inverse, no host loop.
+  * the matrix-variate conditional mean at test points collapses via the
+    Kronecker identity  kron(C, K_*z) kron(C, K_zz)⁻¹ vec(H)
+    = vec(K_*z K_zz⁻¹ H): the column covariance cancels, so we never
+    materialise a Kronecker product (the reference does, at
+    multivariate_gibbs_kernel.py:67-75).  See priors/matrix_normal.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.utils.struct import pytree_dataclass
+from nonstationary_precip_tpu.utils.transforms import softplus
+
+_JITTER = 1e-5  # reference: multivariate_gibbs_kernel.py:17
+
+
+def sigma_components_2d(h: jnp.ndarray, d_mat: jnp.ndarray):
+    """Per-point Σ(x) components for D=2.
+
+    h: (N, 2) rows of the latent matrix; d_mat: (2, 2) learnable offset.
+    Returns (a, b, c) with Σ = [[a, b], [b, c]] per point — note the
+    reference's Σ is symmetric by construction (outer(h,h) is symmetric and
+    D² enters elementwise; we symmetrise the D² contribution off-diagonal
+    by averaging, exact when D is diagonal as initialised).
+    """
+    d2 = d_mat**2
+    a = softplus((h[:, 0] * h[:, 0]) ** 2) + d2[0, 0]
+    c = softplus((h[:, 1] * h[:, 1]) ** 2) + d2[1, 1]
+    b_off = softplus((h[:, 0] * h[:, 1]) ** 2)
+    b = b_off + 0.5 * (d2[0, 1] + d2[1, 0])
+    return a, b, c
+
+
+def paciorek_schervish_gram_2d(
+    x1: jnp.ndarray,
+    sig1: tuple,
+    x2: jnp.ndarray,
+    sig2: tuple,
+    jitter: float = _JITTER,
+) -> jnp.ndarray:
+    """Gram (N1, N2) from per-point 2×2 Σ components.
+
+    sig1 = (a1, b1, c1) arrays of shape (N1,), likewise sig2.
+    All pairwise 2×2 determinant/inverse algebra is closed-form on
+    (N1, N2) planes — pure VPU work with no (N², 2, 2) intermediates.
+    """
+    a1, b1, c1 = sig1
+    a2, b2, c2 = sig2
+
+    det1 = a1 * c1 - b1 * b1  # (N1,)
+    det2 = a2 * c2 - b2 * b2  # (N2,)
+    det_pref = (det1[:, None] * det2[None, :]) ** 0.25  # |Σi|^¼|Σj|^¼
+
+    # M = (Σi + Σj)/2 componentwise, with the reference's jitter*I added
+    # before inversion (multivariate_gibbs_kernel.py:145).
+    am = 0.5 * (a1[:, None] + a2[None, :])
+    bm = 0.5 * (b1[:, None] + b2[None, :])
+    cm = 0.5 * (c1[:, None] + c2[None, :])
+    det_m = am * cm - bm * bm
+    am_j, cm_j = am + jitter, cm + jitter
+    det_m_j = am_j * cm_j - bm * bm
+
+    dx = x1[:, None, 0] - x2[None, :, 0]
+    dy = x1[:, None, 1] - x2[None, :, 1]
+    # dᵀ M⁻¹ d for 2×2 M (jittered), closed form
+    quad = (cm_j * dx * dx - 2.0 * bm * dx * dy + am_j * dy * dy) / det_m_j
+
+    pref = det_pref / jnp.sqrt(det_m)
+    return pref * jnp.exp(-quad)
+
+
+@pytree_dataclass(static=("active_dims",))
+class MultivariateGibbsKernel:
+    """Callable wrapper: Gram from latent H rows at each input.
+
+    ``h1``/``h2`` are the (N, 2) latent matrix rows at x1/x2 (the trainable
+    H at training inputs; the matrix-normal conditional mean at test
+    inputs).  ``d_mat`` is the learnable 2×2 offset.  The reference detaches
+    H inside the Gram (multivariate_gibbs_kernel.py:85,93) so H learns only
+    through its prior term — models replicate that observable behaviour
+    with ``lax.stop_gradient`` at the call site, as an explicit choice.
+    """
+
+    active_dims: Optional[tuple] = None
+
+    def _slice(self, x):
+        if self.active_dims is None:
+            return x
+        return x[..., jnp.asarray(self.active_dims)]
+
+    def __call__(self, x1, h1, d_mat, x2=None, h2=None):
+        xs1 = self._slice(x1)
+        sig1 = sigma_components_2d(h1, d_mat)
+        if x2 is None:
+            return paciorek_schervish_gram_2d(xs1, sig1, xs1, sig1)
+        sig2 = sigma_components_2d(h2, d_mat)
+        return paciorek_schervish_gram_2d(xs1, sig1, self._slice(x2), sig2)
+
+    def diag(self, x, h, d_mat):
+        """k(x, x) = |Σ|^½ |Σ|^{-½} exp(0) = 1 up to the inversion jitter."""
+        a, b, c = sigma_components_2d(h, d_mat)
+        det = a * c - b * b
+        det_j = (a + _JITTER) * (c + _JITTER) - b * b
+        del det_j  # jitter affects only the quad term, which is 0 on the diagonal
+        return (det**0.25) ** 2 / jnp.sqrt(det)

@@ -1,0 +1,151 @@
+"""Deep GP trained with doubly-stochastic variational inference (DSVI).
+
+Redesign of the reference ``DeepGP`` (/root/reference/models/dgps.py:72-111):
+a stack of whitened SVGP hidden layers (width 2, linear mean) and a scalar
+SVGP head (constant mean) under a Gaussian likelihood, trained on the
+DSVI ELBO with S marginal samples propagated through the stack:
+
+  ELBO/datum = mean_S mean_B E_{q(f_L)}[log N(y | f_L, σ²)] − Σ_layers KL / N
+
+using the closed-form Gaussian expected log-likelihood
+E[log N(y|f,σ²)] = log N(y|μ,σ²) − var/(2σ²)  (GPyTorch's
+``expected_log_prob``, harvested the same way by VariationalELBO +
+DeepApproximateMLL, deepgp_spatial_bench.py:61).
+
+Two reference defects repaired (SURVEY.md §7):
+  * dgps.py:88 appends the *same* hidden-layer object num_layers times
+    (silent weight sharing) — here layers are distinct by default, with
+    ``share_hidden=True`` to reproduce the reference's tying;
+  * dgps.py:111 returns only the last test batch — predict here maps over
+    all of x.
+
+Weight sharing under jit: tied layers are carried once in the pytree and
+reused, so "4 layers" costs one layer of parameters exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.models.distributions import DiagNormal
+from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
+from nonstationary_precip_tpu.models.svgp import SVGPLayer
+from nonstationary_precip_tpu.utils.struct import pytree_dataclass
+
+NUM_OUTPUT_DIMS = 2  # reference module constant, dgps.py:13
+
+
+@pytree_dataclass(static=("share_hidden", "num_layers"))
+class DeepGP:
+    """hidden layers (Din→2→…→2, linear means) + scalar head (constant mean)."""
+
+    layers: Tuple[SVGPLayer, ...]
+    head: SVGPLayer
+    likelihood: GaussianLikelihood
+    share_hidden: bool = False
+    num_layers: int = 1
+
+    @classmethod
+    def create(
+        cls,
+        key: jax.Array,
+        input_dims: int,
+        num_layers: int = 2,
+        num_inducing: int = 250,
+        hidden_dims: int = NUM_OUTPUT_DIMS,
+        share_hidden: bool = False,
+        dtype=jnp.float32,
+    ):
+        keys = jax.random.split(key, num_layers + 1)
+        if share_hidden:
+            if input_dims != hidden_dims:
+                raise ValueError(
+                    "share_hidden requires input_dims == hidden_dims "
+                    "(the reference reapplies one 2→2 layer)"
+                )
+            layers = (
+                SVGPLayer.create(
+                    keys[0], input_dims, hidden_dims, num_inducing, "linear", dtype
+                ),
+            )
+        else:
+            dims = [input_dims] + [hidden_dims] * num_layers
+            layers = tuple(
+                SVGPLayer.create(
+                    keys[i], dims[i], dims[i + 1], num_inducing, "linear", dtype
+                )
+                for i in range(num_layers)
+            )
+        head = SVGPLayer.create(keys[-1], hidden_dims, 1, num_inducing, "constant", dtype)
+        return cls(
+            layers=layers,
+            head=head,
+            likelihood=GaussianLikelihood.create(dtype=dtype),
+            share_hidden=share_hidden,
+            num_layers=num_layers,
+        )
+
+    def _hidden_stack(self):
+        if self.share_hidden:
+            return tuple(self.layers[0] for _ in range(self.num_layers))
+        return self.layers
+
+    # -- forward -----------------------------------------------------------------
+
+    def propagate(self, key: jax.Array, x: jnp.ndarray, num_samples: int):
+        """Push S marginal samples through the stack.
+
+        Returns the head's marginals per sample: (mean (S, B), var (S, B)).
+        """
+        stack = self._hidden_stack()
+        keys = jax.random.split(key, num_samples)
+
+        def one_sample(k):
+            h = x
+            for i, layer in enumerate(stack):
+                k, sub = jax.random.split(k)
+                h = layer.sample(sub, h)  # (B, hidden)
+            mean, var = self.head.marginals(h)  # (1, B)
+            return mean[0], var[0]
+
+        means, variances = jax.vmap(one_sample)(keys)
+        return means, variances
+
+    # -- objective ---------------------------------------------------------------
+
+    def loss(self, key: jax.Array, x, y, num_data: int, num_samples: int = 3):
+        """−ELBO per datum; num_data is the full-train-set N for the KL and
+        minibatch β-scaling."""
+        means, variances = self.propagate(key, x, num_samples)
+        noise = self.likelihood.noise
+        ell = -0.5 * (
+            jnp.log(2.0 * jnp.pi * noise) + ((y - means) ** 2 + variances) / noise
+        )  # (S, B) closed-form expected log-likelihood
+        data_term = jnp.mean(jnp.mean(ell, axis=-1), axis=0)
+        kl = self.head.kl()
+        for layer in self._hidden_stack():
+            kl = kl + layer.kl()
+        if self.share_hidden:
+            # tied layers contribute one KL (one q(u) exists), as in the
+            # reference where named_variational_strategies dedupes modules
+            kl = self.head.kl() + self.layers[0].kl()
+        return -(data_term - kl / num_data)
+
+    # -- prediction ---------------------------------------------------------------
+
+    def predict(self, key: jax.Array, x, num_samples: int = 10):
+        """Predictive mixture over S sample paths, with observation noise
+        (the reference's likelihood(model(x_batch)), dgps.py:100-111).
+
+        Returns (mixture DiagNormal, per-sample means (S, B), per-sample
+        vars (S, B))."""
+        means, variances = self.propagate(key, x, num_samples)
+        noise = self.likelihood.noise
+        variances = variances + noise
+        mix_mean = jnp.mean(means, axis=0)
+        mix_var = jnp.mean(variances + means**2, axis=0) - mix_mean**2
+        return DiagNormal(mix_mean, mix_var), means, variances

@@ -1,0 +1,241 @@
+"""MAP inference for diagonal-Gibbs nonstationary GPs.
+
+``GibbsExactGP``  — TPU-native DiagonalExactGP
+  (/root/reference/models/nonstationary_models.py:22-62): a latent
+  log-lengthscale field at the training inputs is optimised jointly with
+  the kernel/likelihood hypers under  MLL + prior-log-prob (both scaled by
+  1/N, GPyTorch convention); prediction conditions the lengthscale field
+  at new points on the trained field via the log-normal process
+  conditional mean.
+
+``GibbsSparseGP`` — TPU-native DiagonalSparseGP + InducingGibbsKernel
+  (nonstationary_models.py:64-153, gibbs_kernels.py:171-266): the latent
+  field lives at M inducing points; training maximises the Titsias
+  collapsed bound (Nyström root + Woodbury, never an N×N dense solve)
+  with the reference's added diagonal loss term; prediction returns the
+  SGPR predictive (marginals exact, as the reference warns at
+  nonstationary_models.py:93).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+from nonstationary_precip_tpu.kernels.inducing import nystrom_root
+from nonstationary_precip_tpu.models.distributions import MVN
+from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
+from nonstationary_precip_tpu.ops.linalg import (
+    cho_solve,
+    mvn_logpdf_from_chol,
+    safe_cholesky,
+    tri_solve,
+)
+from nonstationary_precip_tpu.priors.lognormal_process import LogNormalProcess
+from nonstationary_precip_tpu.utils.struct import pytree_dataclass, trainable_mask
+from nonstationary_precip_tpu.utils.transforms import positive, raw_init
+
+
+def _scale_mask(train_noise: bool, train_scale: bool, train_z: bool = False):
+    """Default trainability predicate: the latent field always trains; the
+    prior is always frozen (spatial_exp.py:166-167); noise/outputscale per
+    flags (spatial_exp.py:179-186 freezes both)."""
+
+    def pred(path: str) -> bool:
+        if path.startswith("prior/"):
+            return False
+        if "raw_noise" in path:
+            return train_noise
+        if "raw_outputscale" in path:
+            return train_scale
+        if path == "z" or path.endswith("/z"):
+            return train_z
+        return True
+
+    return pred
+
+
+@pytree_dataclass
+class GibbsExactGP:
+    """Zero-mean exact GP with scaled diagonal-Gibbs covariance and a
+    trainable latent log-lengthscale field at the N training inputs."""
+
+    prior: LogNormalProcess
+    likelihood: GaussianLikelihood
+    raw_outputscale: jnp.ndarray
+    log_ell: jnp.ndarray  # (N, D)
+
+    @classmethod
+    def create(cls, x_train, prior: LogNormalProcess, noise=None, outputscale=1.0, dtype=jnp.float32):
+        return cls(
+            prior=prior,
+            likelihood=GaussianLikelihood.create(noise, dtype=dtype),
+            raw_outputscale=raw_init(jnp.asarray(outputscale, dtype=dtype)),
+            log_ell=prior.init_log_field(x_train).astype(dtype),
+        )
+
+    @property
+    def outputscale(self):
+        return positive(self.raw_outputscale)
+
+    def trainable(self, train_noise=False, train_scale=False):
+        return trainable_mask(self, _scale_mask(train_noise, train_scale))
+
+    # -- objective ----------------------------------------------------------
+
+    def loss(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """−(log N(y; 0, s²K_gibbs + σ²I) + prior_logprob) / N."""
+        n = y.shape[-1]
+        ell = jnp.exp(self.log_ell)
+        k = self.outputscale * gibbs_gram(x, ell, x, ell)
+        k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
+        chol = safe_cholesky(k_noisy)
+        logp = mvn_logpdf_from_chol(y, jnp.zeros_like(y), chol)
+        prior_term = self.prior.log_prob(x, self.log_ell)
+        return -(logp + prior_term) / n
+
+    # -- prediction ---------------------------------------------------------
+
+    def posterior(self, x_train, y_train, x_new, *, noiseless: bool = True) -> MVN:
+        """Manual GP conditioning exactly as DiagonalExactGP.predict
+        (nonstationary_models.py:45-62): lengthscales at x_new are the
+        prior's conditional mean given the trained field; the predictive
+        covariance gets the reference's +1e-4 I stabiliser."""
+        n = y_train.shape[-1]
+        ell1 = jnp.exp(self.log_ell)
+        s2 = self.outputscale
+        k_xx = s2 * gibbs_gram(x_train, ell1, x_train, ell1)
+        ell2 = self.prior.conditional_mean(x_new, (x_train, ell1))
+        k_ss = s2 * gibbs_gram(x_new, ell2, x_new, ell2)
+        k_sx = s2 * gibbs_gram(x_new, ell2, x_train, ell1)
+
+        a = k_xx + self.likelihood.noise * jnp.eye(n, dtype=k_xx.dtype)
+        chol = safe_cholesky(a)
+        mu = k_sx @ cho_solve(chol, y_train)
+        v = tri_solve(chol, k_sx.T)
+        sigma = k_ss - v.T @ v + 1e-4 * jnp.eye(k_ss.shape[-1], dtype=k_ss.dtype)
+        if not noiseless:
+            sigma = sigma + self.likelihood.noise * jnp.eye(sigma.shape[-1], dtype=sigma.dtype)
+        return MVN(mu, sigma)
+
+    def predictive(self, x_train, y_train, x_new) -> MVN:
+        return self.posterior(x_train, y_train, x_new, noiseless=False)
+
+    def lengthscale_field(self, x_train, x_new=None):
+        """Trained (or conditionally extended) lengthscale field, (N, D) —
+        the quantity spatial_exp.py maps over the basin (:243-274)."""
+        ell = jnp.exp(self.log_ell)
+        if x_new is None:
+            return ell
+        return self.prior.conditional_mean(x_new, (x_train, ell))
+
+
+@pytree_dataclass(static=("scale_correction",))
+class GibbsSparseGP:
+    """Sparse (SGPR / Titsias collapsed-bound) Gibbs GP with the latent
+    log-lengthscale field at M inducing points.
+
+    ``scale_correction=False`` replicates the reference quirk in which the
+    added diagonal loss term is computed on the *unscaled* base kernel
+    (the Scale wrapper sits outside InducingGibbsKernel, so GPyTorch's
+    added-loss harvesting never sees the outputscale;
+    gibbs_kernels.py:241-261).  Set True for the mathematically consistent
+    bound.
+    """
+
+    prior: LogNormalProcess
+    likelihood: GaussianLikelihood
+    raw_outputscale: jnp.ndarray
+    z: jnp.ndarray  # (M, D) inducing inputs
+    log_ell_z: jnp.ndarray  # (M, D) latent field at z
+    scale_correction: bool = False
+
+    @classmethod
+    def create(cls, z, prior: LogNormalProcess, noise=None, outputscale=1.0, dtype=jnp.float32):
+        z = jnp.asarray(z, dtype=dtype)
+        return cls(
+            prior=prior,
+            likelihood=GaussianLikelihood.create(noise, dtype=dtype),
+            raw_outputscale=raw_init(jnp.asarray(outputscale, dtype=dtype)),
+            z=z,
+            log_ell_z=prior.init_log_field(z).astype(dtype),
+        )
+
+    @property
+    def outputscale(self):
+        return positive(self.raw_outputscale)
+
+    def trainable(self, train_noise=False, train_scale=False, train_z=True):
+        return trainable_mask(self, _scale_mask(train_noise, train_scale, train_z))
+
+    def _roots(self, x):
+        """Nyström root R (N, M) of the *unscaled* Gibbs kernel plus the
+        conditioned lengthscales at x."""
+        ell_z = jnp.exp(self.log_ell_z)
+        ell_x = self.prior.conditional_mean(x, (self.z, ell_z))
+        k_xz = gibbs_gram(x, ell_x, self.z, ell_z)
+        k_zz = gibbs_gram(self.z, ell_z, self.z, ell_z)
+        root, _ = nystrom_root(k_xz, k_zz)
+        return root, ell_x
+
+    # -- objective ----------------------------------------------------------
+
+    def loss(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """−(log N(y; 0, s²RRᵀ + σ²I) + added_term + prior_logprob)/N via
+        Woodbury — never materialises the N×N covariance."""
+        n = y.shape[-1]
+        noise = self.likelihood.noise
+        s2 = self.outputscale
+        root_u, _ = self._roots(x)  # (N, M), unscaled
+        root = jnp.sqrt(s2) * root_u
+
+        a = root.T / jnp.sqrt(noise)  # (M, N)
+        b = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
+        lb = safe_cholesky(b)
+        ay = a @ y / jnp.sqrt(noise)  # (M,)
+        w = tri_solve(lb, ay)
+        quad = (y @ y) / noise - w @ w
+        logdet = n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+        logp = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(y.dtype))
+
+        # Titsias trace term; Gibbs diag is identically 1 (unscaled).
+        q_diag_u = jnp.sum(root_u * root_u, axis=-1)
+        if self.scale_correction:
+            added = -0.5 * jnp.sum(s2 * (1.0 - q_diag_u)) / noise
+        else:
+            added = -0.5 * jnp.sum(1.0 - q_diag_u) / noise
+
+        prior_term = self.prior.log_prob(self.z, self.log_ell_z)
+        return -(logp + added + prior_term) / n
+
+    # -- prediction ---------------------------------------------------------
+
+    def posterior(self, x_train, y_train, x_new, *, noiseless: bool = True) -> MVN:
+        """SGPR predictive (Titsias): exact marginals, low-rank joint —
+        the B = I + AAᵀ algebra of nonstationary_models.py:91-153 with the
+        SGPR diagonal correction of gibbs_kernels.py:222-232."""
+        noise = self.likelihood.noise
+        s = jnp.sqrt(self.outputscale)
+        root_x_u, _ = self._roots(x_train)
+        root_s_u, _ = self._roots(x_new)
+        root_x = s * root_x_u  # (N, M)
+        root_s = s * root_s_u  # (N*, M)
+
+        a = root_x.T / jnp.sqrt(noise)
+        b = jnp.eye(a.shape[0], dtype=a.dtype) + a @ a.T
+        lb = safe_cholesky(b)
+
+        ay = a @ y_train / jnp.sqrt(noise)
+        mean = root_s @ cho_solve(lb, ay)
+
+        # covar = K̃** − L(I − B⁻¹)Lᵀ = diag_corr + L B⁻¹ Lᵀ
+        v = tri_solve(lb, root_s.T)  # (M, N*)
+        cov = v.T @ v
+        corr = jnp.clip(self.outputscale * 1.0 - jnp.sum(root_s * root_s, axis=-1), 0.0, None)
+        cov = cov + jnp.diag(corr)
+        if not noiseless:
+            cov = cov + noise * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+        return MVN(mean, cov)
+
+    def predictive(self, x_train, y_train, x_new) -> MVN:
+        return self.posterior(x_train, y_train, x_new, noiseless=False)

@@ -1,0 +1,157 @@
+"""Whitened sparse variational GP layer (SVGP).
+
+Functional redesign of the reference's ``DeepGPHiddenLayer``
+(/root/reference/models/dgps.py:15-70): GPyTorch's
+``CholeskyVariationalDistribution`` + whitened ``VariationalStrategy`` with
+learned inducing locations, Scale(RBF-ARD) kernel, constant or (shared)
+linear mean.
+
+Whitened parameterisation: u = L_zz⁻¹ (f(z) − μ(z)) with q(u) = N(m, SSᵀ),
+so the marginal posterior at x is
+
+    mean(x) = μ(x) + A m,          A = K_xz L_zz⁻ᵀ
+    var(x)  = k(x,x) − rowsum(A²) + rowsum((A S)²)
+
+and KL(q(u) ‖ N(0, I)) = ½ (‖m‖² + ‖S‖_F² − M − 2 Σ log diag S).
+
+All output dims are carried in a leading batch axis and vmapped — one
+compiled program regardless of width.  DSVI propagates *marginal* samples
+between layers (Salimbeni & Deisenroth 2017), which is the variance the
+ELBO needs; the reference's full-covariance rsample per minibatch is an
+S×B×B Cholesky per layer that buys nothing for the bound.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.ops.linalg import safe_cholesky, tri_solve
+from nonstationary_precip_tpu.utils.config import EPSILON
+from nonstationary_precip_tpu.utils.struct import pytree_dataclass
+from nonstationary_precip_tpu.utils.transforms import positive
+
+_MEAN_CONSTANT = "constant"
+_MEAN_LINEAR = "linear"
+
+
+@pytree_dataclass(static=("mean_type",))
+class SVGPLayer:
+    """One whitened SVGP layer with O output dims (O = 1 for the scalar head).
+
+    Shapes:
+      z          (O, M, Din)   learned inducing locations
+      var_mean   (O, M)        whitened variational mean
+      var_chol   (O, M, M)     whitened variational root (lower tri used)
+      raw_outputscale (O,)     Scale kernel
+      raw_lengthscale (O, Din) RBF-ARD
+      mean_w     (Din, O) / mean_b (O,)  for linear mean; mean_b only for constant
+    """
+
+    z: jnp.ndarray
+    var_mean: jnp.ndarray
+    var_chol: jnp.ndarray
+    raw_outputscale: jnp.ndarray
+    raw_lengthscale: jnp.ndarray
+    mean_b: jnp.ndarray
+    mean_w: Optional[jnp.ndarray] = None
+    mean_type: str = _MEAN_CONSTANT
+
+    @classmethod
+    def create(
+        cls,
+        key: jax.Array,
+        input_dims: int,
+        output_dims: int,
+        num_inducing: int = 250,
+        mean_type: str = _MEAN_CONSTANT,
+        dtype=jnp.float32,
+    ):
+        """Init mirrors the reference (dgps.py:17-46): z ~ N(0, 1), whitened
+        variational dist at the prior (m = 0, S = I ⇒ KL = 0), GPyTorch
+        default softplus(0) kernel hypers, zero mean weights."""
+        o = output_dims
+        z = jax.random.normal(key, (o, num_inducing, input_dims), dtype=dtype)
+        eye = jnp.broadcast_to(
+            jnp.eye(num_inducing, dtype=dtype), (o, num_inducing, num_inducing)
+        )
+        mean_w = (
+            jnp.zeros((input_dims, o), dtype=dtype) if mean_type == _MEAN_LINEAR else None
+        )
+        return cls(
+            z=z,
+            var_mean=jnp.zeros((o, num_inducing), dtype=dtype),
+            var_chol=eye,
+            raw_outputscale=jnp.zeros((o,), dtype=dtype),
+            raw_lengthscale=jnp.zeros((o, input_dims), dtype=dtype),
+            mean_b=jnp.zeros((o,), dtype=dtype),
+            mean_w=mean_w,
+            mean_type=mean_type,
+        )
+
+    # -- internals -----------------------------------------------------------
+
+    def _mean(self, x):
+        """Prior mean, (O, N).  Linear mean is shared across outputs as in
+        GPyTorch's LinearMean(input_dims) without batch shape (dgps.py:43)."""
+        if self.mean_type == _MEAN_LINEAR:
+            m = x @ self.mean_w + self.mean_b  # (N, O)
+            return m.T
+        n = x.shape[-2]
+        return jnp.broadcast_to(self.mean_b[:, None], (self.mean_b.shape[0], n))
+
+    def marginals(self, x: jnp.ndarray):
+        """Posterior marginals at x (N, Din) → (mean (O, N), var (O, N))."""
+        ell = positive(self.raw_lengthscale)  # (O, Din)
+        s2 = positive(self.raw_outputscale)  # (O,)
+
+        def one(z_o, m_o, s_o, ell_o, s2_o):
+            xs = x / ell_o
+            zs = z_o / ell_o
+            x_sq = jnp.sum(xs * xs, axis=-1)
+            z_sq = jnp.sum(zs * zs, axis=-1)
+            k_xz = s2_o * jnp.exp(
+                -0.5
+                * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
+            )
+            k_zz = s2_o * jnp.exp(
+                -0.5
+                * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
+            )
+            l_zz = safe_cholesky(
+                k_zz + EPSILON * jnp.eye(k_zz.shape[-1], dtype=k_zz.dtype)
+            )
+            a = tri_solve(l_zz, k_xz.T).T  # (N, M) = K_xz L^{-T}
+            s_tril = jnp.tril(s_o)
+            mean = a @ m_o
+            a_s = a @ s_tril
+            var = s2_o - jnp.sum(a * a, axis=-1) + jnp.sum(a_s * a_s, axis=-1)
+            return mean, jnp.clip(var, 1e-10, None)
+
+        means, variances = jax.vmap(one)(
+            self.z, self.var_mean, self.var_chol, ell, s2
+        )
+        return means + self._mean(x), variances
+
+    def kl(self) -> jnp.ndarray:
+        """Σ_o KL(q(u_o) ‖ N(0, I))."""
+        s = jnp.tril(self.var_chol)
+        diag = jnp.diagonal(s, axis1=-2, axis2=-1)
+        m = self.var_mean
+        mdim = m.shape[-1]
+        per_o = 0.5 * (
+            jnp.sum(m * m, axis=-1)
+            + jnp.sum(s * s, axis=(-2, -1))
+            - mdim
+            - 2.0 * jnp.sum(jnp.log(jnp.abs(diag) + 1e-20), axis=-1)
+        )
+        return jnp.sum(per_o)
+
+    def sample(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        """One marginal sample at x: (N, O) — layer output feeding the next
+        layer (DSVI sample propagation)."""
+        mean, var = self.marginals(x)
+        eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        return (mean + jnp.sqrt(var) * eps).T

@@ -1,0 +1,11 @@
+from nonstationary_precip_tpu.ops.linalg import (  # noqa: F401
+    cholesky,
+    safe_cholesky,
+    tri_solve,
+    cho_solve,
+    solve_psd,
+    mvn_logpdf_from_chol,
+    robust_logdet,
+    add_jitter,
+)
+from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points  # noqa: F401

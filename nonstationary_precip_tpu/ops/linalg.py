@@ -1,0 +1,183 @@
+"""Dense linear algebra for GP inference: Cholesky-centric, jit-safe.
+
+This is the layer the reference delegated to GPyTorch's compiled internals
+(``psd_safe_cholesky`` at /root/reference/models/gibbs_kernels.py:201,
+``torch.triangular_solve`` at :203, ``torch.linalg.solve`` in
+/root/reference/utils/functional.py:29-43, ``robust_logdet`` at
+utils/functional.py:152-162).  Design decisions, TPU-first:
+
+* Everything is expressed through one primitive pair — ``cholesky`` +
+  ``tri_solve`` — so swapping in the Pallas blocked implementations
+  (ops/pallas_chol.py) changes one dispatch site.
+* ``safe_cholesky`` implements the escalating-jitter retry *inside* jit as a
+  ``lax.while_loop`` (no data-dependent Python control flow): recompute with
+  10x jitter until the factorisation is finite, up to ``max_jitter``.
+* Marginal likelihoods are computed directly from the factor
+  (``mvn_logpdf_from_chol``) — at the N <= 6k sizes of this workload a direct
+  blocked Cholesky beats GPyTorch's CG/BBMM path, so CG is deliberately not
+  replicated (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.utils.config import EPSILON
+
+__all__ = [
+    "add_jitter",
+    "cholesky",
+    "safe_cholesky",
+    "tri_solve",
+    "cho_solve",
+    "solve_psd",
+    "mvn_logpdf_from_chol",
+    "robust_logdet",
+]
+
+
+def add_jitter(mat: jnp.ndarray, jitter: float = EPSILON) -> jnp.ndarray:
+    """K + jitter*I on the last two dims."""
+    n = mat.shape[-1]
+    return mat + jitter * jnp.eye(n, dtype=mat.dtype)
+
+
+def cholesky(mat: jnp.ndarray, *, use_pallas: bool | None = None) -> jnp.ndarray:
+    """Lower-triangular Cholesky factor.
+
+    Dispatches to the Pallas blocked kernel on TPU for float32 operands of
+    supported size; otherwise uses XLA's native factorisation.
+    """
+    if use_pallas is None:
+        use_pallas = _pallas_chol_eligible(mat)
+    if use_pallas:
+        from nonstationary_precip_tpu.ops.pallas_chol import blocked_cholesky
+
+        return blocked_cholesky(mat)
+    return jnp.linalg.cholesky(mat)
+
+
+def _pallas_chol_eligible(mat: jnp.ndarray) -> bool:
+    try:
+        import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+        return pc.eligible(mat)
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("jitter", "max_tries"))
+def safe_cholesky(
+    mat: jnp.ndarray, jitter: float = EPSILON, max_tries: int = 6
+) -> jnp.ndarray:
+    """Cholesky with escalating-jitter retry, jit-safe AND reverse-mode
+    differentiable.
+
+    Reference semantics: GPyTorch's ``psd_safe_cholesky`` with
+    ``cholesky_jitter(EPSILON)`` (/root/reference/experiments/spatial_exp.py:31):
+    try the plain factorisation first, then jitter·10^i for i = 0.. on
+    failure.
+
+    AD design: ``lax.while_loop`` has no reverse-mode rule, so the jitter
+    *level* is selected on a gradient-stopped copy of the matrix (the loop
+    is primal-only) and a single differentiable Cholesky runs at the chosen
+    level — gradients flow through ``mat + chosen·I`` exactly as GPyTorch's
+    autograd flows through its jittered factorisation.
+    """
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    m0 = jax.lax.stop_gradient(mat)
+    base = jitter if jitter > 0 else EPSILON
+
+    def is_bad(j):
+        return jnp.any(jnp.isnan(jnp.linalg.cholesky(m0 + j * eye)))
+
+    def cond(state):
+        i, _, bad = state
+        return jnp.logical_and(i < max_tries, bad)
+
+    def body(state):
+        i, j, _ = state
+        j_next = jnp.where(i == 0, base, j * 10.0)
+        return i + 1, j_next, is_bad(j_next)
+
+    zero = jnp.asarray(0.0, dtype=mat.dtype)
+    _, chosen, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), zero, is_bad(zero)))
+    return jnp.linalg.cholesky(mat + chosen * eye)
+
+
+def tri_solve(
+    chol: jnp.ndarray, rhs: jnp.ndarray, *, lower: bool = True, trans: bool = False
+) -> jnp.ndarray:
+    """Solve L x = rhs (or L^T x = rhs when trans) for triangular L.
+
+    rhs may be a vector (..., n) or matrix (..., n, k).
+    """
+    vec = rhs.ndim == chol.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    out = jax.lax.linalg.triangular_solve(
+        chol,
+        rhs,
+        left_side=True,
+        lower=lower,
+        transpose_a=trans,
+    )
+    return out[..., 0] if vec else out
+
+
+def cho_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = rhs given lower-triangular L."""
+    return tri_solve(chol, tri_solve(chol, rhs, lower=True), lower=True, trans=True)
+
+
+def solve_psd(mat: jnp.ndarray, rhs: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Solve A x = rhs for PSD A via Cholesky (replaces the reference's
+    ``fn.mv(..., invert=True)`` / ``torch.inverse`` compositions,
+    /root/reference/utils/functional.py:29-43)."""
+    a = add_jitter(mat, jitter) if jitter else mat
+    return cho_solve(cholesky(a), rhs)
+
+
+def mvn_logpdf_from_chol(
+    y: jnp.ndarray, mean: jnp.ndarray, chol: jnp.ndarray
+) -> jnp.ndarray:
+    """log N(y | mean, L L^T) with L lower triangular.  Batched over leading dims."""
+    n = y.shape[-1]
+    diff = y - mean
+    alpha = tri_solve(chol, diff)
+    quad = jnp.sum(alpha**2, axis=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
+
+
+@partial(jax.jit, static_argnames=())
+def robust_logdet(
+    mat: jnp.ndarray, init_scale: float = 1e-30, max_scale: float = 1e-6
+) -> jnp.ndarray:
+    """logdet with escalating diagonal regularisation until finite.
+
+    Mirrors /root/reference/utils/functional.py:152-162 (init 1e-30, x10
+    escalation, cap 1e-6) as a ``lax.while_loop``.
+    """
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+
+    def logdet(m):
+        sign, val = jnp.linalg.slogdet(m)
+        return jnp.where(sign > 0, val, jnp.nan)
+
+    def cond(state):
+        reg, out = state
+        return jnp.logical_and(reg <= max_scale, jnp.any(jnp.isnan(out)))
+
+    def body(state):
+        reg, _ = state
+        return reg * 10.0, logdet(mat + reg * eye)
+
+    out0 = logdet(mat)
+    reg0 = jnp.asarray(init_scale, dtype=mat.dtype)
+    _, out = jax.lax.while_loop(cond, body, (reg0, out0))
+    return out

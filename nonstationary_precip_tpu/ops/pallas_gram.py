@@ -1,0 +1,135 @@
+"""Fused Pallas TPU kernel for the diagonal-Gibbs Gram matrix.
+
+The Gibbs Gram (kernels/gibbs.py; reference math at
+/root/reference/models/gibbs_kernels.py:154-162) is O(N²D) elementwise
+work whose natural jnp formulation materialises (N1, N2, D) intermediates
+(sq_sum, pairwise product, squared differences) in HBM.  This kernel fuses
+the per-dimension prefactor product and quadratic-form sum into one VMEM
+pass per (TM, TN) output tile: HBM traffic collapses to the inputs once
+per tile row/column plus a single N1×N2 output write — the speed-of-light
+for this op is the output write, and the kernel reaches it for D ≤ 8.
+
+Layout: features are carried in a 128-wide padded minor dimension
+(x1/ell1 as (N1, 128) row blocks; x2/ell2 pre-transposed to (128, N2)
+column blocks) so every BlockSpec is lane-aligned; the D-loop is a static
+Python loop over broadcast (TM, 1) × (1, TN) planes on the VPU.
+
+Differentiation: pallas_call has no autodiff rule, so the op carries a
+custom VJP whose backward is the VJP of the pure-jnp reference — XLA
+compiles that the way it would have compiled the whole op absent Pallas,
+and the trainable inputs (lengthscale fields, inducing locations) get
+exact gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nonstationary_precip_tpu.kernels import gibbs as _gibbs
+
+TILE_M = 256
+TILE_N = 256
+_FEAT = 128  # lane-aligned feature padding
+_MAX_D = 8
+
+
+def eligible(x1, x2) -> bool:
+    """Pallas path: TPU backend, f32, small feature dim, worthwhile size."""
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if x1.dtype != jnp.float32 or x2.dtype != jnp.float32:
+        return False
+    if x1.ndim != 2 or x2.ndim != 2:
+        return False
+    if x1.shape[-1] > _MAX_D:
+        return False
+    return x1.shape[0] * x2.shape[0] >= 128 * 128
+
+
+def _kernel(x1_ref, ell1_ref, x2t_ref, ell2t_ref, out_ref, *, d: int):
+    pref = None
+    quad = None
+    for k in range(d):
+        a = x1_ref[:, k : k + 1]  # (TM, 1)
+        b = x2t_ref[k : k + 1, :]  # (1, TN)
+        l1 = ell1_ref[:, k : k + 1]
+        l2 = ell2t_ref[k : k + 1, :]
+        ss = l1 * l1 + l2 * l2  # (TM, TN)
+        p = jnp.sqrt(2.0 * (l1 * l2) / ss)
+        diff = a - b
+        q = (diff * diff) / ss
+        pref = p if pref is None else pref * p
+        quad = q if quad is None else quad + q
+    out_ref[:] = pref * jnp.exp(-quad)
+
+
+def _pad_rows(arr, n_pad, fill):
+    pad = n_pad - arr.shape[0]
+    if pad == 0 and arr.shape[1] == _FEAT:
+        return arr
+    return jnp.pad(
+        arr,
+        ((0, pad), (0, _FEAT - arr.shape[1])),
+        constant_values=fill,
+    )
+
+
+def _forward(x1, ell1, x2, ell2):
+    n1, d = x1.shape
+    n2 = x2.shape[0]
+    n1p = -(-n1 // TILE_M) * TILE_M
+    n2p = -(-n2 // TILE_N) * TILE_N
+
+    # pad: x with 0, ell with 1 → padded rows compute benign values
+    x1p = _pad_rows(x1, n1p, 0.0)
+    ell1p = _pad_rows(ell1, n1p, 1.0)
+    x2tp = _pad_rows(x2, n2p, 0.0).T
+    ell2tp = _pad_rows(ell2, n2p, 1.0).T
+
+    grid = (n1p // TILE_M, n2p // TILE_N)
+    out = pl.pallas_call(
+        functools.partial(_kernel, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_M, TILE_N), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n1p, n2p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n1p * n2p * d,
+            bytes_accessed=4 * (n1p * n2p + 2 * _FEAT * (n1p + n2p)),
+            transcendentals=2 * n1p * n2p * d,
+        ),
+    )(x1p, ell1p, x2tp, ell2tp)
+    return out[:n1, :n2]
+
+
+@jax.custom_vjp
+def gibbs_gram_pallas(x1, ell1, x2, ell2):
+    return _forward(x1, ell1, x2, ell2)
+
+
+def _fwd(x1, ell1, x2, ell2):
+    return _forward(x1, ell1, x2, ell2), (x1, ell1, x2, ell2)
+
+
+def _bwd(residuals, g):
+    x1, ell1, x2, ell2 = residuals
+    _, vjp = jax.vjp(_gibbs.gibbs_gram_reference, x1, ell1, x2, ell2)
+    return vjp(g)
+
+
+gibbs_gram_pallas.defvjp(_fwd, _bwd)

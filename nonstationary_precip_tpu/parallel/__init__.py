@@ -1,0 +1,6 @@
+from nonstationary_precip_tpu.parallel.mesh import make_mesh, data_sharding  # noqa: F401
+from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
+    dp_value_and_grad,
+    pad_to_multiple,
+    shard_batch,
+)

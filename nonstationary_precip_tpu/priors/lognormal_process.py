@@ -1,0 +1,154 @@
+"""Log-normal latent process: D independent GPs on the log-lengthscale.
+
+Functional redesign of ``LogNormalPriorProcess``
+(/root/reference/models/gibbs_kernels.py:61-109), preserving its observable
+semantics exactly:
+
+  * ``sample``            — exp of an MVN sample of the log-field;
+  * ``conditional_mean``  — exp of the *conditional mean only* (the
+    reference's documented shortcut at gibbs_kernels.py:80-100: no
+    conditional covariance, one "sample" = the mean), with the same 1e-4
+    jitter on the conditioning Gram;
+  * ``log_prob``          — joint MVN log-density of the log-field with
+    1e-4 jitter, divided by N (gibbs_kernels.py:102-109).
+
+Layout: this framework carries lengthscale fields as (N, D) row-per-point
+(the reference uses (D, N)); each output dim d has its own constant mean
+and its own Scale(RBF-ARD) kernel over the D_in input dims.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.ops.linalg import (
+    add_jitter,
+    mvn_logpdf_from_chol,
+    safe_cholesky,
+    solve_psd,
+)
+from nonstationary_precip_tpu.utils.struct import pytree_dataclass
+from nonstationary_precip_tpu.utils.transforms import positive, raw_init
+
+_COND_JITTER = 1e-4  # reference: gibbs_kernels.py:88,107
+
+
+@pytree_dataclass(static=("active_dims",))
+class LogNormalProcess:
+    """D independent GP priors on log-lengthscale fields.
+
+    Fields (leading axis = output dim D):
+      mean_const       (D,)        constant mean of each log-GP
+      raw_outputscale  (D,)        Scale kernel outputscale (softplus raw)
+      raw_lengthscale  (D, D_in)   RBF-ARD lengthscales    (softplus raw)
+    """
+
+    mean_const: jnp.ndarray
+    raw_outputscale: jnp.ndarray
+    raw_lengthscale: jnp.ndarray
+    active_dims: Optional[tuple] = None
+
+    @classmethod
+    def create(
+        cls,
+        input_dim: int,
+        out_dim: Optional[int] = None,
+        mean: float = 0.0,
+        outputscale: float = None,
+        lengthscale: float = None,
+        active_dims: Optional[tuple] = None,
+        dtype=jnp.float32,
+    ):
+        """Defaults mirror GPyTorch inits: constant mean 0, softplus(0)
+        outputscale/lengthscale.  ``spatial_exp.py``-style priors set
+        mean=log(0.3), outputscale=1.0, lengthscale=1.3
+        (/root/reference/experiments/spatial_exp.py:157-164)."""
+        d_out = input_dim if out_dim is None else out_dim
+        mc = jnp.full((d_out,), mean, dtype=dtype)
+        ros = (
+            jnp.zeros((d_out,), dtype=dtype)
+            if outputscale is None
+            else raw_init(jnp.full((d_out,), outputscale, dtype=dtype))
+        )
+        rls = (
+            jnp.zeros((d_out, input_dim), dtype=dtype)
+            if lengthscale is None
+            else raw_init(jnp.full((d_out, input_dim), lengthscale, dtype=dtype))
+        )
+        return cls(mean_const=mc, raw_outputscale=ros, raw_lengthscale=rls, active_dims=active_dims)
+
+    # -- internals ---------------------------------------------------------
+
+    def _slice(self, x):
+        if self.active_dims is None:
+            return x
+        return x[..., jnp.asarray(self.active_dims)]
+
+    def _gram(self, x1, x2=None):
+        """Batched Scale(RBF-ARD) Grams, one per output dim: (D, N1, N2)."""
+        x1 = self._slice(x1)
+        x2 = x1 if x2 is None else self._slice(x2)
+        ell = positive(self.raw_lengthscale)  # (D, D_in)
+        s2 = positive(self.raw_outputscale)  # (D,)
+
+        def one(ell_d, s2_d):
+            a = x1 / ell_d
+            b = x2 / ell_d
+            a_sq = jnp.sum(a * a, axis=-1)[:, None]
+            b_sq = jnp.sum(b * b, axis=-1)[None, :]
+            d2 = jnp.maximum(a_sq + b_sq - 2.0 * a @ b.T, 0.0)
+            return s2_d * jnp.exp(-0.5 * d2)
+
+        return jax.vmap(one)(ell, s2)
+
+    def mean(self, x) -> jnp.ndarray:
+        """Prior mean of the log-field at x: (N, D)."""
+        n = x.shape[-2]
+        return jnp.broadcast_to(self.mean_const[None, :], (n, self.mean_const.shape[0]))
+
+    # -- reference API -----------------------------------------------------
+
+    def sample(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        """exp of a joint MVN sample of the log-field: (N, D) positive."""
+        grams = self._gram(x)  # (D, N, N)
+        chols = safe_cholesky(add_jitter(grams, _COND_JITTER))
+        eps = jax.random.normal(key, (grams.shape[0], grams.shape[1]), dtype=x.dtype)
+        log_f = self.mean_const[:, None] + jnp.einsum("dij,dj->di", chols, eps)
+        return jnp.exp(log_f).T
+
+    def conditional_mean(
+        self, x: jnp.ndarray, given: Tuple[jnp.ndarray, jnp.ndarray]
+    ) -> jnp.ndarray:
+        """exp of E[log ℓ(x) | log ℓ(x_g) = log ell_g]: (N, D) positive.
+
+        Matches ``conditional_sample`` (gibbs_kernels.py:80-100): the
+        conditional covariance is deliberately dropped; jitter 1e-4 on the
+        conditioning Gram; exp of the mean (NOT the log-normal mean).
+        """
+        xg, ell_g = given
+        k_xg = self._gram(x, xg)  # (D, N, Ng)
+        k_gg = add_jitter(self._gram(xg), _COND_JITTER)  # (D, Ng, Ng)
+        resid = jnp.log(ell_g).T - self.mean(xg).T  # (D, Ng)
+        alpha = solve_psd(k_gg, resid)  # (D, Ng)
+        mu = self.mean(x).T + jnp.einsum("dng,dg->dn", k_xg, alpha)  # (D, N)
+        return jnp.exp(mu).T
+
+    def log_prob(self, x: jnp.ndarray, log_ell: jnp.ndarray) -> jnp.ndarray:
+        """Σ_d log N(log_ell[:, d]; mean_d, K_d + 1e-4 I) / N  — the
+        reference's per-N-normalised prior term (gibbs_kernels.py:102-109),
+        summed over dims the way GPyTorch's MLL sums prior log-probs."""
+        n = x.shape[-2]
+        grams = add_jitter(self._gram(x), _COND_JITTER)  # (D, N, N)
+        chols = safe_cholesky(grams)
+        lp = mvn_logpdf_from_chol(log_ell.T, self.mean(x).T, chols)  # (D,)
+        return jnp.sum(lp) / n
+
+    # convenience for model init ------------------------------------------
+
+    def init_log_field(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Initial latent log-lengthscale field = prior mean at x (the
+        reference's init, nonstationary_models.py:31-34): (N, D)."""
+        return self.mean(x)

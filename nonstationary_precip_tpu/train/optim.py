@@ -1,0 +1,164 @@
+"""Training loops: optax Adam under a jit-compiled lax.scan.
+
+TPU-native replacement for the reference's eager Python loops
+(`for i in range(n_iter): loss.backward(); opt.step()`, e.g.
+/root/reference/experiments/spatial_exp.py:197-210).  The whole loop is one
+compiled program: parameters are donated, the loss history comes back as a
+stacked array, and trainability masks implement the reference's
+``requires_grad = False`` freezing.
+
+``fit`` also supports chunked execution with early stopping on |Δloss|
+(the reference's convergence rule, precipitation_baselines.py:389-390) —
+the scan runs in fixed-size chunks so the stop check happens on host
+between compiled segments, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nonstationary_precip_tpu.utils.struct import mask_grads
+
+
+class TrainResult(NamedTuple):
+    model: Any
+    losses: jnp.ndarray
+    steps: int
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "num_steps"))
+def adam_scan(model, opt_state, loss_fn, optimizer, num_steps: int, mask=None, *args):
+    """Run ``num_steps`` optimisation steps as one lax.scan.
+
+    loss_fn(model, *args) -> scalar.  ``mask`` is an optional bool pytree
+    zeroing gradients of frozen leaves.
+    """
+
+    def step(carry, _):
+        m, s = carry
+        loss, grads = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(m)
+        if mask is not None:
+            grads = mask_grads(grads, mask)
+        updates, s = optimizer.update(grads, s, m)
+        m = optax.apply_updates(m, updates)
+        return (m, s), loss
+
+    (model, opt_state), losses = jax.lax.scan(step, (model, opt_state), None, length=num_steps)
+    return model, opt_state, losses
+
+
+def fit(
+    model,
+    loss_fn: Callable,
+    *args,
+    lr: float = 0.01,
+    num_steps: int = 1000,
+    mask=None,
+    threshold: Optional[float] = None,
+    chunk: int = 0,
+    log_every: int = 0,
+    callback: Optional[Callable] = None,
+) -> TrainResult:
+    """Adam-optimise ``model`` under loss_fn(model, *args).
+
+    threshold: stop when |loss[t] − loss[t−1]| < threshold (checked at chunk
+    boundaries).  chunk=0 runs the whole budget as one scan.
+    """
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(model)
+
+    if not chunk:
+        chunk = num_steps
+    losses_all = []
+    steps_done = 0
+    while steps_done < num_steps:
+        n = min(chunk, num_steps - steps_done)
+        model, opt_state, losses = adam_scan(
+            model, opt_state, loss_fn, optimizer, n, mask, *args
+        )
+        losses = jax.device_get(losses)
+        losses_all.append(losses)
+        steps_done += n
+        if log_every and (steps_done % max(log_every, 1) == 0 or steps_done == num_steps):
+            print(f"step {steps_done}/{num_steps}  loss {float(losses[-1]):.4f}")
+        if callback is not None:
+            callback(steps_done, model, losses)
+        if threshold is not None and len(losses) >= 2:
+            if abs(float(losses[-1]) - float(losses[-2])) < threshold:
+                break
+
+    return TrainResult(model=model, losses=jnp.concatenate(losses_all), steps=steps_done)
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer"), donate_argnums=(1,))
+def minibatch_scan(model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y):
+    """Epoch-permutation minibatch SGD as one lax.scan.
+
+    ``batch_idx`` (T, B) is the precomputed schedule of row indices (host
+    builds per-epoch permutations, mirroring DataLoader(shuffle=True) in
+    deepgp_spatial_bench.py:70); ``keys`` (T, 2) supplies the per-step DSVI
+    sampling keys.  loss_fn(model, key, x_batch, y_batch) -> scalar.
+    """
+
+    def step(carry, inp):
+        m, s = carry
+        key, idx = inp
+        xb, yb = x[idx], y[idx]
+        loss, grads = jax.value_and_grad(lambda mm: loss_fn(mm, key, xb, yb))(m)
+        updates, s = optimizer.update(grads, s, m)
+        m = optax.apply_updates(m, updates)
+        return (m, s), loss
+
+    (model, opt_state), losses = jax.lax.scan(step, (model, opt_state), (keys, batch_idx))
+    return model, opt_state, losses
+
+
+def fit_minibatched(
+    model,
+    loss_fn: Callable,
+    x,
+    y,
+    *,
+    key,
+    num_epochs: int,
+    batch_size: int,
+    lr: float = 0.01,
+    seed: int = 0,
+    log_every_epochs: int = 0,
+) -> TrainResult:
+    """Epoch-shuffled minibatch Adam (the reference's DSVI loop,
+    deepgp_spatial_bench.py:78-92) compiled as one scan over the full
+    epoch×batch schedule."""
+    import numpy as np
+
+    n = x.shape[0]
+    steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
+    # pad the permutation so every step has a full batch (wrap-around)
+    rng = np.random.default_rng(seed)
+    sched = []
+    for _ in range(num_epochs):
+        perm = rng.permutation(n)
+        pad = (-len(perm)) % (steps_per_epoch * batch_size)
+        if pad:
+            perm = np.concatenate([perm, perm[:pad]])
+        sched.append(perm.reshape(steps_per_epoch, batch_size))
+    batch_idx = jnp.asarray(np.concatenate(sched, axis=0))
+    total_steps = batch_idx.shape[0]
+    keys = jax.random.split(key, total_steps)
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(model)
+    model, opt_state, losses = minibatch_scan(
+        model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y
+    )
+    if log_every_epochs:
+        host_losses = jax.device_get(losses)
+        for e in range(0, num_epochs, log_every_epochs):
+            sl = host_losses[e * steps_per_epoch : (e + 1) * steps_per_epoch]
+            print(f"epoch {e}: mean loss {float(sl.mean()):.4f}")
+    return TrainResult(model=model, losses=losses, steps=total_steps)

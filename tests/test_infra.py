@@ -1,0 +1,175 @@
+"""Infrastructure: data prep, config, checkpointing, logging, kmeans, DP mesh."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.data.dataprep import (
+    box_cox_transform,
+    load_csv,
+    shuffle_split,
+    sklearn_style_shuffle,
+    train_test_split,
+    whitening_transform,
+)
+from nonstationary_precip_tpu.data.datasets import (
+    load_uib_spatial,
+    load_uib_spatio_temporal,
+    load_khyber_time_series,
+    spatio_temporal_month_split,
+)
+from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.train.checkpoint import (
+    BestCheckpointer,
+    restore_pytree,
+    save_pytree,
+)
+from nonstationary_precip_tpu.train.logging import MetricsLogger, param_table
+from nonstationary_precip_tpu.utils.config import DATASET_DIR
+
+
+def test_datasets_load_with_documented_shapes():
+    _, x, y = load_uib_spatial()
+    assert x.shape == (394, 2) and y.shape == (394,)
+    t, tp = load_khyber_time_series()
+    assert t.shape == (342,)
+    _, xst, yst = load_uib_spatio_temporal()
+    assert xst.shape == (5676, 3) and yst.shape == (5676,)
+
+
+def test_spatio_temporal_month_split_shapes():
+    x_tr, y_tr, x_te, y_te, meany, stdy, x_norm, y_raw = spatio_temporal_month_split()
+    # 43 sites × 4 months train, × 1 month test (the CSV is 43 sites ×
+    # 132 months = 5676 rows; SURVEY.md §2.4's 394×12 reading is wrong)
+    assert x_tr.shape == (43 * 4, 3)
+    assert x_te.shape == (43, 3)
+    assert abs(x_norm.mean()) < 1e-6
+    assert stdy > 0
+
+
+def test_whitening_and_boxcox(rng):
+    data = np.abs(rng.normal(size=(50, 3))) + 0.1
+    w = whitening_transform(data)
+    np.testing.assert_allclose(w.x.mean(0), 0, atol=1e-12)
+    np.testing.assert_allclose(w.x.std(0, ddof=1), 1, rtol=1e-10)
+    bc = box_cox_transform(data)
+    np.testing.assert_allclose(bc.inverse(bc.y), data[:, -1], rtol=1e-8)
+
+
+def test_splits(rng):
+    x = rng.normal(size=(100, 2))
+    y = rng.normal(size=100)
+    xtr, ytr, xte, yte = train_test_split(x, y, 0.8)
+    assert len(xtr) == 80 and len(xte) == 20
+    xtr2, ytr2, xte2, yte2 = shuffle_split(x, y, 0.8, seed=1)
+    assert len(xtr2) == 80
+    # deterministic given seed
+    xtr3, *_ = shuffle_split(x, y, 0.8, seed=1)
+    np.testing.assert_array_equal(xtr2, xtr3)
+    s1 = sklearn_style_shuffle(x, 3)
+    s2 = sklearn_style_shuffle(x, 3)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_config_parse_and_dump(tmp_path):
+    cfg = ExperimentConfig(lr=0.5)
+    cfg2 = cfg.parse_args(["--max_iters", "7", "--model", "Foo"])
+    assert cfg2.max_iters == 7 and cfg2.model == "Foo" and cfg2.lr == 0.5
+    cfg2.dump(tmp_path / "c.json")
+    assert json.loads((tmp_path / "c.json").read_text())["max_iters"] == 7
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": (jnp.ones((2, 2)), jnp.asarray(3.0))}
+    save_pytree(tmp_path / "ck", tree)
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    restored = restore_pytree(tmp_path / "ck", like)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(5.0))
+    np.testing.assert_allclose(np.asarray(restored["b"][0]), 1.0)
+
+
+def test_best_checkpointer(tmp_path):
+    ck = BestCheckpointer(tmp_path)
+    model = {"w": jnp.ones(3)}
+    assert set(ck.update(1, model, objective=1.0, rmse=0.5, nlpd=2.0)) == {
+        "objective",
+        "rmse",
+        "nlpd",
+    }
+    assert ck.update(2, model, objective=2.0, rmse=0.6, nlpd=3.0) == []
+    assert ck.update(3, model, objective=0.5, rmse=0.6, nlpd=3.0) == ["objective"]
+    ck.save_final(3, model)
+    assert (tmp_path / "final" / "meta.json").exists()
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(tmp_path, name="t", use_tensorboard=False)
+    logger.scalars(1, loss=0.5)
+    logger.scalars(2, loss=0.25, rmse=1.0)
+    logger.close()
+    lines = [json.loads(l) for l in (tmp_path / "t.jsonl").read_text().splitlines()]
+    assert lines[1]["rmse"] == 1.0
+
+
+def test_param_table_and_masks():
+    from nonstationary_precip_tpu.models import GibbsExactGP
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    x = jnp.zeros((5, 2))
+    prior = LogNormalProcess.create(2)
+    model = GibbsExactGP.create(x, prior, noise=0.01, outputscale=0.5)
+    table = param_table(model, model.trainable())
+    assert "log_ell" in table
+    assert "Total trainable params" in table
+
+
+def test_kmeans(key, rng):
+    # three well-separated clusters → centroids must land near them
+    centres = np.array([[0, 0], [10, 0], [0, 10.0]])
+    pts = np.concatenate([c + 0.1 * rng.normal(size=(30, 2)) for c in centres])
+    z = np.asarray(kmeans_inducing_points(key, jnp.asarray(pts, jnp.float64), 3, iters=20))
+    d = np.linalg.norm(z[:, None, :] - centres[None], axis=-1).min(axis=0)
+    assert (d < 0.5).all()
+
+
+def test_dp_value_and_grad_matches_single_device(key):
+    """psum-averaged DP gradients == single-device gradients of the mean loss."""
+    from nonstationary_precip_tpu.models import DeepGP
+    from nonstationary_precip_tpu.parallel import dp_value_and_grad, make_mesh
+
+    n_dev = min(len(jax.devices()), 8)
+    batch = 4 * n_dev
+    model = DeepGP.create(key, input_dims=2, num_layers=1, num_inducing=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 2), jnp.float32)
+    y = jnp.sin(x[:, 0])
+    fixed = jax.random.PRNGKey(2)
+
+    def per_shard_loss(m, xs, ys):
+        # data term is a per-point mean and the KL carries global num_data,
+        # so shard means psum-average to the global mean exactly
+        return m.loss(fixed, xs, ys, num_data=batch, num_samples=1)
+
+    mesh = make_mesh(n_dev)
+    loss_dp, grads_dp = jax.jit(dp_value_and_grad(per_shard_loss, mesh))(model, x, y)
+
+    # single-device oracle: mean of per-shard losses with the same keys
+    losses, grads = [], []
+    for s in range(n_dev):
+        sl = slice(s * 4, (s + 1) * 4)
+        l, g = jax.value_and_grad(per_shard_loss)(model, x[sl], y[sl])
+        losses.append(l)
+        grads.append(g)
+    loss_ref = np.mean([float(l) for l in losses])
+    grads_ref = jax.tree_util.tree_map(lambda *gs: sum(gs) / n_dev, *grads)
+
+    np.testing.assert_allclose(float(loss_dp), loss_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_dp), jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_load_csv_matches_pandas():
+    arr = load_csv(DATASET_DIR / "uib_spatial.csv")
+    assert arr.shape == (394, 3)

@@ -1,0 +1,103 @@
+"""L0 linear algebra: Cholesky-centric ops vs numpy/scipy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.stats
+
+from nonstationary_precip_tpu.ops.linalg import (
+    add_jitter,
+    safe_cholesky,
+    tri_solve,
+    cho_solve,
+    solve_psd,
+    mvn_logpdf_from_chol,
+    robust_logdet,
+)
+
+
+def _spd(rng, n):
+    a = rng.normal(size=(n, n))
+    return a @ a.T + n * np.eye(n)
+
+
+def test_safe_cholesky_matches_numpy(rng):
+    a = _spd(rng, 40)
+    l = np.asarray(safe_cholesky(jnp.asarray(a, jnp.float64)))
+    np.testing.assert_allclose(l, np.linalg.cholesky(a), rtol=1e-10)
+
+
+def test_safe_cholesky_rescues_semidefinite(rng):
+    # rank-deficient: plain cholesky NaNs, jitter ladder must rescue
+    v = rng.normal(size=(30, 5))
+    a = v @ v.T  # rank 5
+    l = np.asarray(safe_cholesky(jnp.asarray(a, jnp.float64), jitter=1e-10))
+    assert np.isfinite(l).all()
+    rec = l @ l.T
+    np.testing.assert_allclose(rec, a, atol=1e-4)
+
+
+def test_tri_solve_and_cho_solve(rng):
+    a = _spd(rng, 25)
+    b = rng.normal(size=(25, 3))
+    y = rng.normal(size=25)
+    l = np.linalg.cholesky(a)
+    lj = jnp.asarray(l, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(tri_solve(lj, jnp.asarray(b, jnp.float64))),
+        np.linalg.solve(l, b),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cho_solve(lj, jnp.asarray(y, jnp.float64))),
+        np.linalg.solve(a, y),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(solve_psd(jnp.asarray(a, jnp.float64), jnp.asarray(y, jnp.float64))),
+        np.linalg.solve(a, y),
+        rtol=1e-8,
+    )
+
+
+def test_mvn_logpdf_matches_scipy(rng):
+    n = 20
+    a = _spd(rng, n)
+    mean = rng.normal(size=n)
+    y = rng.normal(size=n)
+    l = jnp.asarray(np.linalg.cholesky(a), jnp.float64)
+    ours = float(
+        mvn_logpdf_from_chol(jnp.asarray(y, jnp.float64), jnp.asarray(mean, jnp.float64), l)
+    )
+    ref = scipy.stats.multivariate_normal(mean, a).logpdf(y)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_mvn_logpdf_batched(rng):
+    n, d = 15, 3
+    mats = np.stack([_spd(rng, n) for _ in range(d)])
+    means = rng.normal(size=(d, n))
+    ys = rng.normal(size=(d, n))
+    chols = jnp.asarray(np.linalg.cholesky(mats), jnp.float64)
+    ours = np.asarray(
+        mvn_logpdf_from_chol(jnp.asarray(ys, jnp.float64), jnp.asarray(means, jnp.float64), chols)
+    )
+    refs = [
+        scipy.stats.multivariate_normal(means[i], mats[i]).logpdf(ys[i]) for i in range(d)
+    ]
+    np.testing.assert_allclose(ours, refs, rtol=1e-9)
+
+
+def test_robust_logdet(rng):
+    a = _spd(rng, 10)
+    val = float(robust_logdet(jnp.asarray(a, jnp.float64)))
+    np.testing.assert_allclose(val, np.linalg.slogdet(a)[1], rtol=1e-9)
+    # near-singular: must return finite via jitter escalation
+    v = rng.normal(size=(10, 2))
+    sing = v @ v.T
+    val2 = float(robust_logdet(jnp.asarray(sing, jnp.float64)))
+    assert np.isfinite(val2)
+
+
+def test_add_jitter():
+    a = jnp.zeros((4, 4))
+    np.testing.assert_allclose(np.asarray(add_jitter(a, 0.5)), 0.5 * np.eye(4))

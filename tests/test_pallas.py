@@ -1,0 +1,64 @@
+"""Pallas kernels vs their pure-jnp oracles (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+
+def _interp_forward(x1, ell1, x2, ell2):
+    """Run the pallas Gram in interpreter mode (no TPU needed)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_gram as pg
+
+    with pltpu.force_tpu_interpret_mode():
+        return pg._forward(x1, ell1, x2, ell2)
+
+
+@pytest.mark.parametrize("n1,n2,d", [(40, 30, 2), (300, 257, 3), (256, 256, 1)])
+def test_pallas_gibbs_gram_matches_reference(rng, n1, n2, d):
+    x1 = jnp.asarray(rng.normal(size=(n1, d)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(n2, d)), jnp.float32)
+    ell1 = jnp.asarray(np.exp(rng.normal(size=(n1, d)) * 0.3), jnp.float32)
+    ell2 = jnp.asarray(np.exp(rng.normal(size=(n2, d)) * 0.3), jnp.float32)
+    ours = np.asarray(_interp_forward(x1, ell1, x2, ell2))
+    ref = np.asarray(gibbs_gram_reference(x1, ell1, x2, ell2))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_gibbs_gram_custom_vjp_matches_reference_grad(rng):
+    """The custom-VJP backward must equal the jnp reference gradient."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_gram as pg
+
+    n1, n2, d = 24, 16, 2
+    x1 = jnp.asarray(rng.normal(size=(n1, d)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(n2, d)), jnp.float32)
+    ell1 = jnp.asarray(np.exp(rng.normal(size=(n1, d)) * 0.3), jnp.float32)
+    ell2 = jnp.asarray(np.exp(rng.normal(size=(n2, d)) * 0.3), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n1, n2)), jnp.float32)
+
+    def loss_pallas(e1, e2, z):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(w * pg.gibbs_gram_pallas(x1, e1, z, e2))
+
+    def loss_ref(e1, e2, z):
+        return jnp.sum(w * gibbs_gram_reference(x1, e1, z, e2))
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(ell1, ell2, x2)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(ell1, ell2, x2)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_pallas_eligibility_gating():
+    import nonstationary_precip_tpu.ops.pallas_gram as pg
+
+    x_small = jnp.zeros((4, 2), jnp.float32)
+    assert not pg.eligible(x_small, x_small)  # too small / cpu backend
+    x64 = jnp.zeros((400, 2), jnp.float64)
+    assert not pg.eligible(x64, x64)  # wrong dtype
