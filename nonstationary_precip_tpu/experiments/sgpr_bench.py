@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""SGPR benchmark on the full Khyber 2000-2010 cube — the one reference
+config with a recorded number to beat.
+
+Counterpart of /root/reference/archive/SGP/sgpr_bench.py +
+SGPR_benchmark.ipynb: SGPR (Titsias collapsed bound) with the custom kernel
+Scale(RBF(lat,lon)) + Scale(RBF(t))·Periodic(t) on khyber_2000_2010_tp.csv
+(5,676 rows), 1900 random inducing points, Adam, **unscaled y**.
+
+Recorded baseline (BASELINE.md): test RMSE 13.9471 / NLPD 12636.38 after a
+divergent 100-iter run on one CUDA GPU.  With the same budget this
+implementation should match or beat it; with convergence it should beat it
+soundly.
+
+Run: python -m nonstationary_precip_tpu.experiments.sgpr_bench --max_iters 100
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nonstationary_precip_tpu.data.datasets import load_uib_spatio_temporal
+from nonstationary_precip_tpu.kernels import RBF, Periodic, Scale
+from nonstationary_precip_tpu.models.sgpr import SGPR
+from nonstationary_precip_tpu.train import fit, nlpd_joint, rmse_rescaled
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.utils.config import BASE_SEED
+
+
+def make_kernel(dtype):
+    """SE(spatial) + SE(temporal)·Periodic(temporal) (notebook cell 8)."""
+    spatial = Scale.create(RBF.create(2, active_dims=(1, 2), dtype=dtype), dtype=dtype)
+    temporal = Scale.create(RBF.create(1, active_dims=(0,), dtype=dtype), dtype=dtype) * Periodic.create(
+        1, active_dims=(0,), dtype=dtype
+    )
+    return spatial + temporal
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        lr=0.05, max_iters=100, num_inducing=1900, train_percent=80.0
+    ).parse_args(argv)
+    dtype = jnp.float32
+
+    _, x, y = load_uib_spatio_temporal()
+    meanx, stdx = x.mean(0), x.std(0, ddof=1)
+    x_norm = (x - meanx) / stdx  # inputs standardised, y left raw (notebook)
+
+    rng = np.random.default_rng(BASE_SEED)
+    idx = rng.permutation(len(y))
+    n_train = int(cfg.train_percent / 100 * len(y))
+    tr, te = idx[:n_train], idx[n_train:]
+    train_x = jnp.asarray(x_norm[tr], dtype)
+    train_y = jnp.asarray(y[tr], dtype)
+    test_x = jnp.asarray(x_norm[te], dtype)
+    test_y = jnp.asarray(y[te], dtype)
+
+    z = np.asarray(train_x)[rng.permutation(n_train)[: cfg.num_inducing]]
+    model = SGPR.create(make_kernel(dtype), z, dtype=dtype)
+
+    res = fit(
+        model,
+        lambda m, xx, yy: m.loss(xx, yy),
+        train_x,
+        train_y,
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+        log_every=10,
+        chunk=10,
+    )
+    pred = res.model.predictive(train_x, train_y, test_x)
+    r = float(rmse_rescaled(pred.mean, test_y, 1.0))
+    nl = float(nlpd_joint(pred, test_y, 1.0))
+    print(f"SGPR test RMSE = {r:.4f}   (reference recorded 13.9471)")
+    print(f"SGPR test NLPD = {nl:.4f}  (reference recorded 12636.38, divergent)")
+    return r, nl
+
+
+if __name__ == "__main__":
+    main()

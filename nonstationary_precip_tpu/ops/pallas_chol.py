@@ -1,0 +1,163 @@
+"""Blocked right-looking Cholesky as a single Pallas TPU kernel.
+
+This is the explicit-native replacement for the factorisation GPyTorch's
+``psd_safe_cholesky`` delegates to (SURVEY.md §2.5): at this workload's
+sizes (N ≈ 300–1800) the entire matrix fits in VMEM, so the whole
+factorisation runs as ONE kernel launch — no per-block HLO While-loop
+round-trips like XLA's stock TPU lowering.
+
+Algorithm (block size B = 128, K = N/B block steps, statically unrolled):
+  1. factor the diagonal block with a 128-step masked column-Cholesky
+     (fori_loop; columns/rows are extracted with masked lane/sublane
+     reductions — no dynamic lane indexing, the trailing block stays
+     symmetric so the row vector is read from the symmetric image);
+  2. invert the 128×128 diagonal factor by masked forward substitution
+     (fori_loop of (1,128)@(128,128) MXU matvecs);
+  3. panel update  P ← P L_kk⁻ᵀ  — one MXU matmul;
+  4. trailing update  A₂₂ ← A₂₂ − P Pᵀ — one big MXU matmul (the N³/3
+     FLOPs live here).
+
+The input is aliased to the output (input_output_aliases) so VMEM holds
+one N² buffer.  N is padded to a 128 multiple with an identity diagonal
+(exact: chol(diag(A, I)) = diag(chol(A), I)).
+
+Differentiation: custom VJP that recomputes through XLA's factorisation —
+numerically the standard Cholesky pullback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+MAX_N = 1792  # one f32 N² buffer must fit VMEM (~16 MB/core)
+
+
+def eligible(mat) -> bool:
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if mat.dtype != jnp.float32 or mat.ndim != 2:
+        return False
+    n = mat.shape[-1]
+    return 256 <= n <= MAX_N
+
+
+def _masked_chol_block(a):
+    """Unblocked Cholesky of a symmetric (B, B) tile via 128 masked
+    right-looking rank-1 updates."""
+    b = a.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+
+    def step(j, a):
+        colmask = col_ids == j
+        rowmask = row_ids == j
+        diag = jnp.sum(jnp.where(colmask & rowmask, a, 0.0))
+        inv_sqrt = jax.lax.rsqrt(diag)
+        # column j (rows ≥ j) and its symmetric row image (cols ≥ j)
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=1, keepdims=True) * inv_sqrt
+        col = jnp.where(row_ids[:, :1] >= j, col, 0.0)
+        row = jnp.sum(jnp.where(rowmask, a, 0.0), axis=0, keepdims=True) * inv_sqrt
+        row = jnp.where(col_ids[:1, :] >= j, row, 0.0)
+        # write scaled column j
+        a = jnp.where(colmask, col, a)
+        # trailing rank-1 update (rows > j, cols > j)
+        trail = (row_ids > j) & (col_ids > j)
+        return a - jnp.where(trail, col * row, 0.0)
+
+    a = jax.lax.fori_loop(0, b, step, a)
+    return jnp.where(row_ids >= col_ids, a, 0.0)
+
+
+def _tri_inv_block(l):
+    """L⁻¹ for lower-triangular (B, B) via masked forward substitution."""
+    b = l.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    eye = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(l.dtype)
+
+    def step(j, x):
+        rowmask = row_ids == j
+        lrow = jnp.sum(jnp.where(rowmask, l, 0.0), axis=0, keepdims=True)  # (1,B)
+        diag = jnp.sum(jnp.where(col_ids[:1, :] == j, lrow, 0.0))
+        lrow_lt = jnp.where(col_ids[:1, :] < j, lrow, 0.0)
+        e_j = jnp.where(col_ids[:1, :] == j, 1.0, 0.0).astype(l.dtype)
+        xrow = (e_j - jnp.dot(lrow_lt, x, preferred_element_type=l.dtype)) / diag
+        return jnp.where(rowmask, xrow, x)
+
+    return jax.lax.fori_loop(0, b, step, eye)
+
+
+def _chol_kernel(a_ref, out_ref, *, n: int):
+    # explicit copy-in: with input_output_aliases this is a self-copy the
+    # compiler elides; without (interpret mode) it seeds the factorisation
+    out_ref[:] = a_ref[:]
+    k_blocks = n // BLOCK
+    for k in range(k_blocks):  # static unroll
+        lo, hi = k * BLOCK, (k + 1) * BLOCK
+        d = out_ref[lo:hi, lo:hi]
+        l_kk = _masked_chol_block(d)
+        out_ref[lo:hi, lo:hi] = l_kk
+        if k + 1 < k_blocks:
+            l_inv = _tri_inv_block(l_kk)
+            p = out_ref[hi:n, lo:hi]  # (M, B)
+            p = jnp.dot(p, l_inv.T, preferred_element_type=jnp.float32)
+            out_ref[hi:n, lo:hi] = p
+            t = out_ref[hi:n, hi:n]
+            out_ref[hi:n, hi:n] = t - jnp.dot(
+                p, p.T, preferred_element_type=jnp.float32
+            )
+            out_ref[lo:hi, hi:n] = jnp.zeros((BLOCK, n - hi), jnp.float32)
+
+
+def _forward(mat: jnp.ndarray) -> jnp.ndarray:
+    n = mat.shape[-1]
+    n_pad = -(-n // BLOCK) * BLOCK
+    if n_pad != n:
+        pad = n_pad - n
+        eye_pad = jnp.zeros((pad, pad), mat.dtype) + jnp.eye(pad, dtype=mat.dtype)
+        mat = jnp.block(
+            [
+                [mat, jnp.zeros((n, pad), mat.dtype)],
+                [jnp.zeros((pad, n), mat.dtype), eye_pad],
+            ]
+        )
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n=n_pad),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad**3 // 3,
+            bytes_accessed=8 * n_pad * n_pad,
+            transcendentals=n_pad,
+        ),
+    )(mat)
+    return out[:n, :n]
+
+
+@jax.custom_vjp
+def blocked_cholesky(mat: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky factor via the single-launch Pallas kernel."""
+    return _forward(mat)
+
+
+def _fwd(mat):
+    return _forward(mat), mat
+
+
+def _bwd(mat, g):
+    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
+    return vjp(g)
+
+
+blocked_cholesky.defvjp(_fwd, _bwd)

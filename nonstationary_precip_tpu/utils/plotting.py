@@ -1,0 +1,96 @@
+"""UIB precipitation field plotting (host-side matplotlib).
+
+Counterpart of the reference's ``utils/plotting.py`` (xarray + cartopy +
+Basemap maps of the basin).  cartopy/Basemap are not in this image, so the
+map projections degrade gracefully: with cartopy importable the axes get a
+PlateCarree projection and gridlines exactly like
+/root/reference/utils/plotting.py:11-37; otherwise plain lon/lat axes.
+All functions return the figure (for TensorBoard ``add_figure``) and
+optionally write PNG.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+UIB_EXTENT = (71.0, 83.0, 30.0, 38.0)  # lon_min, lon_max, lat_min, lat_max
+
+
+def _axes(fig, extent=UIB_EXTENT):
+    try:
+        import cartopy.crs as ccrs
+
+        ax = fig.add_subplot(projection=ccrs.PlateCarree())
+        ax.set_extent(list(extent))
+        gl = ax.gridlines(draw_labels=True)
+        gl.top_labels = False
+        gl.right_labels = False
+        return ax
+    except Exception:
+        ax = fig.add_subplot()
+        ax.set_xlim(extent[0], extent[1])
+        ax.set_ylim(extent[2], extent[3])
+        ax.set_xlabel("Longitude")
+        ax.set_ylabel("Latitude")
+        return ax
+
+
+def simple_plot(lon, lat, values, title: str = "", savepath: Optional[str] = None,
+                vmin=None, vmax=None, levels: int = 100):
+    """Scatter/tricontour field map over the basin (reference
+    ``simple_plot``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 5))
+    ax = _axes(fig)
+    lon, lat, values = map(np.asarray, (lon, lat, values))
+    try:
+        g = ax.tricontourf(lon, lat, values, levels=levels, vmin=vmin, vmax=vmax)
+    except Exception:
+        g = ax.scatter(lon, lat, c=values, s=18, vmin=vmin, vmax=vmax)
+    fig.colorbar(g, ax=ax, label="")
+    ax.set_title(title)
+    if savepath:
+        fig.savefig(savepath, dpi=150, bbox_inches="tight")
+    return fig
+
+
+def facetgrid_plot(lon, lat, values_by_month, month_names=None, suptitle: str = "",
+                   savepath: Optional[str] = None, vmin=0, vmax=7):
+    """Monthly facet maps (reference ``facetgrid_plot`` and the 5-month
+    figure in spatio_temporal_exp.py:195-217)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    k = len(values_by_month)
+    if month_names is None:
+        month_names = ["jan", "feb", "mar", "apr", "may", "jun"][:k]
+    fig, axes = plt.subplots(1, k, figsize=(2 * k, 3), squeeze=False)
+    lon, lat = np.asarray(lon), np.asarray(lat)
+    g = None
+    for i, vals in enumerate(values_by_month):
+        ax = axes[0][i]
+        g = ax.scatter(lon, lat, c=np.asarray(vals), s=10, vmin=vmin, vmax=vmax)
+        ax.set_title(month_names[i])
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle(suptitle)
+    cbar_ax = fig.add_axes([0.15, 0.05, 0.65, 0.04])
+    fig.colorbar(g, cax=cbar_ax, orientation="horizontal")
+    if savepath:
+        fig.savefig(savepath, dpi=150, bbox_inches="tight")
+    return fig
+
+
+def lengthscale_map(lon, lat, ell, dim: int = 1, savepath: Optional[str] = None):
+    """Lengthscale-process field map (spatial_exp.py:252-274)."""
+    return simple_plot(
+        lon, lat, np.asarray(ell)[:, dim], title="Lengthscale process", savepath=savepath
+    )

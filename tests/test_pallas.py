@@ -55,6 +55,43 @@ def test_pallas_gibbs_gram_custom_vjp_matches_reference_grad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_pallas_blocked_cholesky_matches_numpy(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    for n in (256, 300):  # exact multiple and padded case
+        a = rng.normal(size=(n, n))
+        a = (a @ a.T / n + np.eye(n)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            l = np.asarray(pc._forward(jnp.asarray(a)))
+        ref = np.linalg.cholesky(a.astype(np.float64))
+        assert np.allclose(l, ref, rtol=5e-3, atol=5e-4), f"n={n}"
+        assert np.allclose(np.triu(l, 1), 0.0)
+
+
+def test_pallas_blocked_cholesky_vjp(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    n = 256
+    a = rng.normal(size=(n, n))
+    a = (a @ a.T / n + np.eye(n)).astype(np.float32)
+    w = rng.normal(size=(n, n)).astype(np.float32)
+
+    def loss_p(m):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(jnp.asarray(w) * pc.blocked_cholesky(m))
+
+    def loss_r(m):
+        return jnp.sum(jnp.asarray(w) * jnp.linalg.cholesky(m))
+
+    g_p = jax.grad(loss_p)(jnp.asarray(a))
+    g_r = jax.grad(loss_r)(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_eligibility_gating():
     import nonstationary_precip_tpu.ops.pallas_gram as pg
 
