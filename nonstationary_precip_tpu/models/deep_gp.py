@@ -103,13 +103,16 @@ class DeepGP:
         """
         stack = self._hidden_stack()
         keys = jax.random.split(key, num_samples)
+        # K_zz factors are sample-independent: hoist them out of the vmap
+        pre = [layer.precompute() for layer in stack]
+        pre_head = self.head.precompute()
 
         def one_sample(k):
             h = x
-            for i, layer in enumerate(stack):
+            for layer, l_zz in zip(stack, pre):
                 k, sub = jax.random.split(k)
-                h = layer.sample(sub, h)  # (B, hidden)
-            mean, var = self.head.marginals(h)  # (1, B)
+                h = layer.sample(sub, h, l_zz)  # (B, hidden)
+            mean, var = self.head.marginals(h, pre_head)  # (1, B)
             return mean[0], var[0]
 
         means, variances = jax.vmap(one_sample)(keys)

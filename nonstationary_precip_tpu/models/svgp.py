@@ -102,12 +102,36 @@ class SVGPLayer:
         n = x.shape[-2]
         return jnp.broadcast_to(self.mean_b[:, None], (self.mean_b.shape[0], n))
 
-    def marginals(self, x: jnp.ndarray):
+    def precompute(self):
+        """Sample-independent factors: chol(K_zz + εI) per output (O, M, M).
+
+        Hoisted out of the DSVI S-sample vmap — K_zz depends only on
+        parameters, so factoring it once per step instead of once per
+        sample removes (S−1)/S of the M³ work."""
+        ell = positive(self.raw_lengthscale)
+        s2 = positive(self.raw_outputscale)
+
+        def one(z_o, ell_o, s2_o):
+            zs = z_o / ell_o
+            z_sq = jnp.sum(zs * zs, axis=-1)
+            k_zz = s2_o * jnp.exp(
+                -0.5
+                * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
+            )
+            return safe_cholesky(
+                k_zz + EPSILON * jnp.eye(k_zz.shape[-1], dtype=k_zz.dtype)
+            )
+
+        return jax.vmap(one)(self.z, ell, s2)
+
+    def marginals(self, x: jnp.ndarray, l_zz=None):
         """Posterior marginals at x (N, Din) → (mean (O, N), var (O, N))."""
         ell = positive(self.raw_lengthscale)  # (O, Din)
         s2 = positive(self.raw_outputscale)  # (O,)
+        if l_zz is None:
+            l_zz = self.precompute()
 
-        def one(z_o, m_o, s_o, ell_o, s2_o):
+        def one(z_o, m_o, s_o, ell_o, s2_o, l_o):
             xs = x / ell_o
             zs = z_o / ell_o
             x_sq = jnp.sum(xs * xs, axis=-1)
@@ -116,14 +140,7 @@ class SVGPLayer:
                 -0.5
                 * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
             )
-            k_zz = s2_o * jnp.exp(
-                -0.5
-                * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
-            )
-            l_zz = safe_cholesky(
-                k_zz + EPSILON * jnp.eye(k_zz.shape[-1], dtype=k_zz.dtype)
-            )
-            a = tri_solve(l_zz, k_xz.T).T  # (N, M) = K_xz L^{-T}
+            a = tri_solve(l_o, k_xz.T).T  # (N, M) = K_xz L^{-T}
             s_tril = jnp.tril(s_o)
             mean = a @ m_o
             a_s = a @ s_tril
@@ -131,7 +148,7 @@ class SVGPLayer:
             return mean, jnp.clip(var, 1e-10, None)
 
         means, variances = jax.vmap(one)(
-            self.z, self.var_mean, self.var_chol, ell, s2
+            self.z, self.var_mean, self.var_chol, ell, s2, l_zz
         )
         return means + self._mean(x), variances
 
@@ -149,9 +166,9 @@ class SVGPLayer:
         )
         return jnp.sum(per_o)
 
-    def sample(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    def sample(self, key: jax.Array, x: jnp.ndarray, l_zz=None) -> jnp.ndarray:
         """One marginal sample at x: (N, O) — layer output feeding the next
         layer (DSVI sample propagation)."""
-        mean, var = self.marginals(x)
+        mean, var = self.marginals(x, l_zz)
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         return (mean + jnp.sqrt(var) * eps).T

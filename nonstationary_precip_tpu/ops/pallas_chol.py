@@ -17,8 +17,7 @@ Algorithm (block size B = 128, K = N/B block steps, statically unrolled):
   4. trailing update  A₂₂ ← A₂₂ − P Pᵀ — one big MXU matmul (the N³/3
      FLOPs live here).
 
-The input is aliased to the output (input_output_aliases) so VMEM holds
-one N² buffer.  N is padded to a 128 multiple with an identity diagonal
+N is padded to a 128 multiple with an identity diagonal
 (exact: chol(diag(A, I)) = diag(chol(A), I)).
 
 Differentiation: custom VJP that recomputes through XLA's factorisation —
@@ -35,10 +34,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128
-MAX_N = 1792  # one f32 N² buffer must fit VMEM (~16 MB/core)
+# in + out f32 N² buffers must fit VMEM (~16 MB/core).  Input/output
+# aliasing would halve this but miscompiles on Mosaic (validated 2026-08:
+# aliased kernel NaNs on v5e, unaliased is exact) — so two buffers it is.
+MAX_N = 1280
 
 
 def eligible(mat) -> bool:
+    """Auto-dispatch gate; opt-in via NSGP_PALLAS_CHOL=1 (under on-hardware
+    validation — interpret-mode correct, Mosaic path being debugged)."""
+    import os
+
+    if os.environ.get("NSGP_PALLAS_CHOL", "0") != "1":
+        return False
     try:
         if jax.default_backend() == "cpu":
             return False
@@ -97,8 +105,7 @@ def _tri_inv_block(l):
 
 
 def _chol_kernel(a_ref, out_ref, *, n: int):
-    # explicit copy-in: with input_output_aliases this is a self-copy the
-    # compiler elides; without (interpret mode) it seeds the factorisation
+    # copy-in seeds the factorisation (in and out are distinct buffers)
     out_ref[:] = a_ref[:]
     k_blocks = n // BLOCK
     for k in range(k_blocks):  # static unroll
@@ -135,7 +142,6 @@ def _forward(mat: jnp.ndarray) -> jnp.ndarray:
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
-        input_output_aliases={0: 0},
         cost_estimate=pl.CostEstimate(
             flops=n_pad**3 // 3,
             bytes_accessed=8 * n_pad * n_pad,
