@@ -71,15 +71,20 @@ def run_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
         )
         model = GibbsSparseGP.create(z, prior, noise=noise, outputscale=scale, dtype=dtype)
         mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
+        loss_fn = lambda m, xx, yy: m.loss(xx, yy)  # noqa: E731 — z trains, no hoist
+        args = (x_train, y_train)
     else:
         model = GibbsExactGP.create(x_train, prior, noise=noise, outputscale=scale, dtype=dtype)
         mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
+        # the frozen prior's Gram factorisations are loop-invariant: hoist
+        prior_chols = prior.gram_chol(x_train)
+        loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
+        args = (x_train, y_train, prior_chols)
 
     res = fit(
         model,
-        lambda m, xx, yy: m.loss(xx, yy),
-        x_train,
-        y_train,
+        loss_fn,
+        *args,
         lr=cfg.lr,
         num_steps=cfg.max_iters,
         mask=mask,

@@ -83,15 +83,20 @@ class GibbsExactGP:
 
     # -- objective ----------------------------------------------------------
 
-    def loss(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        """−(log N(y; 0, s²K_gibbs + σ²I) + prior_logprob) / N."""
+    def loss(self, x: jnp.ndarray, y: jnp.ndarray, prior_chols=None) -> jnp.ndarray:
+        """−(log N(y; 0, s²K_gibbs + σ²I) + prior_logprob) / N.
+
+        ``prior_chols`` (from ``prior.gram_chol(x)``) hoists the frozen
+        prior's D N×N factorisations out of the training scan — they are
+        loop-invariant whenever the prior hypers are frozen, which every
+        reference experiment does."""
         n = y.shape[-1]
         ell = jnp.exp(self.log_ell)
         k = self.outputscale * gibbs_gram(x, ell, x, ell)
         k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
         chol = safe_cholesky(k_noisy)
         logp = mvn_logpdf_from_chol(y, jnp.zeros_like(y), chol)
-        prior_term = self.prior.log_prob(x, self.log_ell)
+        prior_term = self.prior.log_prob(x, self.log_ell, prior_chols)
         return -(logp + prior_term) / n
 
     # -- prediction ---------------------------------------------------------

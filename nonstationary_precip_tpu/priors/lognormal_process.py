@@ -136,13 +136,24 @@ class LogNormalProcess:
         mu = self.mean(x).T + jnp.einsum("dng,dg->dn", k_xg, alpha)  # (D, N)
         return jnp.exp(mu).T
 
-    def log_prob(self, x: jnp.ndarray, log_ell: jnp.ndarray) -> jnp.ndarray:
+    def gram_chol(self, x: jnp.ndarray) -> jnp.ndarray:
+        """chol(K_d + 1e-4 I) per output dim: (D, N, N).
+
+        When the prior is frozen (every reference experiment freezes it,
+        spatial_exp.py:166-167) this is loop-invariant — compute it once
+        per fit and pass it to ``log_prob`` so the training scan doesn't
+        refactor D N×N matrices every step."""
+        return safe_cholesky(add_jitter(self._gram(x), _COND_JITTER))
+
+    def log_prob(
+        self, x: jnp.ndarray, log_ell: jnp.ndarray, chols: jnp.ndarray = None
+    ) -> jnp.ndarray:
         """Σ_d log N(log_ell[:, d]; mean_d, K_d + 1e-4 I) / N  — the
         reference's per-N-normalised prior term (gibbs_kernels.py:102-109),
         summed over dims the way GPyTorch's MLL sums prior log-probs."""
         n = x.shape[-2]
-        grams = add_jitter(self._gram(x), _COND_JITTER)  # (D, N, N)
-        chols = safe_cholesky(grams)
+        if chols is None:
+            chols = self.gram_chol(x)
         lp = mvn_logpdf_from_chol(log_ell.T, self.mean(x).T, chols)  # (D,)
         return jnp.sum(lp) / n
 

@@ -6,9 +6,23 @@ constants (jitter EPSILON, BASE_SEED) plus TPU device discovery in place
 of ``torch.cuda`` counting.
 """
 
+import os
 from pathlib import Path
 
 import jax
+
+# GP linear algebra is precision-critical: with the TPU default, f32
+# matmuls run through bf16 MXU passes (8-bit mantissa), which corrupts
+# ||a||² + ||b||² − 2ab distance Grams enough to diverge training
+# (validated 2026-08 on v5e: SE-ARD fit diverges at default precision,
+# converges at 'highest'; CPU unaffected).  Override via
+# NSGP_MATMUL_PRECISION=off|bfloat16|bfloat16_3x|highest.
+_prec = os.environ.get("NSGP_MATMUL_PRECISION", "highest")
+if _prec != "off":
+    try:
+        jax.config.update("jax_default_matmul_precision", _prec)
+    except Exception:
+        pass
 
 #: Cholesky jitter added to kernel matrices (reference: EPSILON = 1e-5).
 EPSILON = 1e-5

@@ -145,6 +145,16 @@ def test_gibbs_exact_gp_loss_oracle(rng):
     np.testing.assert_allclose(ours, -(logp + prior_term) / n, rtol=1e-6)
 
 
+def test_gibbs_exact_gp_hoisted_prior_chols_equivalent(rng):
+    """loss with precomputed prior factorisations == loss without."""
+    x, y, prior = _gibbs_setup(rng)
+    model = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644, dtype=jnp.float64)
+    chols = prior.gram_chol(x)
+    np.testing.assert_allclose(
+        float(model.loss(x, y)), float(model.loss(x, y, chols)), rtol=1e-12
+    )
+
+
 def test_gibbs_exact_gp_grad_flows_to_field(rng):
     x, y, prior = _gibbs_setup(rng)
     model = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644, dtype=jnp.float64)
