@@ -18,7 +18,17 @@ from scipy.special import inv_boxcox
 
 def load_csv(filepath) -> np.ndarray:
     """CSV → float64 ndarray (reference ``download_data``,
-    /root/reference/utils/dataprep.py:9-12)."""
+    /root/reference/utils/dataprep.py:9-12).
+
+    Uses the native single-pass reader (csrc/fastcsv.cpp via ctypes) when
+    built; falls back to pandas."""
+    try:
+        from nonstationary_precip_tpu.data import fastcsv
+
+        if fastcsv.available():
+            return fastcsv.read_csv(filepath)
+    except Exception:
+        pass
     df = pd.read_csv(filepath)
     return np.asarray(df.values, dtype=np.float64)
 

@@ -173,3 +173,18 @@ def test_dp_value_and_grad_matches_single_device(key):
 def test_load_csv_matches_pandas():
     arr = load_csv(DATASET_DIR / "uib_spatial.csv")
     assert arr.shape == (394, 3)
+
+
+def test_native_fastcsv_matches_pandas():
+    import pandas as pd
+
+    from nonstationary_precip_tpu.data import fastcsv
+
+    if not fastcsv.available():
+        import pytest
+
+        pytest.skip("libfastcsv not built (no g++ in env)")
+    for fname in ["uib_spatial.csv", "uib_spatio_temporal.csv", "khyber_time_series.csv"]:
+        a = fastcsv.read_csv(DATASET_DIR / fname)
+        b = np.asarray(pd.read_csv(DATASET_DIR / fname).values, dtype=np.float64)
+        np.testing.assert_allclose(a, b)
