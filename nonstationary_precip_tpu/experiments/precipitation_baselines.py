@@ -121,6 +121,14 @@ def main(argv=None):
         )
         mask = None
 
+    if cfg.resume:
+        # the reference writes checkpoints but has no resume path
+        # (SURVEY.md §5); here restore is first-class
+        from nonstationary_precip_tpu.train.checkpoint import restore_pytree
+
+        model = restore_pytree(Path(cfg.resume) / "model", model)
+        print(f"resumed model from {cfg.resume}")
+
     print(param_table(model, mask))
     (logdir / "params.txt").write_text(param_table(model, mask))
 

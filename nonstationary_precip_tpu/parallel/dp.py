@@ -52,23 +52,23 @@ def dp_value_and_grad(loss_fn, mesh):
 
     loss_fn(model, x_shard, y_shard) must return the mean loss over its
     shard (parameter-only terms like the KL already carry their global
-    normalisation).  The wrapper psums means across devices and divides by
-    the axis size, which equals the global mean for equal shards.
+    normalisation).  We differentiate THROUGH shard_map — the global loss
+    is the pmean of per-shard means, and AD places the gradient psum
+    automatically.  (Differentiating *inside* shard_map and psum-ing
+    manually double-counts under the new vma semantics: the transpose of a
+    replicated model input already inserts a psum.)
     """
 
     axis = DATA_AXIS
 
     def per_shard(model, x, y):
-        val, grads = jax.value_and_grad(loss_fn)(model, x, y)
-        n_dev = jax.lax.psum(1, axis)
-        val = jax.lax.psum(val, axis) / n_dev
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis) / n_dev, grads)
-        return val, grads
+        return jax.lax.pmean(loss_fn(model, x, y), axis)
 
-    return shard_map(
+    global_loss = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
-        check_rep=False,
+        out_specs=P(),
     )
+
+    return jax.value_and_grad(global_loss)

@@ -54,6 +54,7 @@ class ExperimentConfig:
     batch_size: int = 315
 
     test_type: str = "random"  # 'random' | 'censored'
+    resume: str = ""  # checkpoint dir (e.g. <logdir>/<name>/best) to restore from
 
     def parse_args(self, argv=None) -> "ExperimentConfig":
         """Override any field via --name value CLI flags."""

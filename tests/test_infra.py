@@ -175,6 +175,23 @@ def test_load_csv_matches_pandas():
     assert arr.shape == (394, 3)
 
 
+def test_experiment_modules_import():
+    import importlib
+
+    for mod in [
+        "seard_spatial",
+        "spatial_gibbs",
+        "spatio_temporal",
+        "spatiotemporal_stationary",
+        "spatiotemporal_dgp",
+        "temporal",
+        "deepgp_spatial",
+        "precipitation_baselines",
+        "sgpr_bench",
+    ]:
+        importlib.import_module(f"nonstationary_precip_tpu.experiments.{mod}")
+
+
 def test_native_fastcsv_matches_pandas():
     import pandas as pd
 
