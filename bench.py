@@ -25,7 +25,7 @@ NUM_SAMPLES = 3
 INPUT_DIM = 2
 HIDDEN = 2
 WARMUP = 3
-STEPS = 30
+STEPS = 100
 TORCH_STEPS = 10
 
 
@@ -37,6 +37,9 @@ def make_data(n=BATCH, d=INPUT_DIM, seed=0):
 
 
 def bench_jax() -> float:
+    """Measure the framework's actual training path: STEPS Adam updates as
+    one scan-compiled device program (train/optim.py style) — no per-step
+    host dispatches."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -59,24 +62,29 @@ def bench_jax() -> float:
     opt_state = optimizer.init(model)
 
     @jax.jit
-    def train_step(model, opt_state, key):
-        key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(
-            lambda m: m.loss(sub, x, y, num_data=BATCH, num_samples=NUM_SAMPLES)
-        )(model)
-        updates, opt_state = optimizer.update(grads, opt_state, model)
-        model = optax.apply_updates(model, updates)
-        return model, opt_state, key, loss
+    def train_chunk(model, opt_state, key):
+        def step(carry, _):
+            m, s, k = carry
+            k, sub = jax.random.split(k)
+            loss, grads = jax.value_and_grad(
+                lambda mm: mm.loss(sub, x, y, num_data=BATCH, num_samples=NUM_SAMPLES)
+            )(m)
+            updates, s = optimizer.update(grads, s, m)
+            m = optax.apply_updates(m, updates)
+            return (m, s, k), loss
 
-    k = key
-    for _ in range(WARMUP):
-        model, opt_state, k, loss = train_step(model, opt_state, k)
-    jax.block_until_ready(loss)
+        (model, opt_state, key), losses = jax.lax.scan(
+            step, (model, opt_state, key), None, length=STEPS
+        )
+        return model, opt_state, key, losses
+
+    # warmup/compile
+    model, opt_state, key, losses = train_chunk(model, opt_state, key)
+    jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        model, opt_state, k, loss = train_step(model, opt_state, k)
-    jax.block_until_ready(loss)
+    model, opt_state, key, losses = train_chunk(model, opt_state, key)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
     return STEPS / dt
 

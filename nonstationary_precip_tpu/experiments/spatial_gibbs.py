@@ -121,15 +121,36 @@ def main(argv=None):
     print(f"Final RMSE across splits: {np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")
     print(f"Final NLPD across splits: {np.mean(nlpds):.4f} ± {np.std(nlpds)/np.sqrt(k):.4f}")
 
-    # full-field prediction + lengthscale field (spatial_exp.py:243-274)
+    # full-field prediction + lengthscale field (spatial_exp.py:243-274);
+    # CSV schema matches the reference's results artifacts
+    # (results/f_mean_sigma_dgp2.csv: pred/std/lat/lon)
+    import pandas as pd
+
+    from nonstationary_precip_tpu.utils.config import RESULTS_DIR
+
+    RESULTS_DIR.mkdir(exist_ok=True)
     model, x_train, y_train = last
     x_all = jnp.asarray(x_norm, dtype)
     field = model.posterior(x_train, y_train, x_all)
+    out = pd.DataFrame(
+        {
+            "pred": np.asarray(field.mean),
+            "std": np.sqrt(np.asarray(field.var)),
+            "lon": x[:, 0],
+            "lat": x[:, 1],
+        }
+    )
     if cfg.inference == "exact":
-        ell_field = model.lengthscale_field(x_train, x_all)
-        np.save("results_lengthscale_field.npy", np.asarray(ell_field))
-    np.save("results_f_mean.npy", np.asarray(field.mean))
-    np.save("results_f_var.npy", np.asarray(field.var))
+        ell_field = np.asarray(model.lengthscale_field(x_train, x_all))
+        out["ell0"] = ell_field[:, 0]
+        out["ell1"] = ell_field[:, 1]
+        try:
+            from nonstationary_precip_tpu.utils.plotting import lengthscale_map
+
+            lengthscale_map(x[:, 0], x[:, 1], ell_field, savepath=RESULTS_DIR / "gibbs_lengthscale_map.png")
+        except Exception:
+            pass
+    out.to_csv(RESULTS_DIR / "gibbs_spatial_f_mean_sigma.csv", index=False)
     return np.mean(rmses), np.mean(nlpds)
 
 

@@ -84,10 +84,23 @@ def main(argv=None):
     print(f"RMSE test = {r:.4f}")
     print(f"NLPD test = {nl:.4f}")
 
-    # full-field prediction for the 5-month facet maps
+    # full-field prediction for the 5-month facet maps; CSV schema mirrors
+    # results/dgp2_spatio_temporal_means_sigmas.csv (pred/std/time/lon/lat)
+    import pandas as pd
+
+    from nonstationary_precip_tpu.utils.config import RESULTS_DIR
+
+    RESULTS_DIR.mkdir(exist_ok=True)
     pred_f = model.predictive(x_train, y_train, jnp.asarray(x_norm, dtype))
-    np.save("results_st_f_mean.npy", np.asarray(pred_f.mean))
-    np.save("results_st_f_var.npy", np.asarray(pred_f.var))
+    pd.DataFrame(
+        {
+            "pred": np.asarray(pred_f.mean),
+            "std": np.sqrt(np.asarray(pred_f.var)),
+            "time": np.asarray(x_norm)[:, 0],
+            "lon": np.asarray(x_norm)[:, 1],
+            "lat": np.asarray(x_norm)[:, 2],
+        }
+    ).to_csv(RESULTS_DIR / f"st_{cfg.model.lower()}_means_sigmas.csv", index=False)
     return r, nl
 
 
