@@ -80,6 +80,54 @@ def test_exact_gp_loss_and_grads_match_torch(rng):
     np.testing.assert_allclose(float(grads.mean_const), float(t_mean.grad), rtol=1e-6)
 
 
+def test_gibbs_map_objective_matches_torch(rng):
+    """Full MAP objective of the Gibbs exact GP — MLL + per-N-normalised
+    log-normal process prior — value and d/d(log_ell) against torch f64."""
+    from nonstationary_precip_tpu.models import GibbsExactGP
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    n, d = 16, 2
+    x = rng.normal(size=(n, d))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)
+    log_ell0 = rng.normal(size=(n, d)) * 0.2 + np.log(0.3)
+    noise, s2 = 0.011, 0.644
+    pm, ps2, pell = np.log(0.3), 1.0, 1.3
+
+    prior = LogNormalProcess.create(d, mean=pm, outputscale=ps2, lengthscale=pell, dtype=jnp.float64)
+    model = GibbsExactGP.create(jnp.asarray(x), prior, noise=noise, outputscale=s2, dtype=jnp.float64)
+    model = model.replace(log_ell=jnp.asarray(log_ell0))
+    ours = float(model.loss(jnp.asarray(x), jnp.asarray(y)))
+    g_ours = np.asarray(jax.grad(lambda m: m.loss(jnp.asarray(x), jnp.asarray(y)))(model).log_ell)
+
+    # torch oracle
+    tx = torch.tensor(x, dtype=torch.float64)
+    ty = torch.tensor(y, dtype=torch.float64)
+    t_log_ell = torch.tensor(log_ell0, dtype=torch.float64, requires_grad=True)
+
+    ell = torch.exp(t_log_ell)
+    ss = ell[:, None, :] ** 2 + ell[None, :, :] ** 2
+    pref = torch.prod(torch.sqrt(2 * ell[:, None, :] * ell[None, :, :] / ss), dim=-1)
+    quad = torch.sum((tx[:, None, :] - tx[None, :, :]) ** 2 / ss, dim=-1)
+    k = s2 * pref * torch.exp(-quad) + noise * torch.eye(n, dtype=torch.float64)
+    logp = torch.distributions.MultivariateNormal(
+        torch.zeros(n, dtype=torch.float64), covariance_matrix=k
+    ).log_prob(ty)
+
+    # prior: per-dim MVN on log-ell with RBF(1.3) scale-1 gram + 1e-4 I, /N
+    dist2 = torch.cdist(tx / pell, tx / pell) ** 2
+    kp = ps2 * torch.exp(-0.5 * dist2) + 1e-4 * torch.eye(n, dtype=torch.float64)
+    prior_lp = 0.0
+    for dd in range(d):
+        prior_lp = prior_lp + torch.distributions.MultivariateNormal(
+            pm * torch.ones(n, dtype=torch.float64), covariance_matrix=kp
+        ).log_prob(t_log_ell[:, dd])
+    loss_t = -(logp + prior_lp / n) / n
+    loss_t.backward()
+
+    np.testing.assert_allclose(ours, float(loss_t), rtol=1e-8)
+    np.testing.assert_allclose(g_ours, t_log_ell.grad.numpy(), rtol=1e-5, atol=1e-9)
+
+
 def test_gibbs_gram_matches_torch(rng):
     """Gibbs kernel values against a torch implementation of R&W 4.32."""
     from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
