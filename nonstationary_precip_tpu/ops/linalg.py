@@ -106,7 +106,9 @@ def safe_cholesky(
 
     zero = jnp.asarray(0.0, dtype=mat.dtype)
     _, chosen, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), zero, is_bad(zero)))
-    return jnp.linalg.cholesky(mat + chosen * eye)
+    # final differentiable factorisation goes through the dispatcher so the
+    # Pallas blocked kernel serves the hot path on TPU
+    return cholesky(mat + chosen * eye)
 
 
 def tri_solve(
