@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nonstationary_precip_tpu.kernels import gibbs as _gibbs
 
-TILE_M = 512
+TILE_M = 256
 TILE_N = 512
 _FEAT = 128  # lane-aligned feature padding
 _MAX_D = 8
@@ -45,6 +45,11 @@ def eligible(x1, x2) -> bool:
     so XLA's fusion keeps the default path for now."""
     import os
 
+    # Measured 2026-08 on v5e at N=1576, D=2: XLA's fused elementwise kernel
+    # runs at the HBM write roofline (0.020 ms ≈ 500 GB/s), while this
+    # kernel's broadcast lowering lands at 0.62-0.90 ms across tile shapes.
+    # XLA is unbeatable for this op; the Pallas path stays as the validated
+    # opt-in alternative.
     if os.environ.get("NSGP_PALLAS_GRAM", "0") != "1":
         return False
     try:

@@ -1,0 +1,61 @@
+"""Training-loop machinery: scan fit, early stop, minibatch scheduler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.train.optim import fit, fit_minibatched
+
+
+def _quad_loss(m, target):
+    return jnp.sum((m["w"] - target) ** 2)
+
+
+def test_fit_converges_on_quadratic():
+    model = {"w": jnp.zeros(4)}
+    target = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    res = fit(model, _quad_loss, target, lr=0.1, num_steps=500)
+    np.testing.assert_allclose(np.asarray(res.model["w"]), np.asarray(target), atol=1e-2)
+    assert res.steps == 500
+    assert res.losses.shape == (500,)
+
+
+def test_fit_early_stop_on_threshold():
+    model = {"w": jnp.zeros(2)}
+    target = jnp.asarray([1.0, 1.0])
+    res = fit(
+        model, _quad_loss, target, lr=0.2, num_steps=5000, threshold=1e-9, chunk=100
+    )
+    assert res.steps < 5000  # stopped when |Δloss| < threshold
+
+
+def test_fit_mask_freezes_leaves():
+    model = {"w": jnp.zeros(2), "frozen": jnp.ones(2)}
+
+    def loss(m, t):
+        return jnp.sum((m["w"] - t) ** 2) + jnp.sum(m["frozen"] ** 2)
+
+    mask = {"w": True, "frozen": False}
+    res = fit(model, loss, jnp.asarray([2.0, 2.0]), lr=0.1, num_steps=200, mask=mask)
+    np.testing.assert_allclose(np.asarray(res.model["frozen"]), 1.0)
+    np.testing.assert_allclose(np.asarray(res.model["w"]), 2.0, atol=1e-2)
+
+
+def test_fit_minibatched_covers_epochs(key):
+    n, b, epochs = 10, 4, 3
+    x = jnp.arange(n, dtype=jnp.float32)[:, None]
+    y = jnp.zeros(n)
+    seen = []
+
+    model = {"w": jnp.zeros(1)}
+
+    def loss(m, kk, xb, yb):
+        return jnp.mean((xb @ m["w"] - yb) ** 2)
+
+    res = fit_minibatched(
+        model, loss, x, y, key=key, num_epochs=epochs, batch_size=b, lr=0.01, seed=0
+    )
+    # ceil(10/4)=3 steps/epoch × 3 epochs
+    assert res.steps == 9
+    assert res.losses.shape == (9,)
+    del seen
