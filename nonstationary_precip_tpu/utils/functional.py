@@ -10,7 +10,7 @@ Kronecker products, projections.  Solve paths go through Cholesky
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
