@@ -46,7 +46,9 @@ def build_prior(cfg: ExperimentConfig, dtype):
     )
 
 
-def run_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
+def make_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
+    """Per-split model/mask/training-args (identical shapes across splits,
+    so the K splits vmap into one batched training run)."""
     import jax
     import jax.numpy as jnp
 
@@ -70,32 +72,19 @@ def run_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
             jax.random.PRNGKey(BASE_SEED + split), x_train, cfg.num_inducing
         )
         model = GibbsSparseGP.create(z, prior, noise=noise, outputscale=scale, dtype=dtype)
-        mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
-        loss_fn = lambda m, xx, yy: m.loss(xx, yy)  # noqa: E731 — z trains, no hoist
         args = (x_train, y_train)
     else:
         model = GibbsExactGP.create(x_train, prior, noise=noise, outputscale=scale, dtype=dtype)
-        mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
         # the frozen prior's Gram factorisations are loop-invariant: hoist
-        prior_chols = prior.gram_chol(x_train)
-        loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
-        args = (x_train, y_train, prior_chols)
-
-    res = fit(
-        model,
-        loss_fn,
-        *args,
-        lr=cfg.lr,
-        num_steps=cfg.max_iters,
-        mask=mask,
-        log_every=cfg.max_iters,
-    )
-    pred = res.model.predictive(x_train, y_train, x_test)
-    return res, pred, x_train, y_train, y_test
+        args = (x_train, y_train, prior.gram_chol(x_train))
+    mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
+    return model, mask, args, (x_train, y_train, x_test, y_test)
 
 
 def main(argv=None):
     import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.train.vmapped import fit_splits, unstack_pytree
 
     cfg = ExperimentConfig(lr=0.01, max_iters=5000).parse_args(argv)
     dtype = jnp.float32
@@ -106,16 +95,38 @@ def main(argv=None):
     meany, stdy = y.mean(), y.std(ddof=1)
     y_norm = (y - meany) / stdy
 
+    splits = [make_split(x_norm, y_norm, s, cfg, dtype) for s in range(cfg.num_splits)]
+    models = [s[0] for s in splits]
+    masks = [s[1] for s in splits]
+    args_per_split = tuple(zip(*[s[2] for s in splits]))
+
+    if cfg.inference == "sparse":
+        loss_fn = lambda m, xx, yy: m.loss(xx, yy)  # noqa: E731 — z trains, no hoist
+    else:
+        loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
+
+    # all splits train simultaneously as one batched program
+    res = fit_splits(
+        models,
+        loss_fn,
+        *args_per_split,
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+        masks=masks,
+    )
+    trained = unstack_pytree(res.model, cfg.num_splits)
+
     rmses, nlpds = [], []
     last = None
-    for split in range(cfg.num_splits):
-        res, pred, x_train, y_train, y_test = run_split(x_norm, y_norm, split, cfg, dtype)
+    for split, model in enumerate(trained):
+        x_train, y_train, x_test, y_test = splits[split][3]
+        pred = model.predictive(x_train, y_train, x_test)
         r = float(rmse_rescaled(pred.mean, y_test, stdy))
         nl = float(nlpd_joint(pred, y_test, stdy))
-        print(f"split {split}: loss {float(res.losses[-1]):.4f}  RMSE {r:.4f}  NLPD {nl:.4f}")
+        print(f"split {split}: RMSE {r:.4f}  NLPD {nl:.4f}")
         rmses.append(r)
         nlpds.append(nl)
-        last = (res.model, x_train, y_train)
+        last = (model, x_train, y_train)
 
     k = len(rmses)
     print(f"Final RMSE across splits: {np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")

@@ -1,0 +1,71 @@
+"""Split-vmapped training: run all K benchmark splits as one batched
+program.
+
+The reference's 10-split harnesses train sequentially
+(spatial_exp.py:108, seard_spatial_benchmark.py:33).  On TPU the splits
+have identical shapes, so the idiomatic move is to stack the K models
+into one pytree with a leading split axis and train them simultaneously:
+every Cholesky/Gram becomes a batched op with K× the arithmetic intensity
+and the whole 10-split benchmark costs about one split of wall-clock.
+
+Because Adam updates are elementwise per leaf, the batched run produces
+*identical* trajectories to K sequential runs (the summed loss's gradient
+w.r.t. split k's parameters is exactly split k's gradient).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.train.optim import TrainResult, fit
+
+
+def stack_pytrees(trees: Sequence[Any]) -> Any:
+    """Stack identically-structured pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
+
+
+def unstack_pytree(tree: Any, k: int) -> list:
+    """Inverse of stack_pytrees."""
+    return [jax.tree_util.tree_map(lambda l: l[i], tree) for i in range(k)]
+
+
+def fit_splits(
+    models: Sequence[Any],
+    loss_fn: Callable,
+    *args_per_split,
+    lr: float = 0.01,
+    num_steps: int = 1000,
+    masks: Sequence[Any] = None,
+    log_every: int = 0,
+) -> TrainResult:
+    """Train K models on K datasets simultaneously.
+
+    loss_fn(model, *args) is the per-split loss; ``args_per_split`` are
+    sequences of per-split arrays (stacked on a leading axis here).
+    Returns a TrainResult whose model is the stacked pytree and whose
+    losses are (num_steps, K).
+    """
+    stacked = stack_pytrees(models)
+    stacked_args = tuple(jnp.stack([jnp.asarray(a) for a in seq]) for seq in args_per_split)
+    # trainability flags are structural, identical across splits: one mask
+    # with scalar-bool leaves broadcasts over the stacked leaves
+    mask = masks[0] if masks is not None else None
+
+    def scalar_loss(m, *sa):
+        per = jax.vmap(lambda mm, *aa: loss_fn(mm, *aa))(m, *sa)
+        return jnp.sum(per)
+
+    res = fit(
+        stacked,
+        scalar_loss,
+        *stacked_args,
+        lr=lr,
+        num_steps=num_steps,
+        mask=mask,
+        log_every=log_every,
+    )
+    return TrainResult(model=res.model, losses=res.losses, steps=res.steps)

@@ -41,6 +41,25 @@ def test_fit_mask_freezes_leaves():
     np.testing.assert_allclose(np.asarray(res.model["w"]), 2.0, atol=1e-2)
 
 
+def test_fit_splits_matches_sequential(rng):
+    """Batched K-split training must reproduce per-split sequential runs
+    (Adam is elementwise, so trajectories are identical)."""
+    from nonstationary_precip_tpu.train.vmapped import fit_splits, unstack_pytree
+
+    k = 3
+    models = [{"w": jnp.zeros(2)} for _ in range(k)]
+    targets = [jnp.asarray(rng.normal(size=2), jnp.float32) for _ in range(k)]
+
+    res = fit_splits(models, _quad_loss, targets, lr=0.1, num_steps=100)
+    batched = unstack_pytree(res.model, k)
+
+    for i in range(k):
+        seq = fit(models[i], _quad_loss, targets[i], lr=0.1, num_steps=100)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["w"]), np.asarray(seq.model["w"]), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_fit_minibatched_covers_epochs(key):
     n, b, epochs = 10, 4, 3
     x = jnp.arange(n, dtype=jnp.float32)[:, None]
