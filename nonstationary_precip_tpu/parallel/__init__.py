@@ -4,3 +4,4 @@ from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
     pad_to_multiple,
     shard_batch,
 )
+from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401

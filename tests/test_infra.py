@@ -170,6 +170,31 @@ def test_dp_value_and_grad_matches_single_device(key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_prediction_matches_single_device(key, rng):
+    """Test-point-sharded predictive marginals == single-device result."""
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models import ExactGP
+    from nonstationary_precip_tpu.parallel import make_mesh, sharded_marginals
+
+    n_dev = min(len(jax.devices()), 8)
+    x = rng.normal(size=(40, 2)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    xs = rng.normal(size=(5 * n_dev + 3, 2)).astype(np.float32)  # pad path
+    model = ExactGP.create(Scale.create(RBF.create(2)), noise=0.1, mean_type="zero")
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def predict_fn(m, x_shard):
+        post = m.predictive(xj, yj, x_shard)
+        return post.mean, post.var
+
+    mesh = make_mesh(n_dev)
+    mean_sh, var_sh = jax.jit(sharded_marginals(predict_fn, mesh))(model, jnp.asarray(xs))
+
+    ref = model.predictive(xj, yj, jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(ref.mean), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_sh), np.asarray(ref.var), rtol=1e-4, atol=1e-6)
+
+
 def test_load_csv_matches_pandas():
     arr = load_csv(DATASET_DIR / "uib_spatial.csv")
     assert arr.shape == (394, 3)
