@@ -131,6 +131,11 @@ def main(argv=None):
 
     print(param_table(model, mask))
     (logdir / "params.txt").write_text(param_table(model, mask))
+    # initial-model checkpoint (the reference's init_model.pt dill dump,
+    # precipitation_baselines.py:248)
+    from nonstationary_precip_tpu.train.checkpoint import save_pytree
+
+    save_pytree(logdir / "init_model" / "model", model)
 
     # -- train/observe/checkpoint loop -----------------------------------------
     eval_fn = jax.jit(
@@ -151,6 +156,24 @@ def main(argv=None):
             scalars["rmse_raw"] = float(rmse_raw(pred.mean, y_test))
             scalars["nlpd"] = float(nlpd_joint(pred, y_test, stdy))
             ckpt.update(steps_done, m, objective=loss, rmse=scalars["rmse"], nlpd=scalars["nlpd"])
+        if cfg.plot_interval and (
+            steps_done % cfg.plot_interval == 0 or steps_done >= cfg.max_iters
+        ):
+            # mean/σ (+ lengthscale) field figures to TensorBoard
+            # (reference precipitation_baselines.py:342-377)
+            try:
+                from nonstationary_precip_tpu.utils.plotting import simple_plot
+
+                pred = eval_fn(m)
+                lon = np.asarray(x_te)[:, 0] * stdx[0] + meanx[0]
+                lat = np.asarray(x_te)[:, 1] * stdx[1] + meanx[1]
+                logger.figure(steps_done, "pred_mean", simple_plot(lon, lat, np.asarray(pred.mean), "mean"))
+                logger.figure(steps_done, "pred_std", simple_plot(lon, lat, np.sqrt(np.asarray(pred.var)), "std"))
+                if hasattr(m, "lengthscale_field"):
+                    ell = np.asarray(m.lengthscale_field(x_train, x_test))
+                    logger.figure(steps_done, "lengthscale_0", simple_plot(lon, lat, ell[:, 0], "ell0"))
+            except Exception:
+                pass
         logger.scalars(steps_done, **scalars)
 
     res = fit(

@@ -96,8 +96,14 @@ class DeepGP:
 
     # -- forward -----------------------------------------------------------------
 
-    def propagate(self, key: jax.Array, x: jnp.ndarray, num_samples: int):
-        """Push S marginal samples through the stack.
+    def propagate(self, key: jax.Array, x: jnp.ndarray, num_samples: int, *, full_cov: bool = False):
+        """Push S samples through the stack.
+
+        ``full_cov=False`` (default) propagates marginal samples — the
+        standard DSVI estimator, and all the ELBO needs.  ``full_cov=True``
+        propagates batch-correlated samples from each layer's joint
+        posterior, replicating GPyTorch's rsample-from-the-joint behaviour
+        (dgps.py:48-70) at the cost of an S×layers×B×B Cholesky.
 
         Returns the head's marginals per sample: (mean (S, B), var (S, B)).
         """
@@ -111,7 +117,10 @@ class DeepGP:
             h = x
             for layer, l_zz in zip(stack, pre):
                 k, sub = jax.random.split(k)
-                h = layer.sample(sub, h, l_zz)  # (B, hidden)
+                if full_cov:
+                    h = layer.sample_joint(sub, h, l_zz)  # (B, hidden)
+                else:
+                    h = layer.sample(sub, h, l_zz)  # (B, hidden)
             mean, var = self.head.marginals(h, pre_head)  # (1, B)
             return mean[0], var[0]
 
@@ -120,10 +129,10 @@ class DeepGP:
 
     # -- objective ---------------------------------------------------------------
 
-    def loss(self, key: jax.Array, x, y, num_data: int, num_samples: int = 3):
+    def loss(self, key: jax.Array, x, y, num_data: int, num_samples: int = 3, *, full_cov: bool = False):
         """−ELBO per datum; num_data is the full-train-set N for the KL and
         minibatch β-scaling."""
-        means, variances = self.propagate(key, x, num_samples)
+        means, variances = self.propagate(key, x, num_samples, full_cov=full_cov)
         noise = self.likelihood.noise
         ell = -0.5 * (
             jnp.log(2.0 * jnp.pi * noise) + ((y - means) ** 2 + variances) / noise

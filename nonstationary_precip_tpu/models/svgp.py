@@ -172,3 +172,43 @@ class SVGPLayer:
         mean, var = self.marginals(x, l_zz)
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         return (mean + jnp.sqrt(var) * eps).T
+
+    def joint(self, x: jnp.ndarray, l_zz=None):
+        """Full posterior over the batch: (mean (O, N), cov (O, N, N)).
+
+        cov = K_xx − A Aᵀ + (A S)(A S)ᵀ with A = K_xz L_zz⁻ᵀ — what
+        GPyTorch's VariationalStrategy returns (the reference's layers
+        rsample from this joint; dgps.py:48-70)."""
+        ell = positive(self.raw_lengthscale)
+        s2 = positive(self.raw_outputscale)
+        if l_zz is None:
+            l_zz = self.precompute()
+
+        def one(z_o, m_o, s_o, ell_o, s2_o, l_o):
+            xs = x / ell_o
+            zs = z_o / ell_o
+            x_sq = jnp.sum(xs * xs, axis=-1)
+            z_sq = jnp.sum(zs * zs, axis=-1)
+            k_xz = s2_o * jnp.exp(
+                -0.5 * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
+            )
+            k_xx = s2_o * jnp.exp(
+                -0.5 * jnp.maximum(x_sq[:, None] + x_sq[None, :] - 2.0 * xs @ xs.T, 0.0)
+            )
+            a = tri_solve(l_o, k_xz.T).T  # (N, M)
+            s_tril = jnp.tril(s_o)
+            a_s = a @ s_tril
+            cov = k_xx - a @ a.T + a_s @ a_s.T
+            return a @ m_o, cov
+
+        means, covs = jax.vmap(one)(self.z, self.var_mean, self.var_chol, ell, s2, l_zz)
+        return means + self._mean(x), covs
+
+    def sample_joint(self, key: jax.Array, x: jnp.ndarray, l_zz=None) -> jnp.ndarray:
+        """One batch-correlated sample (N, O) — GPyTorch-parity propagation
+        (full B×B Cholesky per output; see deep_gp.py ``full_cov``)."""
+        mean, cov = self.joint(x, l_zz)
+        n = cov.shape[-1]
+        chol = safe_cholesky(cov + 1e-4 * jnp.eye(n, dtype=cov.dtype))
+        eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        return (mean + jnp.einsum("onm,om->on", chol, eps)).T

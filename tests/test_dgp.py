@@ -94,6 +94,32 @@ def test_deep_gp_predict_shapes(key, rng):
     assert np.all(np.asarray(dist.var) > 0)
 
 
+def test_svgp_joint_consistent_with_marginals(key, rng):
+    """diag(joint cov) must equal the marginal variances."""
+    layer = SVGPLayer.create(key, 2, 2, num_inducing=9, dtype=jnp.float64)
+    k1, k2 = jax.random.split(key)
+    layer = layer.replace(
+        var_mean=jax.random.normal(k1, layer.var_mean.shape, dtype=jnp.float64),
+        var_chol=layer.var_chol
+        + 0.1 * jnp.tril(jax.random.normal(k2, layer.var_chol.shape, dtype=jnp.float64)),
+    )
+    x = jnp.asarray(rng.normal(size=(7, 2)))
+    mean_m, var_m = layer.marginals(x)
+    mean_j, cov_j = layer.joint(x)
+    np.testing.assert_allclose(np.asarray(mean_j), np.asarray(mean_m), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(cov_j), axis1=-2, axis2=-1), np.asarray(var_m), rtol=1e-6
+    )
+
+
+def test_deep_gp_full_cov_loss_finite(key, rng):
+    x = jnp.asarray(rng.normal(size=(12, 2)), jnp.float32)
+    y = jnp.zeros((12,), jnp.float32)
+    model = DeepGP.create(key, input_dims=2, num_layers=2, num_inducing=6)
+    l = float(model.loss(jax.random.PRNGKey(3), x, y, num_data=12, num_samples=2, full_cov=True))
+    assert np.isfinite(l)
+
+
 def test_deep_gp_shared_hidden_replicates_reference_tying(key, rng):
     """share_hidden=True reapplies one layer (the reference's dgps.py:88
     ModuleList-of-the-same-object quirk)."""
