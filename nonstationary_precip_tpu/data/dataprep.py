@@ -42,6 +42,28 @@ def prep_inputs(data: np.ndarray) -> np.ndarray:
     return (x - meanx) / stdx
 
 
+def load_netcdf_precip(filepath, var: str = "observation"):
+    """NWS CONUS netCDF precipitation loader (the reference's
+    precipitation_baselines.py:150-168 input path).  Gated: netCDF4/xarray
+    are not in this image and the reference never shipped the file; raises
+    a clear error unless a netCDF reader is importable."""
+    try:
+        import xarray as xr  # noqa: F401
+
+        ds = xr.open_dataset(filepath)
+        arr = ds[var]
+        lat = ds["lat"].values.reshape(-1)
+        lon = ds["lon"].values.reshape(-1)
+        vals = np.asarray(arr.values, dtype=np.float64).reshape(-1)
+        mask = np.isfinite(vals)
+        return np.stack([lon[mask], lat[mask], vals[mask]], axis=1)
+    except ImportError as e:
+        raise ImportError(
+            "netCDF input needs xarray/netCDF4, which this image lacks; "
+            "use the CSV path (load_csv)"
+        ) from e
+
+
 class BoxCox(NamedTuple):
     x: np.ndarray
     y: np.ndarray
