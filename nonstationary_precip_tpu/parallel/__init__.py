@@ -5,3 +5,7 @@ from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
     shard_batch,
 )
 from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401
+from nonstationary_precip_tpu.parallel.sharded_sgpr import (  # noqa: F401
+    sharded_sgpr_loss,
+    sharded_sgpr_value_and_grad,
+)

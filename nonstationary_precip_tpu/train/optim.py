@@ -63,11 +63,16 @@ def fit(
     chunk: int = 0,
     log_every: int = 0,
     callback: Optional[Callable] = None,
+    nan_guard: bool = True,
 ) -> TrainResult:
     """Adam-optimise ``model`` under loss_fn(model, *args).
 
     threshold: stop when |loss[t] − loss[t−1]| < threshold (checked at chunk
     boundaries).  chunk=0 runs the whole budget as one scan.
+    nan_guard: abort at a chunk boundary when the loss goes non-finite —
+    minimal failure detection (the reference has none, SURVEY.md §5); the
+    last finite-loss model state is NOT recoverable mid-chunk, so pair
+    with smaller chunks when chasing instabilities.
     """
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(model)
@@ -88,6 +93,11 @@ def fit(
             print(f"step {steps_done}/{num_steps}  loss {float(losses[-1]):.4f}")
         if callback is not None:
             callback(steps_done, model, losses)
+        import numpy as _np
+
+        if nan_guard and not _np.isfinite(losses[-1]):
+            print(f"fit: non-finite loss at step {steps_done}; stopping")
+            break
         if threshold is not None and len(losses) >= 2:
             if abs(float(losses[-1]) - float(losses[-2])) < threshold:
                 break

@@ -195,6 +195,49 @@ def test_sharded_prediction_matches_single_device(key, rng):
     np.testing.assert_allclose(np.asarray(var_sh), np.asarray(ref.var), rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_sgpr_matches_single_device(rng):
+    """Row-sharded collapsed bound (and its grads) == dense single-device
+    SGPR loss for both value and gradients."""
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.kernels.inducing import nystrom_root
+    from nonstationary_precip_tpu.models.sgpr import SGPR
+    from nonstationary_precip_tpu.parallel import make_mesh
+    from nonstationary_precip_tpu.parallel.sharded_sgpr import (
+        sharded_sgpr_value_and_grad,
+    )
+
+    n_dev = min(len(jax.devices()), 8)
+    n = 8 * n_dev
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    z = x[::4].copy()
+    model = SGPR.create(
+        Scale.create(RBF.create(2, lengthscale=1.1), outputscale=0.8), z, noise=0.1
+    )
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def root_fn(m, x_s):
+        k_xz = m.kernel(x_s, m.z)
+        k_zz = m.kernel(m.z)
+        root, _ = nystrom_root(k_xz, k_zz)
+        return root
+
+    def diag_fn(m, x_s):
+        return m.kernel.diag(x_s)
+
+    mesh = make_mesh(n_dev)
+    vag = jax.jit(sharded_sgpr_value_and_grad(root_fn, diag_fn, mesh))
+    loss_sh, grads_sh = vag(model, xj, yj)
+
+    loss_ref, grads_ref = jax.value_and_grad(lambda m: m.loss(xj, yj))(model)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_sh), jax.tree_util.tree_leaves(grads_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-5)
+
+
 def test_load_csv_matches_pandas():
     arr = load_csv(DATASET_DIR / "uib_spatial.csv")
     assert arr.shape == (394, 3)

@@ -60,6 +60,17 @@ def test_fit_splits_matches_sequential(rng):
         )
 
 
+def test_fit_nan_guard_stops():
+    model = {"w": jnp.ones(1)}
+
+    def exploding(m, _):
+        # Adam walks w up toward 2 and overshoots → sqrt of negative → NaN
+        return jnp.sqrt(2.0 - m["w"][0])
+
+    res = fit(model, exploding, jnp.zeros(1), lr=0.5, num_steps=400, chunk=20)
+    assert res.steps < 400  # guard tripped at a chunk boundary
+
+
 def test_fit_minibatched_covers_epochs(key):
     n, b, epochs = 10, 4, 3
     x = jnp.arange(n, dtype=jnp.float32)[:, None]
