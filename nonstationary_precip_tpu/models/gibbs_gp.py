@@ -135,6 +135,33 @@ class GibbsExactGP:
         return self.prior.conditional_mean(x_new, (x_train, ell))
 
 
+def gibbs_sparse_sharded_loss(mesh):
+    """Mesh-sharded collapsed bound for GibbsSparseGP: train rows sharded,
+    M-sized collectives only (parallel/sharded_sgpr.py).  The latent-field
+    prior term is parameter-only, so it is added outside the shard_map.
+
+    Returns loss(model, x_sharded, y_sharded)."""
+    from nonstationary_precip_tpu.parallel.sharded_sgpr import sharded_sgpr_loss
+
+    def root_fn(model, x_s):
+        root_u, _ = model._roots(x_s)
+        return jnp.sqrt(model.outputscale) * root_u
+
+    def diag_fn(model, x_s):
+        # scaled prior diagonal (Gibbs diag ≡ 1); the sharded path uses
+        # consistent scale_correction=True semantics for the trace term
+        return model.outputscale * jnp.ones(x_s.shape[0], dtype=x_s.dtype)
+
+    base = sharded_sgpr_loss(root_fn, diag_fn, mesh)
+
+    def loss(model, x_sharded, y_sharded):
+        n = y_sharded.shape[-1]
+        prior_term = model.prior.log_prob(model.z, model.log_ell_z)
+        return base(model, x_sharded, y_sharded) - prior_term / n
+
+    return loss
+
+
 @pytree_dataclass(static=("scale_correction",))
 class GibbsSparseGP:
     """Sparse (SGPR / Titsias collapsed-bound) Gibbs GP with the latent

@@ -238,6 +238,31 @@ def test_sharded_sgpr_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-5)
 
 
+def test_gibbs_sparse_sharded_loss_matches_single_device(rng):
+    """Sharded GibbsSparseGP bound == its dense loss (scale_correction
+    semantics) on an 8-device mesh."""
+    from nonstationary_precip_tpu.models import GibbsSparseGP
+    from nonstationary_precip_tpu.models.gibbs_gp import gibbs_sparse_sharded_loss
+    from nonstationary_precip_tpu.parallel import make_mesh
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    n_dev = min(len(jax.devices()), 8)
+    n = 6 * n_dev
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    y = np.sin(x[:, 0]).astype(np.float32)
+    prior = LogNormalProcess.create(2, mean=np.log(0.3), outputscale=1.0, lengthscale=1.3)
+    model_base = GibbsSparseGP.create(x[::4].copy(), prior, noise=0.05, outputscale=0.7)
+    # compare under consistent (scaled) correction semantics
+    model = model_base.replace(scale_correction=True)
+
+    mesh = make_mesh(n_dev)
+    loss_sh = jax.jit(gibbs_sparse_sharded_loss(mesh))(
+        model, jnp.asarray(x), jnp.asarray(y)
+    )
+    loss_ref = model.loss(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=3e-5)
+
+
 def test_load_csv_matches_pandas():
     arr = load_csv(DATASET_DIR / "uib_spatial.csv")
     assert arr.shape == (394, 3)
