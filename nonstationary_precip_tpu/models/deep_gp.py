@@ -115,12 +115,12 @@ class DeepGP:
 
         def one_sample(k):
             h = x
-            for layer, l_zz in zip(stack, pre):
+            for layer, layer_pre in zip(stack, pre):
                 k, sub = jax.random.split(k)
                 if full_cov:
-                    h = layer.sample_joint(sub, h, l_zz)  # (B, hidden)
+                    h = layer.sample_joint(sub, h, layer_pre)  # (B, hidden)
                 else:
-                    h = layer.sample(sub, h, l_zz)  # (B, hidden)
+                    h = layer.sample(sub, h, layer_pre)  # (B, hidden)
             mean, var = self.head.marginals(h, pre_head)  # (1, B)
             return mean[0], var[0]
 

@@ -103,11 +103,13 @@ class SVGPLayer:
         return jnp.broadcast_to(self.mean_b[:, None], (self.mean_b.shape[0], n))
 
     def precompute(self):
-        """Sample-independent factors: chol(K_zz + εI) per output (O, M, M).
+        """Sample-independent factors per output: (chol(K_zz+εI), L⁻ᵀ),
+        both (O, M, M).
 
         Hoisted out of the DSVI S-sample vmap — K_zz depends only on
-        parameters, so factoring it once per step instead of once per
-        sample removes (S−1)/S of the M³ work."""
+        parameters.  The explicit triangular inverse turns the per-sample
+        whitening A = K_xz L⁻ᵀ into a pure MXU matmul: one M-rhs
+        triangular solve per step replaces S sequential B-rhs solves."""
         ell = positive(self.raw_lengthscale)
         s2 = positive(self.raw_outputscale)
 
@@ -118,20 +120,23 @@ class SVGPLayer:
                 -0.5
                 * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
             )
-            return safe_cholesky(
+            l_zz = safe_cholesky(
                 k_zz + EPSILON * jnp.eye(k_zz.shape[-1], dtype=k_zz.dtype)
             )
+            linv_t = tri_solve(l_zz, jnp.eye(l_zz.shape[-1], dtype=l_zz.dtype)).T
+            return l_zz, linv_t
 
         return jax.vmap(one)(self.z, ell, s2)
 
-    def marginals(self, x: jnp.ndarray, l_zz=None):
+    def marginals(self, x: jnp.ndarray, pre=None):
         """Posterior marginals at x (N, Din) → (mean (O, N), var (O, N))."""
         ell = positive(self.raw_lengthscale)  # (O, Din)
         s2 = positive(self.raw_outputscale)  # (O,)
-        if l_zz is None:
-            l_zz = self.precompute()
+        if pre is None:
+            pre = self.precompute()
+        _, linv_t = pre
 
-        def one(z_o, m_o, s_o, ell_o, s2_o, l_o):
+        def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
             xs = x / ell_o
             zs = z_o / ell_o
             x_sq = jnp.sum(xs * xs, axis=-1)
@@ -140,7 +145,7 @@ class SVGPLayer:
                 -0.5
                 * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
             )
-            a = tri_solve(l_o, k_xz.T).T  # (N, M) = K_xz L^{-T}
+            a = k_xz @ li_o  # (N, M) = K_xz L^{-T}, MXU matmul
             s_tril = jnp.tril(s_o)
             mean = a @ m_o
             a_s = a @ s_tril
@@ -148,7 +153,7 @@ class SVGPLayer:
             return mean, jnp.clip(var, 1e-10, None)
 
         means, variances = jax.vmap(one)(
-            self.z, self.var_mean, self.var_chol, ell, s2, l_zz
+            self.z, self.var_mean, self.var_chol, ell, s2, linv_t
         )
         return means + self._mean(x), variances
 
@@ -166,14 +171,14 @@ class SVGPLayer:
         )
         return jnp.sum(per_o)
 
-    def sample(self, key: jax.Array, x: jnp.ndarray, l_zz=None) -> jnp.ndarray:
+    def sample(self, key: jax.Array, x: jnp.ndarray, pre=None) -> jnp.ndarray:
         """One marginal sample at x: (N, O) — layer output feeding the next
         layer (DSVI sample propagation)."""
-        mean, var = self.marginals(x, l_zz)
+        mean, var = self.marginals(x, pre)
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         return (mean + jnp.sqrt(var) * eps).T
 
-    def joint(self, x: jnp.ndarray, l_zz=None):
+    def joint(self, x: jnp.ndarray, pre=None):
         """Full posterior over the batch: (mean (O, N), cov (O, N, N)).
 
         cov = K_xx − A Aᵀ + (A S)(A S)ᵀ with A = K_xz L_zz⁻ᵀ — what
@@ -181,10 +186,11 @@ class SVGPLayer:
         rsample from this joint; dgps.py:48-70)."""
         ell = positive(self.raw_lengthscale)
         s2 = positive(self.raw_outputscale)
-        if l_zz is None:
-            l_zz = self.precompute()
+        if pre is None:
+            pre = self.precompute()
+        _, linv_t = pre
 
-        def one(z_o, m_o, s_o, ell_o, s2_o, l_o):
+        def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
             xs = x / ell_o
             zs = z_o / ell_o
             x_sq = jnp.sum(xs * xs, axis=-1)
@@ -195,19 +201,19 @@ class SVGPLayer:
             k_xx = s2_o * jnp.exp(
                 -0.5 * jnp.maximum(x_sq[:, None] + x_sq[None, :] - 2.0 * xs @ xs.T, 0.0)
             )
-            a = tri_solve(l_o, k_xz.T).T  # (N, M)
+            a = k_xz @ li_o  # (N, M)
             s_tril = jnp.tril(s_o)
             a_s = a @ s_tril
             cov = k_xx - a @ a.T + a_s @ a_s.T
             return a @ m_o, cov
 
-        means, covs = jax.vmap(one)(self.z, self.var_mean, self.var_chol, ell, s2, l_zz)
+        means, covs = jax.vmap(one)(self.z, self.var_mean, self.var_chol, ell, s2, linv_t)
         return means + self._mean(x), covs
 
-    def sample_joint(self, key: jax.Array, x: jnp.ndarray, l_zz=None) -> jnp.ndarray:
+    def sample_joint(self, key: jax.Array, x: jnp.ndarray, pre=None) -> jnp.ndarray:
         """One batch-correlated sample (N, O) — GPyTorch-parity propagation
         (full B×B Cholesky per output; see deep_gp.py ``full_cov``)."""
-        mean, cov = self.joint(x, l_zz)
+        mean, cov = self.joint(x, pre)
         n = cov.shape[-1]
         chol = safe_cholesky(cov + 1e-4 * jnp.eye(n, dtype=cov.dtype))
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
