@@ -70,9 +70,9 @@ def main():
         ),
         ("gibbs_spatial_exact_10split", spatial_gibbs.main, ["--max_iters", "5000"]),
         (
-            "gibbs_spatial_sparse",
+            "gibbs_spatial_sparse_10split",
             spatial_gibbs.main,
-            ["--max_iters", "2000", "--num_splits", "3", "--inference", "sparse"],
+            ["--max_iters", "2000", "--inference", "sparse"],
         ),
         ("deepgp_spatial_10split", deepgp_spatial.main, ["--num_epochs", "400"]),
         ("spatiotemporal_dgp", spatiotemporal_dgp.main, ["--num_epochs", "200"]),
