@@ -29,7 +29,7 @@ from nonstationary_precip_tpu.data.datasets import load_uib_spatial
 from nonstationary_precip_tpu.models import GibbsExactGP, GibbsSparseGP
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
 from nonstationary_precip_tpu.priors import LogNormalProcess
-from nonstationary_precip_tpu.train import fit, nlpd_joint, rmse_rescaled
+from nonstationary_precip_tpu.train import nlpd_joint, rmse_rescaled
 from nonstationary_precip_tpu.train.config import ExperimentConfig
 from nonstationary_precip_tpu.utils.config import BASE_SEED
 

@@ -20,6 +20,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from nonstationary_precip_tpu.utils.struct import mask_grads
@@ -93,9 +94,7 @@ def fit(
             print(f"step {steps_done}/{num_steps}  loss {float(losses[-1]):.4f}")
         if callback is not None:
             callback(steps_done, model, losses)
-        import numpy as _np
-
-        if nan_guard and not _np.isfinite(losses[-1]):
+        if nan_guard and not np.isfinite(losses[-1]):
             print(f"fit: non-finite loss at step {steps_done}; stopping")
             break
         if threshold is not None and len(losses) >= 2:
@@ -144,7 +143,6 @@ def fit_minibatched(
     """Epoch-shuffled minibatch Adam (the reference's DSVI loop,
     deepgp_spatial_bench.py:78-92) compiled as one scan over the full
     epoch×batch schedule."""
-    import numpy as np
 
     n = x.shape[0]
     steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
