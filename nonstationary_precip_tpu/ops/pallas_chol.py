@@ -170,3 +170,157 @@ def _bwd(mat, g):
 
 
 blocked_cholesky.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming variant: N beyond the VMEM cap
+# ---------------------------------------------------------------------------
+
+PANEL = 128
+MAX_N_STREAM = 8192
+
+
+def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
+    """Left-looking blocked Cholesky with the matrix resident in HBM.
+
+    Measured 2026-08 on v5e (exact to 8e-7 vs XLA): n=2048 4.7 ms,
+    n=4096 9.4 ms, n=8192 40.8 ms vs XLA's 3.5/5.3/15.2 ms — XLA's native
+    factorisation amortises well at large N, so this kernel is NOT
+    auto-dispatched; it stays as the validated out-of-VMEM reference
+    (serial DMA waits and full-height updates are the gap; double
+    buffering + half-height updates are the known next steps).
+
+    Working set: two full-height (N, PANEL) VMEM panels.  Per block-column
+    j: stream previously-factored panels k < j from HBM and subtract their
+    rank-PANEL contribution (MXU matmuls), factor the diagonal block with
+    the masked in-VMEM routines, scale the panel by L_kk⁻ᵀ, mask the upper
+    rows to zero, and stream the finished column back.  Full-height
+    updates waste the rows above the diagonal (~2× FLOPs) in exchange for
+    fully static shapes — the stream stays DMA/MXU bound either way.
+    """
+    nb = n // PANEL
+    # all full-height work runs in (CHUNK, PANEL) row tiles so live
+    # temporaries stay bounded (the 16 MB scoped-VMEM stack is the
+    # constraint at N ≥ 4096, not the two resident panels)
+    nb_total = n // PANEL
+    chunk_blocks = 8 if nb_total % 8 == 0 else (4 if nb_total % 4 == 0 else 1)
+    chunk = PANEL * chunk_blocks
+    nch = n // chunk
+    row_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 0)
+    col_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 1)
+
+    def copy_body(j, _):
+        dma = pltpu.make_async_copy(
+            a_ref.at[:, pl.ds(j * PANEL, PANEL)],
+            out_ref.at[:, pl.ds(j * PANEL, PANEL)],
+            sem_a,
+        )
+        dma.start()
+        dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nb, copy_body, 0)
+
+    def col_body(j, _):
+        dma_in = pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(j * PANEL, PANEL)], c_scr, sem_a
+        )
+        dma_in.start()
+        dma_in.wait()
+
+        def k_body(k, _):
+            dma_k = pltpu.make_async_copy(
+                out_ref.at[:, pl.ds(k * PANEL, PANEL)], k_scr, sem_b
+            )
+            dma_k.start()
+            dma_k.wait()
+            lkj = k_scr[pl.ds(j * PANEL, PANEL), :]  # (PANEL, PANEL)
+
+            def ch_sub(c, _):
+                sl = pl.ds(c * chunk, chunk)
+                c_scr[sl, :] = c_scr[sl, :] - jnp.dot(
+                    k_scr[sl, :], lkj.T, preferred_element_type=jnp.float32
+                )
+                return 0
+
+            jax.lax.fori_loop(0, nch, ch_sub, 0)
+            return 0
+
+        jax.lax.fori_loop(0, j, k_body, 0)
+
+        d = c_scr[pl.ds(j * PANEL, PANEL), :]
+        l_kk = _masked_chol_block(d)
+        l_inv = _tri_inv_block(l_kk)
+
+        def ch_scale(c, _):
+            # rows ≥ jP of (C L⁻ᵀ) are the final column (diag rows give
+            # D L⁻ᵀ = L); zero rows above and the diag block's strict
+            # upper triangle so the stored factor is exactly lower
+            sl = pl.ds(c * chunk, chunk)
+            rows = row_ids_c + c * chunk
+            upd = jnp.dot(c_scr[sl, :], l_inv.T, preferred_element_type=jnp.float32)
+            in_diag_upper = (rows < (j + 1) * PANEL) & (rows - j * PANEL < col_ids_c)
+            keep = (rows >= j * PANEL) & jnp.logical_not(in_diag_upper)
+            c_scr[sl, :] = jnp.where(keep, upd, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, nch, ch_scale, 0)
+
+        dma_out = pltpu.make_async_copy(
+            c_scr, out_ref.at[:, pl.ds(j * PANEL, PANEL)], sem_a
+        )
+        dma_out.start()
+        dma_out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nb, col_body, 0)
+
+
+def _forward_streaming(mat: jnp.ndarray) -> jnp.ndarray:
+    n = mat.shape[-1]
+    n_pad = -(-n // PANEL) * PANEL
+    if n_pad != n:
+        pad = n_pad - n
+        mat = jnp.block(
+            [
+                [mat, jnp.zeros((n, pad), mat.dtype)],
+                [jnp.zeros((pad, n), mat.dtype), jnp.eye(pad, dtype=mat.dtype)],
+            ]
+        )
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, n=n_pad),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, PANEL), jnp.float32),
+            pltpu.VMEM((n_pad, PANEL), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad**3 // 3,
+            bytes_accessed=4 * n_pad * n_pad * (n_pad // PANEL) // 2,
+            transcendentals=n_pad,
+        ),
+    )(mat)
+    return out[:n, :n]
+
+
+@jax.custom_vjp
+def streaming_cholesky(mat: jnp.ndarray) -> jnp.ndarray:
+    """HBM-streaming lower Cholesky for N up to MAX_N_STREAM."""
+    return _forward_streaming(mat)
+
+
+def _sfwd(mat):
+    return _forward_streaming(mat), mat
+
+
+def _sbwd(mat, g):
+    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
+    return vjp(g)
+
+
+streaming_cholesky.defvjp(_sfwd, _sbwd)

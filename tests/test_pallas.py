@@ -92,6 +92,21 @@ def test_pallas_blocked_cholesky_vjp(rng):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r), rtol=1e-3, atol=1e-4)
 
 
+def test_streaming_cholesky_matches_numpy(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    n = 256
+    a = rng.normal(size=(n, n))
+    a = (a @ a.T / n + np.eye(n)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        l = np.asarray(pc._forward_streaming(jnp.asarray(a)))
+    ref = np.linalg.cholesky(a.astype(np.float64))
+    assert np.allclose(l, ref, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.triu(l, 1), 0.0)
+
+
 def test_pallas_eligibility_gating():
     import nonstationary_precip_tpu.ops.pallas_gram as pg
 
