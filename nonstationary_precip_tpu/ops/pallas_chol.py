@@ -183,12 +183,13 @@ MAX_N_STREAM = 8192
 def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
     """Left-looking blocked Cholesky with the matrix resident in HBM.
 
-    Measured 2026-08 on v5e (exact to 8e-7 vs XLA): n=2048 4.7 ms,
-    n=4096 9.4 ms, n=8192 40.8 ms vs XLA's 3.5/5.3/15.2 ms — XLA's native
-    factorisation amortises well at large N, so this kernel is NOT
-    auto-dispatched; it stays as the validated out-of-VMEM reference
-    (serial DMA waits and full-height updates are the gap; double
-    buffering + half-height updates are the known next steps).
+    Measured 2026-08 on v5e (exact to 1e-6 vs XLA), with half-height
+    updates: n=4096 8.4 ms, n=8192 29.2 ms vs XLA's 5.4/15.4 ms — XLA's
+    native factorisation amortises well at large N, so this kernel is NOT
+    auto-dispatched; it stays as the validated out-of-VMEM reference.
+    Known remaining gap: serial full-height panel DMA (double-buffered
+    per-chunk loads from row j·PANEL down would halve traffic and overlap
+    it with the MXU).
 
     Working set: two full-height (N, PANEL) VMEM panels.  Per block-column
     j: stream previously-factored panels k < j from HBM and subtract their
@@ -243,7 +244,9 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
                 )
                 return 0
 
-            jax.lax.fori_loop(0, nch, ch_sub, 0)
+            # rows above the diagonal block are discarded later: start at
+            # the chunk containing row j·PANEL (half-height updates)
+            jax.lax.fori_loop(j * PANEL // chunk, nch, ch_sub, 0)
             return 0
 
         jax.lax.fori_loop(0, j, k_body, 0)
@@ -251,6 +254,11 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
         d = c_scr[pl.ds(j * PANEL, PANEL), :]
         l_kk = _masked_chol_block(d)
         l_inv = _tri_inv_block(l_kk)
+
+        def ch_zero(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            c_scr[sl, :] = jnp.zeros((chunk, PANEL), jnp.float32)
+            return 0
 
         def ch_scale(c, _):
             # rows ≥ jP of (C L⁻ᵀ) are the final column (diag rows give
@@ -264,7 +272,9 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
             c_scr[sl, :] = jnp.where(keep, upd, 0.0)
             return 0
 
-        jax.lax.fori_loop(0, nch, ch_scale, 0)
+        first = j * PANEL // chunk
+        jax.lax.fori_loop(0, first, ch_zero, 0)
+        jax.lax.fori_loop(first, nch, ch_scale, 0)
 
         dma_out = pltpu.make_async_copy(
             c_scr, out_ref.at[:, pl.ds(j * PANEL, PANEL)], sem_a
