@@ -238,6 +238,28 @@ def test_gibbs_sparse_gp_predict_and_train(rng):
 # -- metrics ------------------------------------------------------------------
 
 
+def test_distribution_helpers(rng):
+    from nonstationary_precip_tpu.models.distributions import DiagNormal, MVN
+
+    mean = jnp.asarray(rng.normal(size=5))
+    var = jnp.asarray(np.abs(rng.normal(size=5)) + 0.5)
+    y = jnp.asarray(rng.normal(size=5))
+    d = DiagNormal(mean, var)
+    ref = scipy.stats.norm(np.asarray(mean), np.sqrt(np.asarray(var))).logpdf(np.asarray(y))
+    np.testing.assert_allclose(np.asarray(d.log_prob(y)), ref, rtol=1e-8)
+    d2 = d.add_noise(0.3)
+    np.testing.assert_allclose(np.asarray(d2.var), np.asarray(var) + 0.3)
+
+    a = rng.normal(size=(5, 5))
+    cov = jnp.asarray(a @ a.T + 5 * np.eye(5))
+    m = MVN(mean, cov)
+    np.testing.assert_allclose(np.asarray(m.var), np.diag(np.asarray(cov)))
+    marg = m.marginals()
+    np.testing.assert_allclose(np.asarray(marg.var), np.asarray(m.var))
+    m2 = m.add_noise(0.2)
+    np.testing.assert_allclose(np.asarray(m2.cov), np.asarray(cov) + 0.2 * np.eye(5))
+
+
 def test_metrics_conventions(rng):
     y = jnp.asarray(rng.normal(size=10))
     pred = y + 0.1
