@@ -1,0 +1,23 @@
+# Convenience targets (see CLAUDE.md for environment quirks)
+
+.PHONY: test bench benchmarks native clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+# full reference-config benchmark sweep → RESULTS.json (TPU, slow compiles)
+benchmarks:
+	python run_benchmarks.py
+
+scaling:
+	python bench_scaling.py
+
+native:
+	$(MAKE) -C csrc
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -rf .pytest_cache
