@@ -22,15 +22,12 @@ from nonstationary_precip_tpu.data.dataprep import (
 )
 from nonstationary_precip_tpu.kernels import RBF, Scale
 from nonstationary_precip_tpu.models import ExactGP
-from nonstationary_precip_tpu.train import fit, nlpd_joint, rmse_rescaled
+from nonstationary_precip_tpu.train import nlpd_joint, rmse_rescaled
 from nonstationary_precip_tpu.train.config import ExperimentConfig
 from nonstationary_precip_tpu.utils.config import DATASET_DIR
 
 
-def run_one_split(data: np.ndarray, random_state: int, cfg: ExperimentConfig, dtype=None):
-    import jax.numpy as jnp
-
-    dtype = dtype or jnp.float32
+def make_split(data: np.ndarray, random_state: int, cfg: ExperimentConfig, dtype):
     shuffled = sklearn_style_shuffle(data, random_state)
     if cfg.model == "boxcox":
         bc = box_cox_transform(shuffled)
@@ -39,35 +36,46 @@ def run_one_split(data: np.ndarray, random_state: int, cfg: ExperimentConfig, dt
         w = whitening_transform(shuffled)
         x_tr, y_tr, stdy = w.x, w.y, w.stdy
     train_x, train_y, test_x, test_y = train_test_split(x_tr, y_tr, cfg.train_percent / 100)
-
     model = ExactGP.create(
         Scale.create(RBF.create(2, dtype=dtype), dtype=dtype),
         mean_type="constant",
         dtype=dtype,
     )
-    res = fit(
-        model,
-        lambda m, xx, yy: m.loss(xx, yy),
-        jnp.asarray(train_x, dtype),
-        jnp.asarray(train_y, dtype),
-        lr=cfg.lr,
-        num_steps=cfg.max_iters,
-    )
-    pred = res.model.predictive(
-        jnp.asarray(train_x, dtype), jnp.asarray(train_y, dtype), jnp.asarray(test_x, dtype)
-    )
-    r = float(rmse_rescaled(pred.mean, jnp.asarray(test_y, dtype), stdy))
-    n = float(nlpd_joint(pred, jnp.asarray(test_y, dtype), stdy))
-    return r, n, res
+    return model, (train_x, train_y), (test_x, test_y, stdy)
 
 
 def main(argv=None):
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.train.vmapped import fit_splits, unstack_pytree
+
     cfg = ExperimentConfig(model="whitening", lr=0.01, max_iters=400).parse_args(argv)
     data = load_csv(DATASET_DIR / "uib_spatial.csv")
+    dtype = jnp.float32
+
+    splits = [make_split(data, rs, cfg, dtype) for rs in range(cfg.num_splits)]
+    models = [s[0] for s in splits]
+    args_per_split = tuple(zip(*[s[1] for s in splits]))
+
+    # identical shapes across splits → one batched training program
+    res = fit_splits(
+        models,
+        lambda m, xx, yy: m.loss(xx, yy),
+        *args_per_split,
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+    )
+    trained = unstack_pytree(res.model, cfg.num_splits)
 
     rmses, nlpds = [], []
-    for rs in range(cfg.num_splits):
-        r, n, _ = run_one_split(data, rs, cfg)
+    for rs, model in enumerate(trained):
+        train_x, train_y = splits[rs][1]
+        test_x, test_y, stdy = splits[rs][2]
+        pred = model.predictive(
+            jnp.asarray(train_x, dtype), jnp.asarray(train_y, dtype), jnp.asarray(test_x, dtype)
+        )
+        r = float(rmse_rescaled(pred.mean, jnp.asarray(test_y, dtype), stdy))
+        n = float(nlpd_joint(pred, jnp.asarray(test_y, dtype), stdy))
         print(f"split {rs}: RMSE {r:.4f}  NLPD {n:.4f}")
         rmses.append(r)
         nlpds.append(n)
