@@ -180,16 +180,16 @@ PANEL = 128
 MAX_N_STREAM = 8192
 
 
-def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
+def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, n: int, chunk: int):
     """Left-looking blocked Cholesky with the matrix resident in HBM.
 
     Measured 2026-08 on v5e (exact to 1e-6 vs XLA), with half-height
-    updates: n=4096 8.4 ms, n=8192 29.2 ms vs XLA's 5.4/15.4 ms — XLA's
-    native factorisation amortises well at large N, so this kernel is NOT
-    auto-dispatched; it stays as the validated out-of-VMEM reference.
-    Known remaining gap: serial full-height panel DMA (double-buffered
-    per-chunk loads from row j·PANEL down would halve traffic and overlap
-    it with the MXU).
+    updates + double-buffered per-chunk DMA: n=4096 6.5 ms, n=8192
+    18.9 ms vs XLA's 4.7/14.9 ms (progression: 40.8 → 29.2 → 18.9 at
+    8192).  XLA's native factorisation still wins at large N, so this
+    kernel is NOT auto-dispatched; the residual gap is the sequential
+    128-step diagonal factor/inverse loops (~nb × 256 VPU mini-steps) and
+    the full-column c-panel round trips.
 
     Working set: two full-height (N, PANEL) VMEM panels.  Per block-column
     j: stream previously-factored panels k < j from HBM and subtract their
@@ -200,12 +200,9 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
     fully static shapes — the stream stays DMA/MXU bound either way.
     """
     nb = n // PANEL
-    # all full-height work runs in (CHUNK, PANEL) row tiles so live
+    # all full-height work runs in (chunk, PANEL) row tiles so live
     # temporaries stay bounded (the 16 MB scoped-VMEM stack is the
-    # constraint at N ≥ 4096, not the two resident panels)
-    nb_total = n // PANEL
-    chunk_blocks = 8 if nb_total % 8 == 0 else (4 if nb_total % 4 == 0 else 1)
-    chunk = PANEL * chunk_blocks
+    # constraint at N ≥ 4096, not the resident panels)
     nch = n // chunk
     row_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 0)
     col_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 1)
@@ -229,24 +226,46 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
         dma_in.start()
         dma_in.wait()
 
+        first = j * PANEL // chunk
+
         def k_body(k, _):
-            dma_k = pltpu.make_async_copy(
-                out_ref.at[:, pl.ds(k * PANEL, PANEL)], k_scr, sem_b
+            # diag-row block of panel k: L[jP:(j+1)P, kP:(k+1)P]
+            dma_l = pltpu.make_async_copy(
+                out_ref.at[pl.ds(j * PANEL, PANEL), pl.ds(k * PANEL, PANEL)],
+                l_buf,
+                sem_b,
             )
-            dma_k.start()
-            dma_k.wait()
-            lkj = k_scr[pl.ds(j * PANEL, PANEL), :]  # (PANEL, PANEL)
+            dma_l.start()
+
+            # double-buffered half-height chunk stream of panel k: only
+            # rows from the chunk containing j·PANEL down are loaded —
+            # halves HBM traffic and overlaps it with the MXU updates
+            def get_dma(slot, c):
+                return pltpu.make_async_copy(
+                    out_ref.at[pl.ds(c * chunk, chunk), pl.ds(k * PANEL, PANEL)],
+                    k_scr.at[slot],
+                    sem_k.at[slot],
+                )
+
+            get_dma(0, first).start()
+            dma_l.wait()
 
             def ch_sub(c, _):
+                slot = jax.lax.rem(c - first, 2)
+                nxt = jax.lax.rem(c - first + 1, 2)
+
+                @pl.when(c + 1 < nch)
+                def _():
+                    get_dma(nxt, c + 1).start()
+
+                get_dma(slot, c).wait()
                 sl = pl.ds(c * chunk, chunk)
                 c_scr[sl, :] = c_scr[sl, :] - jnp.dot(
-                    k_scr[sl, :], lkj.T, preferred_element_type=jnp.float32
+                    k_scr[slot], l_buf[:].T, preferred_element_type=jnp.float32
                 )
                 return 0
 
-            # rows above the diagonal block are discarded later: start at
-            # the chunk containing row j·PANEL (half-height updates)
-            jax.lax.fori_loop(j * PANEL // chunk, nch, ch_sub, 0)
+            jax.lax.fori_loop(first, nch, ch_sub, 0)
             return 0
 
         jax.lax.fori_loop(0, j, k_body, 0)
@@ -272,7 +291,6 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, sem_a, sem_b, *, n: int):
             c_scr[sl, :] = jnp.where(keep, upd, 0.0)
             return 0
 
-        first = j * PANEL // chunk
         jax.lax.fori_loop(0, first, ch_zero, 0)
         jax.lax.fori_loop(first, nch, ch_scale, 0)
 
@@ -297,15 +315,20 @@ def _forward_streaming(mat: jnp.ndarray) -> jnp.ndarray:
                 [jnp.zeros((pad, n), mat.dtype), jnp.eye(pad, dtype=mat.dtype)],
             ]
         )
+    nb_total = n_pad // PANEL
+    chunk_blocks = 8 if nb_total % 8 == 0 else (4 if nb_total % 4 == 0 else 1)
+    chunk = PANEL * chunk_blocks
     out = pl.pallas_call(
-        functools.partial(_stream_kernel, n=n_pad),
+        functools.partial(_stream_kernel, n=n_pad, chunk=chunk),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_pad, PANEL), jnp.float32),
-            pltpu.VMEM((n_pad, PANEL), jnp.float32),
+            pltpu.VMEM((2, chunk, PANEL), jnp.float32),
+            pltpu.VMEM((PANEL, PANEL), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
