@@ -28,6 +28,12 @@ class DiagNormal(NamedTuple):
     def add_noise(self, noise):
         return DiagNormal(self.mean, self.var + noise)
 
+    def sample(self, key, num_samples: int = 1):
+        import jax
+
+        eps = jax.random.normal(key, (num_samples,) + self.mean.shape, self.mean.dtype)
+        return self.mean + jnp.sqrt(self.var) * eps
+
 
 class MVN(NamedTuple):
     """Full-covariance joint predictive."""
@@ -51,3 +57,12 @@ class MVN(NamedTuple):
 
     def marginals(self) -> DiagNormal:
         return DiagNormal(self.mean, self.var)
+
+    def sample(self, key, num_samples: int = 1):
+        """Joint posterior function draws (the reference's visual-check
+        demos sample fields this way, multivariate_gibbs_kernel.py:166)."""
+        import jax
+
+        chol = safe_cholesky(self.cov)
+        eps = jax.random.normal(key, (num_samples,) + self.mean.shape, self.mean.dtype)
+        return self.mean + eps @ chol.T

@@ -69,3 +69,35 @@ def fit_splits(
         log_every=log_every,
     )
     return TrainResult(model=res.model, losses=res.losses, steps=res.steps)
+
+
+def fit_restarts(
+    models: Sequence[Any],
+    loss_fn: Callable,
+    *args,
+    lr: float = 0.01,
+    num_steps: int = 1000,
+    mask=None,
+):
+    """Multi-restart training: K differently-initialised models optimise
+    the SAME data simultaneously (one batched program); returns
+    (best_model, best_loss, final_losses (K,)).
+
+    The reference's SGPR signature advertises ``n_restarts`` but never
+    implements it (archive/SGP/sgpr.py:48) — this is the honest version.
+    """
+    k = len(models)
+    stacked = stack_pytrees(models)
+
+    def per_model(m):
+        return loss_fn(m, *args)
+
+    def scalar_loss(m):
+        return jnp.sum(jax.vmap(per_model)(m))
+
+    res = fit(stacked, scalar_loss, lr=lr, num_steps=num_steps, mask=mask)
+    finals = jax.vmap(per_model)(res.model)
+    best = int(jnp.argmin(finals))
+    best_model = jax.tree_util.tree_map(lambda l: l[best], res.model)
+    del k
+    return best_model, float(finals[best]), finals

@@ -60,6 +60,38 @@ def test_fit_splits_matches_sequential(rng):
         )
 
 
+def test_fit_restarts_picks_best(rng):
+    from nonstationary_precip_tpu.train.vmapped import fit_restarts
+
+    target = jnp.asarray([1.0, -1.0])
+    # one init close, one far with a huge offset that Adam can't close in time
+    models = [{"w": jnp.asarray([0.9, -0.9])}, {"w": jnp.asarray([50.0, 50.0])}]
+    best, best_loss, finals = fit_restarts(
+        models, _quad_loss, target, lr=0.05, num_steps=60
+    )
+    assert finals.shape == (2,)
+    assert best_loss == float(finals.min())
+    np.testing.assert_allclose(np.asarray(best["w"]), np.asarray(target), atol=0.2)
+
+
+def test_mvn_and_diag_sampling(key, rng):
+    from nonstationary_precip_tpu.models.distributions import DiagNormal, MVN
+
+    a = rng.normal(size=(4, 4))
+    cov = jnp.asarray(a @ a.T + 4 * np.eye(4))
+    mean = jnp.asarray(rng.normal(size=4))
+    draws = MVN(mean, cov).sample(key, num_samples=4000)
+    assert draws.shape == (4000, 4)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mean), atol=0.2)
+    emp_cov = np.cov(np.asarray(draws).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.5)
+
+    d = DiagNormal(mean, jnp.ones(4))
+    s = d.sample(key, 1000)
+    assert s.shape == (1000, 4)
+    np.testing.assert_allclose(np.asarray(s).std(0), 1.0, atol=0.15)
+
+
 def test_fit_nan_guard_stops():
     model = {"w": jnp.ones(1)}
 
