@@ -94,35 +94,6 @@ class DeepGP:
             return tuple(self.layers[0] for _ in range(self.num_layers))
         return self.layers
 
-    def _precompute_all(self, stack):
-        """Per-layer (chol(Kzz), L⁻ᵀ) factors; fused into one batched
-        factorisation across all layers when z shapes match."""
-        import jax.numpy as jnp
-
-        from nonstationary_precip_tpu.models.svgp import SVGPLayer
-
-        all_layers = list(stack) + [self.head]
-        shapes = {layer.z.shape[1:] for layer in all_layers}
-        if len(shapes) != 1 or self.share_hidden:
-            return [layer.precompute() for layer in stack], self.head.precompute()
-
-        merged = SVGPLayer(
-            z=jnp.concatenate([l.z for l in all_layers]),
-            var_mean=jnp.concatenate([l.var_mean for l in all_layers]),
-            var_chol=jnp.concatenate([l.var_chol for l in all_layers]),
-            raw_outputscale=jnp.concatenate([l.raw_outputscale for l in all_layers]),
-            raw_lengthscale=jnp.concatenate([l.raw_lengthscale for l in all_layers]),
-            mean_b=jnp.concatenate([l.mean_b for l in all_layers]),
-            mean_type="constant",
-        )
-        l_zz, linv_t = merged.precompute()
-        pre, off = [], 0
-        for layer in all_layers:
-            o = layer.z.shape[0]
-            pre.append((l_zz[off : off + o], linv_t[off : off + o]))
-            off += o
-        return pre[:-1], pre[-1]
-
     # -- forward -----------------------------------------------------------------
 
     def propagate(self, key: jax.Array, x: jnp.ndarray, num_samples: int, *, full_cov: bool = False):
@@ -138,10 +109,9 @@ class DeepGP:
         """
         stack = self._hidden_stack()
         keys = jax.random.split(key, num_samples)
-        # K_zz factors are sample-independent: hoist them out of the vmap;
-        # when every layer shares (M, Din) — true for the default Din ==
-        # hidden width — all O-dims across layers factor as ONE batched op
-        pre, pre_head = self._precompute_all(stack)
+        # K_zz factors are sample-independent: hoist them out of the vmap
+        pre = [layer.precompute() for layer in stack]
+        pre_head = self.head.precompute()
 
         def one_sample(k):
             h = x
