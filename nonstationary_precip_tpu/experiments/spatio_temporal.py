@@ -101,6 +101,26 @@ def main(argv=None):
             "lat": np.asarray(x_norm)[:, 2],
         }
     ).to_csv(RESULTS_DIR / f"st_{cfg.model.lower()}_means_sigmas.csv", index=False)
+
+    # 5-month facet map of predicted fields (spatio_temporal_exp.py:195-217)
+    try:
+        from nonstationary_precip_tpu.utils.plotting import facetgrid_plot
+
+        xs = np.asarray(x_norm)
+        mean_f = np.asarray(pred_f.mean) * stdy + meany
+        months = sorted(np.unique(xs[:, 0]))
+        per_month = [mean_f[xs[:, 0] == t] for t in months]
+        lon = xs[xs[:, 0] == months[0], 1]
+        lat = xs[xs[:, 0] == months[0], 2]
+        facetgrid_plot(
+            lon,
+            lat,
+            per_month,
+            suptitle=f"{cfg.model} predictive mean (mm/day)",
+            savepath=RESULTS_DIR / f"st_{cfg.model.lower()}_facets.png",
+        )
+    except Exception:
+        pass
     return r, nl
 
 
