@@ -98,6 +98,21 @@ def test_robust_logdet(rng):
     assert np.isfinite(val2)
 
 
+def test_safe_cholesky_extreme_gibbs_conditioning(rng):
+    """Extreme latent lengthscale fields produce near-singular Grams mid-
+    optimisation; the jitter ladder must keep the factor finite in f32."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+
+    x = jnp.asarray(rng.normal(size=(40, 2)), jnp.float32)
+    for scale in (1e3, 1e-3):  # huge ℓ → rank-1-ish Gram; tiny ℓ → ~identity
+        ell = jnp.full((40, 2), scale, jnp.float32)
+        k = gibbs_gram(x, ell, x, ell) + 1e-4 * jnp.eye(40, dtype=jnp.float32)
+        l = np.asarray(safe_cholesky(k))
+        assert np.isfinite(l).all(), f"scale {scale}"
+        rec = l @ l.T
+        assert np.abs(rec - np.asarray(k)).max() < 1e-2
+
+
 def test_add_jitter():
     a = jnp.zeros((4, 4))
     np.testing.assert_allclose(np.asarray(add_jitter(a, 0.5)), 0.5 * np.eye(4))

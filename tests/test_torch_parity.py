@@ -128,6 +128,56 @@ def test_gibbs_map_objective_matches_torch(rng):
     np.testing.assert_allclose(g_ours, t_log_ell.grad.numpy(), rtol=1e-5, atol=1e-9)
 
 
+def test_gibbs_predict_path_matches_torch(rng):
+    """Full DiagonalExactGP.predict algebra (nonstationary_models.py:45-62)
+    against torch f64: conditional-mean lengthscales at test points, manual
+    GP conditioning, +1e-4·I stabiliser."""
+    from nonstationary_precip_tpu.models import GibbsExactGP
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    n, m, d = 14, 6, 2
+    x = rng.normal(size=(n, d))
+    xs = rng.normal(size=(m, d))
+    y = np.sin(x[:, 0])
+    log_ell = rng.normal(size=(n, d)) * 0.2 + np.log(0.3)
+    noise, s2 = 0.011, 0.644
+    pm, ps2, pell = np.log(0.3), 1.0, 1.3
+
+    prior = LogNormalProcess.create(d, mean=pm, outputscale=ps2, lengthscale=pell, dtype=jnp.float64)
+    model = GibbsExactGP.create(jnp.asarray(x), prior, noise=noise, outputscale=s2, dtype=jnp.float64)
+    model = model.replace(log_ell=jnp.asarray(log_ell))
+    post = model.posterior(jnp.asarray(x), jnp.asarray(y), jnp.asarray(xs))
+
+    # torch oracle
+    tx, txs = torch.tensor(x), torch.tensor(xs)
+    ell1 = torch.exp(torch.tensor(log_ell))
+
+    def prior_gram(a, b):
+        return ps2 * torch.exp(-0.5 * (torch.cdist(a / pell, b / pell) ** 2))
+
+    # conditional-mean lengthscales at xs
+    kg = prior_gram(tx, tx) + 1e-4 * torch.eye(n, dtype=torch.float64)
+    ksg = prior_gram(txs, tx)
+    ell2 = torch.exp(
+        pm + ksg @ torch.linalg.solve(kg, torch.log(ell1) - pm)
+    )
+
+    def gibbs(a, ea, b, eb):
+        ss = ea[:, None, :] ** 2 + eb[None, :, :] ** 2
+        pref = torch.prod(torch.sqrt(2 * ea[:, None, :] * eb[None, :, :] / ss), dim=-1)
+        quad = torch.sum((a[:, None, :] - b[None, :, :]) ** 2 / ss, dim=-1)
+        return s2 * pref * torch.exp(-quad)
+
+    k_xx = gibbs(tx, ell1, tx, ell1) + noise * torch.eye(n, dtype=torch.float64)
+    k_sx = gibbs(txs, ell2, tx, ell1)
+    k_ss = gibbs(txs, ell2, txs, ell2)
+    mu = k_sx @ torch.linalg.solve(k_xx, torch.tensor(y))
+    sigma = k_ss - k_sx @ torch.linalg.solve(k_xx, k_sx.T) + 1e-4 * torch.eye(m, dtype=torch.float64)
+
+    np.testing.assert_allclose(np.asarray(post.mean), mu.numpy(), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(post.cov), sigma.numpy(), rtol=1e-5, atol=1e-10)
+
+
 def test_gibbs_gram_matches_torch(rng):
     """Gibbs kernel values against a torch implementation of R&W 4.32."""
     from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
