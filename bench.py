@@ -82,11 +82,15 @@ def bench_jax() -> float:
     model, opt_state, key, losses = train_chunk(model, opt_state, key)
     jax.block_until_ready(losses)
 
-    t0 = time.perf_counter()
-    model, opt_state, key, losses = train_chunk(model, opt_state, key)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
-    return STEPS / dt
+    # median of 3 measured chunks: the shared-host tunnel adds ±10%
+    # run-to-run noise to single measurements
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model, opt_state, key, losses = train_chunk(model, opt_state, key)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    return STEPS / sorted(times)[1]
 
 
 def bench_torch_cpu() -> float:
@@ -173,14 +177,18 @@ def bench_torch_cpu() -> float:
         loss.backward()
         opt.step()
 
-    t0 = time.perf_counter()
-    for _ in range(TORCH_STEPS):
-        opt.zero_grad()
-        loss = model.loss(x, y)
-        loss.backward()
-        opt.step()
-    dt = time.perf_counter() - t0
-    return TORCH_STEPS / dt
+    # best-of-3 (most favourable to the baseline) to keep the reported
+    # speedup conservative under host-load noise
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(TORCH_STEPS):
+            opt.zero_grad()
+            loss = model.loss(x, y)
+            loss.backward()
+            opt.step()
+        rates.append(TORCH_STEPS / (time.perf_counter() - t0))
+    return max(rates)
 
 
 def main():

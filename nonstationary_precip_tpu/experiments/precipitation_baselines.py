@@ -150,6 +150,12 @@ def main(argv=None):
         scalars = {"objective": loss, "noise": float(m.likelihood.noise)}
         if hasattr(m, "outputscale"):
             scalars["outputscale"] = float(m.outputscale)
+        # per-dim kernel lengthscales (reference precipitation_baselines.py:296-304)
+        kern = getattr(m, "kernel", None)
+        base = getattr(kern, "base", None)
+        if base is not None and hasattr(base, "lengthscale"):
+            for i, v in enumerate(np.asarray(base.lengthscale).ravel()):
+                scalars[f"lengthscale_{i}"] = float(v)
         if steps_done % cfg.test_interval == 0 or steps_done >= cfg.max_iters:
             pred = eval_fn(m)
             scalars["rmse"] = float(rmse_rescaled(pred.mean, y_test, stdy))
