@@ -298,3 +298,19 @@ def test_native_fastcsv_matches_pandas():
         a = fastcsv.read_csv(DATASET_DIR / fname)
         b = np.asarray(pd.read_csv(DATASET_DIR / fname).values, dtype=np.float64)
         np.testing.assert_allclose(a, b)
+
+
+def test_cli_dispatcher_lists_experiments(capsys):
+    import sys
+
+    from nonstationary_precip_tpu.__main__ import main, EXPERIMENTS
+
+    argv = sys.argv
+    sys.argv = ["prog", "list"]
+    try:
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    for name in EXPERIMENTS:
+        assert name in out
