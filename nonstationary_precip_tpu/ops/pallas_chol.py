@@ -107,6 +107,47 @@ def _tri_inv_block(l):
     return jax.lax.fori_loop(0, b, step, eye)
 
 
+def _chol_inv_fused(a):
+    """(chol(A), chol(A)⁻¹) of a symmetric (B, B) tile in ONE B-step loop.
+
+    The forward substitution for L⁻¹ row j needs exactly the entries of L
+    row j that the right-looking factorisation has finalised by step j
+    (cols < j were written at their own steps; col j is written this
+    step), so the inverse rides along and the sequential step count halves
+    versus running `_masked_chol_block` + `_tri_inv_block` back to back —
+    which is the dominant cost of the streaming kernel's diagonal work.
+    """
+    b = a.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    eye = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(a.dtype)
+
+    def step(j, carry):
+        a, x = carry
+        colmask = col_ids == j
+        rowmask = row_ids == j
+        diag = jnp.sum(jnp.where(colmask & rowmask, a, 0.0))
+        inv_sqrt = jax.lax.rsqrt(diag)
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=1, keepdims=True) * inv_sqrt
+        col = jnp.where(row_ids[:, :1] >= j, col, 0.0)
+        rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=0, keepdims=True) * inv_sqrt
+        rowv = jnp.where(col_ids[:1, :] >= j, rowv, 0.0)
+        a = jnp.where(colmask, col, a)
+        trail = (row_ids > j) & (col_ids > j)
+        a = a - jnp.where(trail, col * rowv, 0.0)
+
+        # inverse row j: cols < j of a's row j are final L entries
+        lrow = jnp.sum(jnp.where(rowmask, a, 0.0), axis=0, keepdims=True)
+        lrow_lt = jnp.where(col_ids[:1, :] < j, lrow, 0.0)
+        e_j = jnp.where(col_ids[:1, :] == j, 1.0, 0.0).astype(a.dtype)
+        xrow = (e_j - jnp.dot(lrow_lt, x, preferred_element_type=a.dtype)) * inv_sqrt
+        x = jnp.where(rowmask, xrow, x)
+        return a, x
+
+    a, x = jax.lax.fori_loop(0, b, step, (a, eye))
+    return jnp.where(row_ids >= col_ids, a, 0.0), x
+
+
 def _chol_kernel(a_ref, out_ref, *, n: int):
     # copy-in seeds the factorisation (in and out are distinct buffers)
     out_ref[:] = a_ref[:]
@@ -114,10 +155,11 @@ def _chol_kernel(a_ref, out_ref, *, n: int):
     for k in range(k_blocks):  # static unroll
         lo, hi = k * BLOCK, (k + 1) * BLOCK
         d = out_ref[lo:hi, lo:hi]
-        l_kk = _masked_chol_block(d)
-        out_ref[lo:hi, lo:hi] = l_kk
-        if k + 1 < k_blocks:
-            l_inv = _tri_inv_block(l_kk)
+        if k + 1 == k_blocks:
+            out_ref[lo:hi, lo:hi] = _masked_chol_block(d)
+        else:
+            l_kk, l_inv = _chol_inv_fused(d)
+            out_ref[lo:hi, lo:hi] = l_kk
             p = out_ref[hi:n, lo:hi]  # (M, B)
             p = jnp.dot(p, l_inv.T, preferred_element_type=jnp.float32)
             out_ref[hi:n, lo:hi] = p
@@ -195,12 +237,10 @@ def _chol_block_2level(d):
     d11 = d[:b, :b]
     d21 = d[b:, :b]
     d22 = d[b:, b:]
-    l11 = _masked_chol_block(d11)
-    i11 = _tri_inv_block(l11)
+    l11, i11 = _chol_inv_fused(d11)
     l21 = jnp.dot(d21, i11.T, preferred_element_type=jnp.float32)
     d22s = d22 - jnp.dot(l21, l21.T, preferred_element_type=jnp.float32)
-    l22 = _masked_chol_block(d22s)
-    i22 = _tri_inv_block(l22)
+    l22, i22 = _chol_inv_fused(d22s)
     zero = jnp.zeros((b, b), jnp.float32)
     l = jnp.concatenate(
         [jnp.concatenate([l11, zero], axis=1), jnp.concatenate([l21, l22], axis=1)],
