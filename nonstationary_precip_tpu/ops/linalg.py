@@ -116,8 +116,18 @@ def tri_solve(
 ) -> jnp.ndarray:
     """Solve L x = rhs (or L^T x = rhs when trans) for triangular L.
 
-    rhs may be a vector (..., n) or matrix (..., n, k).
+    rhs may be a vector (..., n) or matrix (..., n, k).  The Pallas
+    blocked TRSM serves the lower/no-transpose matrix case when opted in
+    (NSGP_PALLAS_TRSM=1, ops/pallas_trsm.py).
     """
+    if lower and not trans and rhs.ndim == 2 and chol.ndim == 2:
+        try:
+            import nonstationary_precip_tpu.ops.pallas_trsm as pt
+
+            if pt.eligible(chol, rhs):
+                return pt.blocked_trsm(chol, rhs)
+        except Exception:
+            pass
     vec = rhs.ndim == chol.ndim - 1
     if vec:
         rhs = rhs[..., None]

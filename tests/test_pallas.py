@@ -107,6 +107,47 @@ def test_streaming_cholesky_matches_numpy(rng):
     np.testing.assert_allclose(np.triu(l, 1), 0.0)
 
 
+def test_pallas_blocked_trsm_matches_numpy(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_trsm as pt
+
+    for n, k in ((256, 128), (300, 70)):  # exact and padded
+        a = rng.normal(size=(n, n))
+        l = np.linalg.cholesky(a @ a.T / n + np.eye(n)).astype(np.float32)
+        b = rng.normal(size=(n, k)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            x = np.asarray(pt._forward(jnp.asarray(l), jnp.asarray(b)))
+        ref = np.linalg.solve(l.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(x, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_blocked_trsm_vjp(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_trsm as pt
+
+    n, k = 256, 64
+    a = rng.normal(size=(n, n))
+    l = jnp.asarray(np.linalg.cholesky(a @ a.T / n + np.eye(n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32))
+
+    def loss_p(l_, b_):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(w * pt.blocked_trsm(l_, b_))
+
+    def loss_r(l_, b_):
+        return jnp.sum(
+            w * jax.lax.linalg.triangular_solve(l_, b_, left_side=True, lower=True)
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(l, b)
+    gr = jax.grad(loss_r, argnums=(0, 1))(l, b)
+    for a_, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-3, atol=1e-4)
+
+
 def test_pallas_eligibility_gating():
     import nonstationary_precip_tpu.ops.pallas_gram as pg
 
