@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -70,7 +71,10 @@ int fastcsv_dims(const char* path, long* rows, long* cols) {
 }
 
 // Parse into caller-allocated out[rows*cols] (row-major float64).
-// Empty cells parse as 0. Returns rows actually parsed, or <0 on error.
+// Empty cells parse as NaN (pandas parity); any other unparseable or
+// trailing-garbage cell aborts with -2 so the caller can fall back to a
+// strict parser instead of receiving fabricated values.
+// Returns rows actually parsed, or <0 on error.
 long fastcsv_read(const char* path, double* out, long rows, long cols) {
     std::vector<char> buf = slurp(path);
     if (buf.size() <= 1) return -1;
@@ -87,12 +91,17 @@ long fastcsv_read(const char* path, double* out, long rows, long cols) {
         while (c < cols) {
             char* end = nullptr;
             row[c] = std::strtod(p, &end);
-            if (end == p) {  // non-numeric cell → 0, skip to delimiter
-                row[c] = 0.0;
+            if (end == p) {
+                // nothing consumed: blank cell → NaN, anything else → error
+                const char* q = p;
+                while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
+                if (*q != ',' && *q != '\n' && *q != '\0') return -2;
+                row[c] = std::numeric_limits<double>::quiet_NaN();
                 end = const_cast<char*>(p);
             }
             p = end;
-            while (*p && *p != ',' && *p != '\n') ++p;
+            while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
+            if (*p && *p != ',' && *p != '\n') return -2;  // trailing garbage
             ++c;
             if (*p == ',') ++p;
         }

@@ -79,6 +79,11 @@ def read_csv(path) -> np.ndarray:
         rows.value,
         cols.value,
     )
+    if got < 0:
+        raise ValueError(
+            f"fastcsv: unparseable (non-numeric) cell in {path}; "
+            "caller should use the strict pandas path"
+        )
     if got != rows.value:
         raise IOError(f"fastcsv_read parsed {got}/{rows.value} rows of {path}")
     return out

@@ -92,13 +92,28 @@ class GibbsKernel:
             return x
         return x[..., jnp.asarray(self.active_dims)]
 
+    def _check_ell(self, xs, ell):
+        # ell is supplied pre-sliced (one column per *active* dim); a
+        # full-width ell would broadcast silently into a wrong Gram, so
+        # reject the mismatch at trace time (shapes are static under jit)
+        if ell.shape[-1] != xs.shape[-1]:
+            raise ValueError(
+                f"ell has {ell.shape[-1]} columns but the kernel operates on "
+                f"{xs.shape[-1]} active dims ({self.active_dims}); pass ell "
+                "sliced to the active dims"
+            )
+
     def __call__(self, x1, ell1, x2=None, ell2=None, *, use_pallas=None):
         xs1 = self._slice(x1)
+        self._check_ell(xs1, ell1)
         if x2 is None:
             xs2, ell2 = xs1, ell1
         else:
             xs2 = self._slice(x2)
+            self._check_ell(xs2, ell2)
         return gibbs_gram(xs1, ell1, xs2, ell2, use_pallas=use_pallas)
 
     def diag(self, x, ell):
-        return gibbs_diag(self._slice(x), ell)
+        xs = self._slice(x)
+        self._check_ell(xs, ell)
+        return gibbs_diag(xs, ell)

@@ -139,6 +139,9 @@ def gibbs_sparse_sharded_loss(mesh):
     """Mesh-sharded collapsed bound for GibbsSparseGP: train rows sharded,
     M-sized collectives only (parallel/sharded_sgpr.py).  The latent-field
     prior term is parameter-only, so it is added outside the shard_map.
+    The Titsias trace residual follows the model's ``scale_correction``
+    flag exactly as the dense ``GibbsSparseGP.loss`` does (the Gibbs prior
+    diag is identically 1 before scaling).
 
     Returns loss(model, x_sharded, y_sharded)."""
     from nonstationary_precip_tpu.parallel.sharded_sgpr import sharded_sgpr_loss
@@ -147,12 +150,15 @@ def gibbs_sparse_sharded_loss(mesh):
         root_u, _ = model._roots(x_s)
         return jnp.sqrt(model.outputscale) * root_u
 
-    def diag_fn(model, x_s):
-        # scaled prior diagonal (Gibbs diag ≡ 1); the sharded path uses
-        # consistent scale_correction=True semantics for the trace term
-        return model.outputscale * jnp.ones(x_s.shape[0], dtype=x_s.dtype)
+    def trace_fn(model, x_s, root):
+        q_scaled = jnp.sum(root * root, axis=-1)
+        if model.scale_correction:
+            # scaled semantics: s²·(1 − q_u) = s² − q_scaled
+            return model.outputscale - q_scaled
+        # reference quirk: unscaled base-kernel term, 1 − q_u
+        return 1.0 - q_scaled / model.outputscale
 
-    base = sharded_sgpr_loss(root_fn, diag_fn, mesh)
+    base = sharded_sgpr_loss(root_fn, trace_fn, mesh)
 
     def loss(model, x_sharded, y_sharded):
         n = y_sharded.shape[-1]

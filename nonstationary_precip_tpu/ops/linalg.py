@@ -75,40 +75,61 @@ def safe_cholesky(
     mat: jnp.ndarray, jitter: float = EPSILON, max_tries: int = 6
 ) -> jnp.ndarray:
     """Cholesky with escalating-jitter retry, jit-safe AND reverse-mode
-    differentiable.
+    differentiable — ONE factorisation on the happy path.
 
     Reference semantics: GPyTorch's ``psd_safe_cholesky`` with
     ``cholesky_jitter(EPSILON)`` (/root/reference/experiments/spatial_exp.py:31):
     try the plain factorisation first, then jitter·10^i for i = 0.. on
     failure.
 
-    AD design: ``lax.while_loop`` has no reverse-mode rule, so the jitter
-    *level* is selected on a gradient-stopped copy of the matrix (the loop
-    is primal-only) and a single differentiable Cholesky runs at the chosen
-    level — gradients flow through ``mat + chosen·I`` exactly as GPyTorch's
-    autograd flows through its jittered factorisation.
+    Cost design: the plain factorisation (Pallas-dispatched) runs first and
+    its own finiteness check is the failure probe — no separate probe
+    factorisation.  Only on failure does ``lax.cond`` enter the retry
+    branch, which selects the jitter level on a gradient-stopped copy
+    (``lax.while_loop`` is primal-only; it has no reverse-mode rule) and
+    runs one more differentiable factorisation at that level.  Under
+    ``vmap`` (the 10-split trainer) the cond lowers to both-branches +
+    select; the retry loop's carry is seeded with the already-computed
+    failure flag, so an all-good vmapped batch pays exactly one extra
+    factorisation (at jitter 0 ≡ the happy factor) and no probe loop.
     """
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    m0 = jax.lax.stop_gradient(mat)
     base = jitter if jitter > 0 else EPSILON
 
-    def is_bad(j):
-        return jnp.any(jnp.isnan(jnp.linalg.cholesky(m0 + j * eye)))
+    chol0 = cholesky(mat)
+    bad0 = jnp.logical_not(jnp.all(jnp.isfinite(chol0)))
 
-    def cond(state):
-        i, _, bad = state
-        return jnp.logical_and(i < max_tries, bad)
+    def happy(operand):
+        return operand[1]
 
-    def body(state):
-        i, j, _ = state
-        j_next = jnp.where(i == 0, base, j * 10.0)
-        return i + 1, j_next, is_bad(j_next)
+    def retry(operand):
+        m, _ = operand
+        m0 = jax.lax.stop_gradient(m)
 
-    zero = jnp.asarray(0.0, dtype=mat.dtype)
-    _, chosen, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), zero, is_bad(zero)))
-    # final differentiable factorisation goes through the dispatcher so the
-    # Pallas blocked kernel serves the hot path on TPU
-    return cholesky(mat + chosen * eye)
+        def is_bad(j):
+            return jnp.logical_not(
+                jnp.all(jnp.isfinite(jnp.linalg.cholesky(m0 + j * eye)))
+            )
+
+        def cond_fn(state):
+            i, _, bad = state
+            return jnp.logical_and(i < max_tries, bad)
+
+        def body(state):
+            i, j, _ = state
+            j_next = jnp.where(i == 0, base, j * 10.0)
+            return i + 1, j_next, is_bad(j_next)
+
+        zero = jnp.asarray(0.0, dtype=m.dtype)
+        # seeding with bad0: when this branch runs as the untaken arm of a
+        # vmapped select over an all-good batch, the loop exits immediately
+        # (zero probe factorisations) and the final factor is chol(m + 0·I)
+        _, chosen, _ = jax.lax.while_loop(
+            cond_fn, body, (jnp.asarray(0), zero, bad0)
+        )
+        return cholesky(m + chosen * eye)
+
+    return jax.lax.cond(bad0, retry, happy, (mat, chol0))
 
 
 def tri_solve(

@@ -32,13 +32,18 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def sharded_sgpr_loss(root_fn, diag_fn, mesh):
+def sharded_sgpr_loss(root_fn, trace_fn, mesh):
     """Build loss(model, x, y) = −(collapsed bound)/N with x, y row-sharded.
 
     root_fn(model, x_shard) -> (N_s, M) unscaled-by-noise Nyström root
     R_s = K_{x_s z} L_zz⁻ᵀ of the *scaled* kernel.
-    diag_fn(model, x_shard) -> (N_s,) prior diagonal k(x, x) of the scaled
-    kernel (for the Titsias trace term).
+    trace_fn(model, x_shard, root_shard) -> (N_s,) per-point Titsias trace
+    residual (prior diag minus Nyström diag, in whichever scaling the
+    model's bound uses); the added loss term is −½·Σ(residual)/noise.
+    Receiving the root lets models with nonstandard scaling semantics
+    (GibbsSparseGP.scale_correction=False, the reference quirk at
+    /root/reference/models/gibbs_kernels.py:241-261) express their exact
+    unsharded term.
     """
     axis = DATA_AXIS
 
@@ -61,9 +66,8 @@ def sharded_sgpr_loss(root_fn, diag_fn, mesh):
         logdet = n_total * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
         logp = -0.5 * (quad + logdet + n_total * jnp.log(2.0 * jnp.pi).astype(yty.dtype))
 
-        k_diag = diag_fn(model, x_s)
-        q_diag = jnp.sum(root * root, axis=-1)
-        added = jax.lax.psum(-0.5 * jnp.sum(k_diag - q_diag) / noise, axis)
+        residual = trace_fn(model, x_s, root)
+        added = jax.lax.psum(-0.5 * jnp.sum(residual) / noise, axis)
 
         return -(logp + added) / n_total
 
@@ -75,6 +79,6 @@ def sharded_sgpr_loss(root_fn, diag_fn, mesh):
     )
 
 
-def sharded_sgpr_value_and_grad(root_fn, diag_fn, mesh):
+def sharded_sgpr_value_and_grad(root_fn, trace_fn, mesh):
     """value_and_grad of the sharded collapsed bound (AD through shard_map)."""
-    return jax.value_and_grad(sharded_sgpr_loss(root_fn, diag_fn, mesh))
+    return jax.value_and_grad(sharded_sgpr_loss(root_fn, trace_fn, mesh))

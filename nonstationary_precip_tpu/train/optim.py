@@ -32,22 +32,32 @@ class TrainResult(NamedTuple):
     steps: int
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "num_steps"))
-def adam_scan(model, opt_state, loss_fn, optimizer, num_steps: int, mask=None, *args):
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "num_steps", "has_aux"))
+def adam_scan(
+    model, opt_state, loss_fn, optimizer, num_steps: int, mask=None, has_aux: bool = False, *args
+):
     """Run ``num_steps`` optimisation steps as one lax.scan.
 
-    loss_fn(model, *args) -> scalar.  ``mask`` is an optional bool pytree
-    zeroing gradients of frozen leaves.
+    loss_fn(model, *args) -> scalar (or (scalar, aux_trace) when
+    ``has_aux`` — the aux, e.g. a per-split loss vector, is recorded as
+    the per-step trace instead of the scalar).  ``mask`` is an optional
+    bool pytree zeroing gradients of frozen leaves.
     """
 
     def step(carry, _):
         m, s = carry
-        loss, grads = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(m)
+        if has_aux:
+            (loss, trace), grads = jax.value_and_grad(
+                lambda mm: loss_fn(mm, *args), has_aux=True
+            )(m)
+        else:
+            loss, grads = jax.value_and_grad(lambda mm: loss_fn(mm, *args))(m)
+            trace = loss
         if mask is not None:
             grads = mask_grads(grads, mask)
         updates, s = optimizer.update(grads, s, m)
         m = optax.apply_updates(m, updates)
-        return (m, s), loss
+        return (m, s), trace
 
     (model, opt_state), losses = jax.lax.scan(step, (model, opt_state), None, length=num_steps)
     return model, opt_state, losses
@@ -65,15 +75,23 @@ def fit(
     log_every: int = 0,
     callback: Optional[Callable] = None,
     nan_guard: bool = True,
+    has_aux: bool = False,
 ) -> TrainResult:
     """Adam-optimise ``model`` under loss_fn(model, *args).
 
-    threshold: stop when |loss[t] − loss[t−1]| < threshold (checked at chunk
-    boundaries).  chunk=0 runs the whole budget as one scan.
+    threshold: stop when |loss[t] − loss[t−1]| < threshold for ANY step t,
+    evaluated per-step over the whole recorded trace (the reference's
+    per-iteration convergence rule, precipitation_baselines.py:389-390);
+    the model can only stop at a chunk boundary, so the returned state is
+    from the end of the chunk containing the triggering step.  For a
+    vector (per-split) trace the rule requires every split's |Δ| below
+    threshold at the same step.  chunk=0 runs the whole budget as one scan.
     nan_guard: abort at a chunk boundary when the loss goes non-finite —
     minimal failure detection (the reference has none, SURVEY.md §5); the
     last finite-loss model state is NOT recoverable mid-chunk, so pair
     with smaller chunks when chasing instabilities.
+    has_aux: loss_fn returns (scalar, trace); trace (e.g. a per-split loss
+    vector) is recorded in TrainResult.losses instead of the scalar.
     """
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(model)
@@ -82,24 +100,31 @@ def fit(
         chunk = num_steps
     losses_all = []
     steps_done = 0
+    prev_last = None  # last step of the previous chunk, for cross-chunk |Δ|
     while steps_done < num_steps:
         n = min(chunk, num_steps - steps_done)
         model, opt_state, losses = adam_scan(
-            model, opt_state, loss_fn, optimizer, n, mask, *args
+            model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args
         )
-        losses = jax.device_get(losses)
+        losses = np.asarray(jax.device_get(losses))
         losses_all.append(losses)
         steps_done += n
         if log_every and (steps_done % max(log_every, 1) == 0 or steps_done == num_steps):
-            print(f"step {steps_done}/{num_steps}  loss {float(losses[-1]):.4f}")
+            print(f"step {steps_done}/{num_steps}  loss {float(np.sum(losses[-1])):.4f}")
         if callback is not None:
             callback(steps_done, model, losses)
-        if nan_guard and not np.isfinite(losses[-1]):
+        if nan_guard and not np.all(np.isfinite(losses[-1])):
             print(f"fit: non-finite loss at step {steps_done}; stopping")
             break
-        if threshold is not None and len(losses) >= 2:
-            if abs(float(losses[-1]) - float(losses[-2])) < threshold:
-                break
+        if threshold is not None:
+            seq = losses if prev_last is None else np.concatenate(
+                [prev_last[None], losses], axis=0
+            )
+            if seq.shape[0] >= 2:
+                d = np.abs(np.diff(seq, axis=0)).reshape(seq.shape[0] - 1, -1).max(axis=1)
+                if np.any(d < threshold):
+                    break
+        prev_last = losses[-1]
 
     return TrainResult(model=model, losses=jnp.concatenate(losses_all), steps=steps_done)
 

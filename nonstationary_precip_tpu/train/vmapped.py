@@ -56,8 +56,11 @@ def fit_splits(
     mask = masks[0] if masks is not None else None
 
     def scalar_loss(m, *sa):
+        # sum couples nothing: Adam is elementwise per leaf, so the summed
+        # loss's gradient w.r.t. split k's parameters is exactly split k's
+        # gradient; the per-split vector rides along as the recorded trace
         per = jax.vmap(lambda mm, *aa: loss_fn(mm, *aa))(m, *sa)
-        return jnp.sum(per)
+        return jnp.sum(per), per
 
     res = fit(
         stacked,
@@ -67,6 +70,7 @@ def fit_splits(
         num_steps=num_steps,
         mask=mask,
         log_every=log_every,
+        has_aux=True,
     )
     return TrainResult(model=res.model, losses=res.losses, steps=res.steps)
 

@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -222,11 +223,11 @@ def test_sharded_sgpr_matches_single_device(rng):
         root, _ = nystrom_root(k_xz, k_zz)
         return root
 
-    def diag_fn(m, x_s):
-        return m.kernel.diag(x_s)
+    def trace_fn(m, x_s, root):
+        return m.kernel.diag(x_s) - jnp.sum(root * root, axis=-1)
 
     mesh = make_mesh(n_dev)
-    vag = jax.jit(sharded_sgpr_value_and_grad(root_fn, diag_fn, mesh))
+    vag = jax.jit(sharded_sgpr_value_and_grad(root_fn, trace_fn, mesh))
     loss_sh, grads_sh = vag(model, xj, yj)
 
     loss_ref, grads_ref = jax.value_and_grad(lambda m: m.loss(xj, yj))(model)
@@ -238,9 +239,11 @@ def test_sharded_sgpr_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=2e-5)
 
 
-def test_gibbs_sparse_sharded_loss_matches_single_device(rng):
-    """Sharded GibbsSparseGP bound == its dense loss (scale_correction
-    semantics) on an 8-device mesh."""
+@pytest.mark.parametrize("scale_correction", [True, False])
+def test_gibbs_sparse_sharded_loss_matches_single_device(rng, scale_correction):
+    """Sharded GibbsSparseGP bound == its dense loss on an 8-device mesh,
+    for BOTH scale_correction semantics (the trace residual must follow
+    the model's flag, not hard-code one convention)."""
     from nonstationary_precip_tpu.models import GibbsSparseGP
     from nonstationary_precip_tpu.models.gibbs_gp import gibbs_sparse_sharded_loss
     from nonstationary_precip_tpu.parallel import make_mesh
@@ -252,8 +255,7 @@ def test_gibbs_sparse_sharded_loss_matches_single_device(rng):
     y = np.sin(x[:, 0]).astype(np.float32)
     prior = LogNormalProcess.create(2, mean=np.log(0.3), outputscale=1.0, lengthscale=1.3)
     model_base = GibbsSparseGP.create(x[::4].copy(), prior, noise=0.05, outputscale=0.7)
-    # compare under consistent (scaled) correction semantics
-    model = model_base.replace(scale_correction=True)
+    model = model_base.replace(scale_correction=scale_correction)
 
     mesh = make_mesh(n_dev)
     loss_sh = jax.jit(gibbs_sparse_sharded_loss(mesh))(
@@ -266,6 +268,26 @@ def test_gibbs_sparse_sharded_loss_matches_single_device(rng):
 def test_load_csv_matches_pandas():
     arr = load_csv(DATASET_DIR / "uib_spatial.csv")
     assert arr.shape == (394, 3)
+
+
+def test_fastcsv_cell_error_semantics(tmp_path):
+    """Native reader: empty cells → NaN (pandas parity), non-numeric cells
+    error out rather than silently becoming 0 — load_csv then falls back
+    to pandas so both paths agree on user-supplied files."""
+    from nonstationary_precip_tpu.data import fastcsv
+
+    if not fastcsv.available():
+        pytest.skip("libfastcsv not built")
+    p = tmp_path / "x.csv"
+    p.write_text("a,b,c\n1,,3\n4,5,6\n")
+    arr = fastcsv.read_csv(p)
+    assert np.isnan(arr[0, 1]) and arr[1, 2] == 6
+    p.write_text("a,b\n1,garbage\n")
+    with pytest.raises(ValueError):
+        fastcsv.read_csv(p)
+    p.write_text("a,b\n1,2junk\n")
+    with pytest.raises(ValueError):
+        fastcsv.read_csv(p)
 
 
 def test_experiment_modules_import():

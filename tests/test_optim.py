@@ -29,6 +29,19 @@ def test_fit_early_stop_on_threshold():
     assert res.steps < 5000  # stopped when |Δloss| < threshold
 
 
+def test_fit_early_stop_is_per_step_within_chunk():
+    """The |Δloss| rule is evaluated per step over the recorded trace (the
+    reference's per-iteration semantics, precipitation_baselines.py:389-390),
+    not just on the two chunk-boundary losses — a converged trajectory must
+    stop after its FIRST chunk even with a huge chunk size."""
+    model = {"w": jnp.asarray([1.0, 1.0])}
+    target = jnp.asarray([1.0, 1.0])  # already optimal: every Δloss ≈ 0
+    res = fit(
+        model, _quad_loss, target, lr=1e-4, num_steps=4000, threshold=1e-12, chunk=2000
+    )
+    assert res.steps == 2000
+
+
 def test_fit_mask_freezes_leaves():
     model = {"w": jnp.zeros(2), "frozen": jnp.ones(2)}
 
@@ -52,11 +65,15 @@ def test_fit_splits_matches_sequential(rng):
 
     res = fit_splits(models, _quad_loss, targets, lr=0.1, num_steps=100)
     batched = unstack_pytree(res.model, k)
+    assert res.losses.shape == (100, k)  # per-split traces, not the sum
 
     for i in range(k):
         seq = fit(models[i], _quad_loss, targets[i], lr=0.1, num_steps=100)
         np.testing.assert_allclose(
             np.asarray(batched[i]["w"]), np.asarray(seq.model["w"]), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.losses[:, i]), np.asarray(seq.losses), rtol=1e-5, atol=1e-7
         )
 
 
