@@ -27,7 +27,6 @@ from nonstationary_precip_tpu.models.distributions import MVN
 from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
 from nonstationary_precip_tpu.ops.linalg import (
     cho_solve,
-    mvn_logpdf_from_chol,
     safe_cholesky,
     tri_solve,
 )
@@ -86,16 +85,27 @@ class GibbsExactGP:
     def loss(self, x: jnp.ndarray, y: jnp.ndarray, prior_chols=None) -> jnp.ndarray:
         """−(log N(y; 0, s²K_gibbs + σ²I) + prior_logprob) / N.
 
+        The Gram → +σ²I → Cholesky → forward-substitution pipeline runs as
+        ONE fused Pallas kernel on TPU for eligible sizes
+        (ops/pallas_fused.py — K never exists in HBM), with the XLA +
+        safe_cholesky composition as the fallback/oracle path.
+
         ``prior_chols`` (from ``prior.gram_chol(x)``) hoists the frozen
         prior's D N×N factorisations out of the training scan — they are
         loop-invariant whenever the prior hypers are frozen, which every
         reference experiment does."""
+        import math
+
+        from nonstationary_precip_tpu.ops.pallas_fused import gibbs_noisy_chol_alpha
+
         n = y.shape[-1]
         ell = jnp.exp(self.log_ell)
-        k = self.outputscale * gibbs_gram(x, ell, x, ell)
-        k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
-        chol = safe_cholesky(k_noisy)
-        logp = mvn_logpdf_from_chol(y, jnp.zeros_like(y), chol)
+        chol, alpha = gibbs_noisy_chol_alpha(
+            x, ell, y, self.outputscale, self.likelihood.noise
+        )
+        quad = jnp.sum(alpha * alpha)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        logp = -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
         prior_term = self.prior.log_prob(x, self.log_ell, prior_chols)
         return -(logp + prior_term) / n
 

@@ -435,3 +435,219 @@ def _sbwd(mat, g):
 
 
 streaming_cholesky.defvjp(_sfwd, _sbwd)
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming v2: GEMM-formulation left-looking factorisation
+# ---------------------------------------------------------------------------
+
+
+def _chol_inv_rec(d):
+    """(chol(D), chol(D)⁻¹) for a (P, P) tile, P a power-of-two multiple of
+    128, by recursive 2×2 blocking down to the 128-step fused recurrence."""
+    b = d.shape[0]
+    if b == BLOCK:
+        return _chol_inv_fused(d)
+    h = b // 2
+    l11, i11 = _chol_inv_rec(d[:h, :h])
+    l21 = jnp.dot(d[h:, :h], i11.T, preferred_element_type=jnp.float32)
+    l22, i22 = _chol_inv_rec(
+        d[h:, h:] - jnp.dot(l21, l21.T, preferred_element_type=jnp.float32)
+    )
+    zero = jnp.zeros((h, h), jnp.float32)
+    ilow = -jnp.dot(
+        i22,
+        jnp.dot(l21, i11, preferred_element_type=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    l = jnp.concatenate(
+        [jnp.concatenate([l11, zero], axis=1), jnp.concatenate([l21, l22], axis=1)],
+        axis=0,
+    )
+    linv = jnp.concatenate(
+        [jnp.concatenate([i11, zero], axis=1), jnp.concatenate([ilow, i22], axis=1)],
+        axis=0,
+    )
+    return l, linv
+
+
+def _stream2_kernel(
+    a_ref, out_ref, c_scr, slab_scr, lrow_scr, li_scr, z_scr, sem_c, sem_s, sem_l, sem_o,
+    *, n: int, p: int,
+):
+    """Left-looking blocked Cholesky, GEMM formulation, matrix in HBM.
+
+    For block-column j the whole left-looking subtraction is ONE GEMM
+
+        C = A[jp:, jp:jp+p] − L[jp:, :jp] @ L[jp:jp+p, :jp]ᵀ
+
+    evaluated in (p × p) pieces: the L row-slab L[jp:jp+p, :jp] streams
+    into VMEM once per column, every (p, p) tile of L[jp:, :jp] streams
+    once (double-buffered), and each piece is a (p, p) @ (p, p) MXU
+    matmul accumulated in registers — large-K GEMM work instead of the
+    v1 kernel's rank-p updates with per-panel DMA waits.  Rows above jp
+    are never read; the factor's upper triangle is zero-filled from a
+    VMEM zero tile (the input is never copied wholesale — A tiles stream
+    from HBM directly into the accumulation).
+
+    Per column: the diagonal chunk accumulates and factors first via the
+    recursive block recurrence; subsequent chunks scale by L_jj⁻ᵀ as
+    their GEMMs finish and write back immediately.
+    """
+    nb = n // p
+
+    def col_body(j, _):
+        jp = j * p
+
+        # -- zero-fill the upper rows of column j (rows < jp) -------------
+        def zero_body(c, _):
+            dma = pltpu.make_async_copy(
+                z_scr, out_ref.at[pl.ds(c * p, p), pl.ds(jp, p)], sem_o
+            )
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(0, j, zero_body, 0)
+
+        # -- stream the L row-slab L[jp:jp+p, :jp] into VMEM (per tile:
+        # only the finalized columns < jp are read) -----------------------
+        def lrow_body(t, _):
+            dma = pltpu.make_async_copy(
+                out_ref.at[pl.ds(jp, p), pl.ds(t * p, p)],
+                lrow_scr.at[:, pl.ds(t * p, p)],
+                sem_l,
+            )
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(0, j, lrow_body, 0)
+
+        # -- per row-chunk: K-tiled GEMM accumulate, factor/scale, write --
+        def a_dma(slot, c):
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(c * p, p), pl.ds(jp, p)], c_scr.at[slot], sem_c.at[slot]
+            )
+
+        def slab_dma(slot, c, t):
+            return pltpu.make_async_copy(
+                out_ref.at[pl.ds(c * p, p), pl.ds(t * p, p)],
+                slab_scr.at[slot],
+                sem_s.at[slot],
+            )
+
+        a_dma(0, j).start()
+
+        def chunk_body(c, _):
+            cs = jax.lax.rem(c - j, 2)
+
+            @pl.when(c + 1 < nb)
+            def _():
+                a_dma(jax.lax.rem(c - j + 1, 2), c + 1).start()
+
+            @pl.when(j > 0)
+            def _():
+                slab_dma(0, c, 0).start()
+
+            a_dma(cs, c).wait()
+
+            def kt_body(t, acc):
+                ts = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < j)
+                def _():
+                    slab_dma(jax.lax.rem(t + 1, 2), c, t + 1).start()
+
+                slab_dma(ts, c, t).wait()
+                lrow_t = lrow_scr[:, pl.ds(t * p, p)]
+                return acc - jnp.dot(
+                    slab_scr[ts], lrow_t.T, preferred_element_type=jnp.float32
+                )
+
+            acc = jax.lax.fori_loop(0, j, kt_body, c_scr[cs])
+
+            @pl.when(c == j)
+            def _():
+                l_kk, l_inv = _chol_inv_rec(acc)
+                li_scr[:] = l_inv
+                c_scr[cs] = l_kk
+
+            @pl.when(c != j)
+            def _():
+                c_scr[cs] = jnp.dot(
+                    acc, li_scr[:].T, preferred_element_type=jnp.float32
+                )
+
+            dma_out = pltpu.make_async_copy(
+                c_scr.at[cs], out_ref.at[pl.ds(c * p, p), pl.ds(jp, p)], sem_o
+            )
+            dma_out.start()
+            dma_out.wait()
+            return 0
+
+        jax.lax.fori_loop(j, nb, chunk_body, 0)
+        return 0
+
+    z_scr[:] = jnp.zeros((p, p), jnp.float32)
+    jax.lax.fori_loop(0, nb, col_body, 0)
+
+
+def _forward_streaming2(mat: jnp.ndarray, p: int | None = None) -> jnp.ndarray:
+    n = mat.shape[-1]
+    if p is None:
+        # the (p, n) L row-slab is the dominant resident: p=512 up to 4096
+        # (8.4 MB), p=256 beyond (8.4 MB at 8192)
+        p = 512 if n <= 4096 else 256
+    n_pad = -(-n // p) * p
+    if n_pad != n:
+        pad = n_pad - n
+        mat = jnp.block(
+            [
+                [mat, jnp.zeros((n, pad), mat.dtype)],
+                [jnp.zeros((pad, n), mat.dtype), jnp.eye(pad, dtype=mat.dtype)],
+            ]
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_stream2_kernel, n=n_pad, p=p),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, p, p), jnp.float32),   # A/C chunks (dbl buf)
+            pltpu.VMEM((2, p, p), jnp.float32),   # L slab tiles (dbl buf)
+            pltpu.VMEM((p, n_pad), jnp.float32),  # L row-slab for column j
+            pltpu.VMEM((p, p), jnp.float32),      # L_jj⁻¹
+            pltpu.VMEM((p, p), jnp.float32),      # zero tile
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad**3 // 3,
+            bytes_accessed=2 * n_pad**3 // (3 * p),
+            transcendentals=n_pad,
+        ),
+    )(mat)
+    return out[:n, :n]
+
+
+@jax.custom_vjp
+def streaming_cholesky2(mat: jnp.ndarray) -> jnp.ndarray:
+    """GEMM-formulation HBM-streaming lower Cholesky (v2)."""
+    return _forward_streaming2(mat)
+
+
+def _s2fwd(mat):
+    return _forward_streaming2(mat), mat
+
+
+def _s2bwd(mat, g):
+    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
+    return vjp(g)
+
+
+streaming_cholesky2.defvjp(_s2fwd, _s2bwd)

@@ -1,0 +1,258 @@
+"""Fused Gibbs-MAP-loss Pallas kernel: Gram → +σ²I → blocked Cholesky →
+forward substitution, in ONE TPU kernel launch.
+
+This fuses the hot pair of the reference's MAP objective
+(/root/reference/models/gibbs_kernels.py:154-162 Gram build feeding
+``psd_safe_cholesky`` at :201, then the MLL solve) so the N×N covariance
+never exists in HBM: it is built strip-by-strip straight into the VMEM
+buffer the factorisation then runs in place on, and the y-solve rides the
+factorisation (the classic fused right-looking solve: α_k = L_kk⁻¹ y_k,
+y_trail −= P α_k).
+
+Two structural wins over the XLA + blocked-chol composition:
+
+* zero HBM traffic for K (the composition writes K once and reads it
+  once — plus every op-launch boundary), and one kernel launch instead of
+  four (gram, add-noise, cholesky, trsm);
+* because there is no separate N² input buffer (the kernel's inputs are
+  the (N, D) factors), the single-buffer VMEM cap rises from 1280 to
+  1536+ — covering the workload's largest exact-GP size (N = 1576 padded
+  to 1664 exceeds VMEM; 1536 fits).
+
+Gram build: the per-dimension planes are produced by TINY MXU matmuls
+(outer products / rank-≤3 products) instead of (TM,1)×(1,TN) broadcast
+arithmetic — round-1 measurement showed Mosaic's broadcast lowering costs
+0.6-0.9 ms where XLA's fused elementwise runs at the 20 µs HBM roofline;
+routing the replication through the MXU sidesteps that lowering entirely:
+
+    ss_d    = [ℓ1², 1] @ [[1],[ℓ2²]]           (K=2 matmul)
+    diff2_d = [x1², −2x1, 1] @ [[1],[x2],[x2²]] (K=3 matmul)
+    prod_d  = ℓ1 @ ℓ2                           (K=1 outer product)
+
+Differentiation: custom VJP recomputing through the pure-jnp reference
+(exact gradients for ℓ, x, y, σ², s²).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nonstationary_precip_tpu.ops.pallas_chol import BLOCK, _chol_inv_fused
+
+_FEAT = 128  # lane-aligned feature padding
+_MAX_D = 8
+MAX_N_FUSED = 1536  # N² out + (N,128)×4 factor inputs + strip planes ≤ 16 MB
+
+
+def eligible(x, ell) -> bool:
+    """Auto-dispatch gate for the fused MAP-loss path (disable via
+    NSGP_PALLAS_FUSED=0)."""
+    import os
+
+    if os.environ.get("NSGP_PALLAS_FUSED", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if x.dtype != jnp.float32 or x.ndim != 2 or ell.ndim != 2:
+        return False
+    if x.shape[-1] > _MAX_D:
+        return False
+    n = x.shape[0]
+    # lower bound 512: below that XLA's op overhead is small anyway, and it
+    # keeps the vmapped 10-split trainer (N=315/split) on the pure-XLA path
+    # — under vmap the dispatcher's retry cond would lower to select and
+    # execute BOTH paths
+    return 512 <= n <= MAX_N_FUSED
+
+
+def _gram_strip(x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise):
+    """One (BLOCK, n) strip of s²·K_gibbs + σ²·I via MXU-packed planes."""
+    ones_c = jnp.ones((BLOCK, 1), jnp.float32)
+    ones_r = jnp.ones((1, n), jnp.float32)
+    ratio = None
+    quad = None
+    for k in range(d):
+        l1 = ell1_ref[lo : lo + BLOCK, k : k + 1]  # (B, 1)
+        l2 = ell2t_ref[k : k + 1, :]  # (1, n)
+        x1 = x1_ref[lo : lo + BLOCK, k : k + 1]
+        x2 = x2t_ref[k : k + 1, :]
+        ss = jnp.dot(
+            jnp.concatenate([l1 * l1, ones_c], axis=1),
+            jnp.concatenate([ones_r, l2 * l2], axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        diff2 = jnp.dot(
+            jnp.concatenate([x1 * x1, -2.0 * x1, ones_c], axis=1),
+            jnp.concatenate([ones_r, x2, x2 * x2], axis=0),
+            preferred_element_type=jnp.float32,
+        )
+        pr = jnp.dot(l1, l2, preferred_element_type=jnp.float32)
+        inv = 1.0 / ss
+        r = 2.0 * pr * inv
+        q = diff2 * inv
+        ratio = r if ratio is None else ratio * r
+        quad = q if quad is None else quad + q
+    strip = s2 * jnp.sqrt(ratio) * jnp.exp(-quad)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, n), 0) + lo
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, n), 1)
+    # the Gibbs diagonal is EXACTLY s² for any ℓ (prefactor and quad both
+    # collapse at x1 == x2), so write it in closed form — this also makes
+    # the diagonal immune to the f32 cancellation in the matmul-form
+    # x² − 2xx' + x'² at large |x| (the padded rows sit at |x| ~ 1e4)
+    return jnp.where(rows == cols, s2 + noise, strip)
+
+
+def _fused_kernel(
+    x1_ref, ell1_ref, x2t_ref, ell2t_ref, y_ref, sn_ref, out_ref, alpha_ref, *, n: int, d: int
+):
+    s2 = sn_ref[0, 0]
+    noise = sn_ref[0, 1]
+    kb = n // BLOCK
+
+    # phase 1: build s²K + σ²I strip-wise, straight into the chol buffer
+    for i in range(kb):
+        lo = i * BLOCK
+        out_ref[lo : lo + BLOCK, :] = _gram_strip(
+            x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise
+        )
+
+    # phase 2: in-place blocked right-looking Cholesky with the forward
+    # substitution of y fused into the block recurrence
+    alpha_ref[:] = y_ref[:]
+    for k in range(kb):
+        lo, hi = k * BLOCK, (k + 1) * BLOCK
+        l_kk, l_inv = _chol_inv_fused(out_ref[lo:hi, lo:hi])
+        out_ref[lo:hi, lo:hi] = l_kk
+        a_k = jnp.dot(l_inv, alpha_ref[lo:hi, :], preferred_element_type=jnp.float32)
+        alpha_ref[lo:hi, :] = a_k
+        if k + 1 < kb:
+            p = out_ref[hi:n, lo:hi]
+            p = jnp.dot(p, l_inv.T, preferred_element_type=jnp.float32)
+            out_ref[hi:n, lo:hi] = p
+            t = out_ref[hi:n, hi:n]
+            out_ref[hi:n, hi:n] = t - jnp.dot(p, p.T, preferred_element_type=jnp.float32)
+            out_ref[lo:hi, hi:n] = jnp.zeros((BLOCK, n - hi), jnp.float32)
+            alpha_ref[hi:n, :] = alpha_ref[hi:n, :] - jnp.dot(
+                p, a_k, preferred_element_type=jnp.float32
+            )
+
+
+def _pad_cols(arr, n_pad, fill):
+    pad_r = n_pad - arr.shape[0]
+    pad_c = _FEAT - arr.shape[1]
+    if pad_r == 0 and pad_c == 0:
+        return arr
+    return jnp.pad(arr, ((0, pad_r), (0, pad_c)), constant_values=fill)
+
+
+def _forward(x, ell, y, s2, noise):
+    n, d = x.shape
+    n_pad = -(-n // BLOCK) * BLOCK
+    # pad x with distinct far-apart rows (offset 1e4, spacing 50) so every
+    # padded off-diagonal is exp(−quad) ≈ 0 even after the f32 cancellation
+    # error of the matmul-form diff² (error ≲ 16 at |x| ~ 1e4 vs true
+    # quad ≥ 1250), while the padded diagonal is written exactly as
+    # s² + σ² → chol(padding) = sqrt(s² + σ²)·I, positive definite
+    if n_pad != n:
+        extra = jnp.arange(1, n_pad - n + 1, dtype=x.dtype)[:, None] * 50.0 + 1e4
+        x = jnp.concatenate([x, jnp.broadcast_to(extra, (n_pad - n, d))], axis=0)
+        ell = jnp.concatenate([ell, jnp.ones((n_pad - n, d), ell.dtype)], axis=0)
+        y = jnp.concatenate([y, jnp.zeros((n_pad - n,), y.dtype)], axis=0)
+
+    x1p = _pad_cols(x, n_pad, 0.0)
+    ell1p = _pad_cols(ell, n_pad, 1.0)
+    sn = jnp.stack(
+        [jnp.asarray(s2, jnp.float32), jnp.asarray(noise, jnp.float32)]
+    )[None, :]
+
+    out, alpha = pl.pallas_call(
+        functools.partial(_fused_kernel, n=n_pad, d=d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad**3 // 3 + 14 * n_pad * n_pad * d,
+            bytes_accessed=4 * n_pad * n_pad,
+            transcendentals=2 * n_pad * n_pad * d + n_pad,
+        ),
+    )(x1p, ell1p, x1p.T, ell1p.T, y[:, None], sn)
+    return out[:n, :n], alpha[:n, 0]
+
+
+def _reference(x, ell, y, s2, noise):
+    """Pure-jnp oracle (and VJP recompute path)."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+    n = x.shape[0]
+    k = s2 * gibbs_gram_reference(x, ell, x, ell) + noise * jnp.eye(n, dtype=x.dtype)
+    chol = jnp.linalg.cholesky(k)
+    alpha = jax.lax.linalg.triangular_solve(
+        chol, y[:, None], left_side=True, lower=True
+    )[:, 0]
+    return chol, alpha
+
+
+@jax.custom_vjp
+def gibbs_chol_solve_fused(x, ell, y, s2, noise):
+    """(L, α) with L = chol(s²·K_gibbs(x, ℓ) + σ²I) and α = L⁻¹y — one
+    Pallas launch, K never in HBM."""
+    return _forward(x, ell, y, s2, noise)
+
+
+def _fwd(x, ell, y, s2, noise):
+    return _forward(x, ell, y, s2, noise), (x, ell, y, s2, noise)
+
+
+def _bwd(res, g):
+    x, ell, y, s2, noise = res
+    _, vjp = jax.vjp(_reference, x, ell, y, s2, noise)
+    return vjp(g)
+
+
+gibbs_chol_solve_fused.defvjp(_fwd, _bwd)
+
+
+def gibbs_noisy_chol_alpha(x, ell, y, s2, noise, *, use_fused: bool | None = None):
+    """Dispatcher used by GibbsExactGP.loss: (L, α = L⁻¹y) for
+    s²K + σ²I, via the fused Pallas kernel when eligible, with a
+    safe-cholesky XLA fallback (escalating jitter) on numerical failure.
+    """
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+    from nonstationary_precip_tpu.ops.linalg import safe_cholesky, tri_solve
+
+    if use_fused is None:
+        use_fused = eligible(x, ell)
+
+    def xla_path(_):
+        n = x.shape[0]
+        k = s2 * gibbs_gram(x, ell, x, ell) + noise * jnp.eye(n, dtype=x.dtype)
+        chol = safe_cholesky(k)
+        return chol, tri_solve(chol, y)
+
+    if not use_fused:
+        return xla_path(None)
+
+    chol, alpha = gibbs_chol_solve_fused(x, ell, y, s2, noise)
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(chol)))
+    return jax.lax.cond(bad, xla_path, lambda _: (chol, alpha), None)

@@ -94,3 +94,66 @@ def lengthscale_map(lon, lat, ell, dim: int = 1, savepath: Optional[str] = None)
     return simple_plot(
         lon, lat, np.asarray(ell)[:, dim], title="Lengthscale process", savepath=savepath
     )
+
+
+def etopo_relief_map(lon, lat, values=None, dem=None, title: str = "",
+                     savepath: Optional[str] = None, extent=UIB_EXTENT,
+                     cmap: str = "gist_earth"):
+    """Station values over a hillshaded terrain-relief background — the
+    counterpart of the reference's Basemap etopo basin map
+    (/root/reference/utils/plotting.py:64-75, ``plot_uib_etopo_image``).
+
+    Basemap (and its bundled etopo raster) is not in this image and the
+    environment has no network, so the elevation model is supplied by the
+    caller: ``dem`` is either a mapping with ``elevation`` (H, W),
+    ``lon`` (W,), ``lat`` (H,) entries, or a path to an ``.npz`` with
+    those keys (e.g. an ETOPO crop the user ships).  When ``dem`` is None
+    a repo-local ``data/uib_dem.npz`` is tried; if that's absent too, the
+    map degrades to ``simple_plot`` (no relief) rather than fabricating
+    terrain.
+
+    Rendering: matplotlib ``LightSource`` shaded relief (az 315, alt 45 —
+    the etopo convention) with the station ``values`` scattered on top.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LightSource
+
+    if dem is None:
+        from nonstationary_precip_tpu.utils.config import DATASET_DIR
+
+        candidate = DATASET_DIR / "uib_dem.npz"
+        if candidate.exists():
+            dem = str(candidate)
+    if dem is None:
+        return simple_plot(lon, lat, values, title=title or "UIB basin",
+                           savepath=savepath)
+    if isinstance(dem, (str, bytes)) or hasattr(dem, "__fspath__"):
+        dem = np.load(dem)
+
+    elev = np.asarray(dem["elevation"], dtype=np.float64)
+    dlon = np.asarray(dem["lon"], dtype=np.float64)
+    dlat = np.asarray(dem["lat"], dtype=np.float64)
+
+    fig = plt.figure(figsize=(5, 5))
+    ax = _axes(fig, extent=extent)
+    ls = LightSource(azdeg=315, altdeg=45)
+    rgb = ls.shade(elev, cmap=plt.get_cmap(cmap), blend_mode="overlay",
+                   vert_exag=2.0)
+    ax.imshow(
+        rgb,
+        extent=(dlon.min(), dlon.max(), dlat.min(), dlat.max()),
+        origin="lower" if dlat[0] < dlat[-1] else "upper",
+        aspect="auto",
+        zorder=0,
+    )
+    if values is not None:
+        g = ax.scatter(np.asarray(lon), np.asarray(lat), c=np.asarray(values),
+                       s=22, edgecolors="k", linewidths=0.3, zorder=2)
+        fig.colorbar(g, ax=ax, label="")
+    ax.set_title(title or "UIB basin (relief)")
+    if savepath:
+        fig.savefig(savepath, dpi=150, bbox_inches="tight")
+    return fig

@@ -19,6 +19,47 @@ except Exception:
 
 RESULTS = Path("RESULTS.json")
 
+# Known-good bands from the round-1 full TPU runs (RESULTS.json, v5e).
+# rmse_max = measured + ~15-20% headroom for seed/hardware variance; a
+# benchmark exceeding its band is a quality REGRESSION and exits nonzero.
+# NLPD bands are looser (it is the noisier metric on these splits).
+EXPECTED_BANDS = {
+    "seard_spatial_10split": {"rmse": 0.42, "nlpd": 0.55},
+    "temporal": {"rmse": 0.82, "nlpd": 1.35},
+    "spatio_temporal_stationary_exact": {"rmse": 2.25, "nlpd": 3.9},
+    "spatio_temporal_stationary": {"rmse": 2.55, "nlpd": 4.3},
+    "spatio_temporal_nonstationary": {"rmse": 2.45, "nlpd": 5.6},
+    "gibbs_spatial_exact_10split": {"rmse": 0.38, "nlpd": 1.45},
+    "gibbs_spatial_sparse_10split": {"rmse": 0.31, "nlpd": 0.15},
+    "deepgp_spatial_10split": {"rmse": 0.48, "nlpd": 0.70},
+    "spatiotemporal_dgp": {"rmse": 1.80, "nlpd": 2.40},
+    "sgpr_bench_100iter": {"rmse": 1.70, "nlpd": 2.10},
+    "sgpr_bench_converged": {"rmse": 1.70, "nlpd": 2.10},
+    # field drift vs the reference's shipped dgp2 artifact: RMSE between
+    # the two predicted fields (mm/day) and 1 − pattern correlation
+    "dgp_field_regression": {"rmse": 0.90, "nlpd": 0.25},
+}
+
+
+def check_drift(data=None) -> list[str]:
+    """Compare RESULTS.json against the known-good bands; return failures."""
+    if data is None:
+        data = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
+    failures = []
+    for name, band in EXPECTED_BANDS.items():
+        entry = data.get(name)
+        if not entry:
+            continue
+        if "error" in entry:
+            failures.append(f"{name}: errored ({entry['error'][:120]})")
+            continue
+        for metric in ("rmse", "nlpd"):
+            if entry.get(metric) is not None and entry[metric] > band[metric]:
+                failures.append(
+                    f"{name}: {metric} {entry[metric]:.4f} exceeds band {band[metric]}"
+                )
+    return failures
+
 
 def record(name, rmse, nlpd, seconds):
     data = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
@@ -45,10 +86,18 @@ def run(name, fn, argv):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        failures = check_drift()
+        for f in failures:
+            print(f"DRIFT: {f}")
+        print("ok" if not failures else f"{len(failures)} band violations")
+        sys.exit(1 if failures else 0)
+
     only = sys.argv[1:] if len(sys.argv) > 1 else None
 
     from nonstationary_precip_tpu.experiments import (
         deepgp_spatial,
+        field_regression,
         seard_spatial,
         sgpr_bench,
         spatial_gibbs,
@@ -78,11 +127,26 @@ def main():
         ("spatiotemporal_dgp", spatiotemporal_dgp.main, ["--num_epochs", "200"]),
         ("sgpr_bench_100iter", sgpr_bench.main, ["--max_iters", "100"]),
         ("sgpr_bench_converged", sgpr_bench.main, ["--max_iters", "1000"]),
+        # artifact-level drift vs the reference's SHIPPED dgp2 field:
+        # "rmse" = mm/day RMSE between fields, "nlpd" = 1 − corr
+        ("dgp_field_regression", field_regression.main, ["--num_epochs", "400"]),
     ]
+    ran = []
     for name, fn, argv in jobs:
         if only and not any(o in name for o in only):
             continue
         run(name, fn, argv)
+        ran.append(name)
+
+    data = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
+    failures = [f for f in check_drift(data) if f.split(":")[0] in ran]
+    if failures:
+        print("\nQUALITY DRIFT DETECTED:")
+        for f in failures:
+            print(f"  {f}")
+        sys.exit(1)
+    if ran:
+        print(f"\nAll {len(ran)} benchmarks inside their quality bands.")
 
 
 if __name__ == "__main__":

@@ -155,3 +155,89 @@ def test_pallas_eligibility_gating():
     assert not pg.eligible(x_small, x_small)  # too small / cpu backend
     x64 = jnp.zeros((400, 2), jnp.float64)
     assert not pg.eligible(x64, x64)  # wrong dtype
+
+
+@pytest.mark.parametrize("n,d", [(256, 2), (300, 2), (384, 3)])
+def test_pallas_fused_gibbs_chol_solve_matches_reference(rng, n, d):
+    """Fused Gram→chol→solve kernel vs the pure-jnp composition (padding
+    path exercised at n=300)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    s2 = jnp.asarray(0.644, jnp.float32)
+    noise = jnp.asarray(0.011, jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        chol, alpha = pf._forward(x, ell, y, s2, noise)
+    chol_r, alpha_r = pf._reference(x, ell, y, s2, noise)
+    np.testing.assert_allclose(np.asarray(chol), np.asarray(chol_r), rtol=3e-4, atol=3e-5)
+    # α passes through an n-step f32 forward substitution: reduction-order
+    # noise reaches a few 1e-3 absolute on near-zero entries
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_r), rtol=3e-3, atol=5e-3)
+    # strictly lower triangular output
+    np.testing.assert_allclose(np.triu(np.asarray(chol), 1), 0.0)
+
+
+def test_pallas_fused_gibbs_chol_solve_vjp(rng):
+    """Custom VJP: gradients of a scalar of (L, α) w.r.t. every input must
+    match the jnp composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+
+    n, d = 256, 2
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    wl = jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+    wa = jnp.asarray(rng.normal(size=n), jnp.float32)
+
+    def loss_p(ell_, y_, s2_, noise_):
+        with pltpu.force_tpu_interpret_mode():
+            chol, alpha = pf.gibbs_chol_solve_fused(x, ell_, y_, s2_, noise_)
+        return jnp.sum(wl * chol) + jnp.sum(wa * alpha)
+
+    def loss_r(ell_, y_, s2_, noise_):
+        chol, alpha = pf._reference(x, ell_, y_, s2_, noise_)
+        return jnp.sum(wl * chol) + jnp.sum(wa * alpha)
+
+    args = (ell, y, jnp.asarray(0.644, jnp.float32), jnp.asarray(0.011, jnp.float32))
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(*args)
+    for a_, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=3e-3, atol=2e-4)
+
+
+def test_fused_dispatcher_xla_fallback_matches(rng):
+    """gibbs_noisy_chol_alpha with use_fused=False equals the fused
+    reference math (the CPU/ineligible path)."""
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+
+    n, d = 64, 2
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    chol, alpha = pf.gibbs_noisy_chol_alpha(x, ell, y, 0.644, 0.011, use_fused=False)
+    chol_r, alpha_r = pf._reference(x, ell, y, 0.644, 0.011)
+    np.testing.assert_allclose(np.asarray(chol), np.asarray(chol_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_r), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [256, 512, 700])
+def test_pallas_streaming_cholesky_v2_matches_numpy(rng, n):
+    """GEMM-formulation streaming Cholesky (v2): exactness incl. padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    a = rng.normal(size=(n, n))
+    a = (a @ a.T / n + np.eye(n)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        l = np.asarray(pc._forward_streaming2(jnp.asarray(a), p=256))
+    ref = np.linalg.cholesky(a.astype(np.float64))
+    assert np.allclose(l, ref, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.triu(l, 1), 0.0)

@@ -18,8 +18,12 @@ from nonstationary_precip_tpu.utils.config import DATASET_DIR
 
 
 def test_seard_uib_split0_rmse_band():
-    """SE-ARD on uib_spatial split 0 must land in the known-good band
-    (full 10-split TPU run: 0.359 ± 0.03 σ; loose bound for 150 iters)."""
+    """SE-ARD on uib_spatial split 0 must land in the known-good band.
+
+    This exact config (seed-0 shuffle, 150 Adam steps, deterministic init)
+    measures 0.2706 on CPU f32 (2026-08-16); the 0.34 gate fails CI on a
+    >20% quality regression while leaving headroom for backend f32
+    reduction-order differences."""
     data = load_csv(DATASET_DIR / "uib_spatial.csv")
     w = whitening_transform(sklearn_style_shuffle(data, 0))
     tx, ty, sx, sy = train_test_split(w.x, w.y, 0.8)
@@ -36,7 +40,29 @@ def test_seard_uib_split0_rmse_band():
         jnp.asarray(tx, jnp.float32), jnp.asarray(ty, jnp.float32), jnp.asarray(sx, jnp.float32)
     )
     r = float(rmse_rescaled(pred.mean, jnp.asarray(sy, jnp.float32), 1.0))
-    assert r < 0.75, f"SE-ARD split-0 RMSE {r} out of band"
+    assert r < 0.34, f"SE-ARD split-0 RMSE {r} out of band (measured 0.2706)"
+
+
+def test_results_json_within_quality_bands():
+    """The committed RESULTS.json must satisfy run_benchmarks.py's
+    known-good bands — a drift gate over the full 12-config benchmark
+    record (VERDICT r1 weak #4)."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root))
+    import run_benchmarks
+
+    if not (root / "RESULTS.json").exists():
+        import pytest
+
+        pytest.skip("no RESULTS.json")
+    import json
+
+    data = json.loads((root / "RESULTS.json").read_text())
+    failures = run_benchmarks.check_drift(data)
+    assert not failures, f"quality drift: {failures}"
 
 
 def test_gibbs_learns_varying_lengthscale_field(rng):
