@@ -4,6 +4,10 @@ from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
     pad_to_multiple,
     shard_batch,
 )
+from nonstationary_precip_tpu.parallel.distributed_chol import (  # noqa: F401
+    sharded_cholesky,
+    sharded_mvn_logpdf,
+)
 from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401
 from nonstationary_precip_tpu.parallel.sharded_sgpr import (  # noqa: F401
     sharded_sgpr_loss,

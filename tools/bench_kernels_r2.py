@@ -13,8 +13,11 @@ Writes tools/bench_kernels_r2.json.  Run alone (never share the TPU).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
