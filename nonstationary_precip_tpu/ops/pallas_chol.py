@@ -596,9 +596,10 @@ def _stream2_kernel(
 def _forward_streaming2(mat: jnp.ndarray, p: int | None = None) -> jnp.ndarray:
     n = mat.shape[-1]
     if p is None:
-        # the (p, n) L row-slab is the dominant resident: p=512 up to 4096
-        # (8.4 MB), p=256 beyond (8.4 MB at 8192)
-        p = 512 if n <= 4096 else 256
+        # p = 512 blows the 16 MB scoped-VMEM stack (measured 17.18 M at
+        # n=2048: the (p,p) recursion temporaries + row-slab); p = 256
+        # keeps the whole working set ≈ 11 MB up to n = 8192
+        p = 256
     n_pad = -(-n // p) * p
     if n_pad != n:
         pad = n_pad - n

