@@ -103,30 +103,64 @@ class SVGPLayer:
         return jnp.broadcast_to(self.mean_b[:, None], (self.mean_b.shape[0], n))
 
     def precompute(self):
-        """Sample-independent factors per output: (chol(K_zz+εI), L⁻ᵀ),
-        both (O, M, M).
+        """Sample-independent factors per output:
+        (chol(K_zz+εI) (O, M, M), L⁻ᵀ (O, M, M), W (O, M, 2M+1)).
 
-        Hoisted out of the DSVI S-sample vmap — K_zz depends only on
-        parameters.  The explicit triangular inverse turns the per-sample
-        whitening A = K_xz L⁻ᵀ into a pure MXU matmul: one M-rhs
-        triangular solve per step replaces S sequential B-rhs solves."""
+        Hoisted out of the DSVI S-sample vmap — everything here depends
+        only on parameters.  W = L⁻ᵀ·[m | tril(S) | I] packs the whitened
+        variational mean, root, and identity side by side so the
+        per-sample marginals collapse to ONE MXU matmul
+
+            K_xz @ W = [mean-part | A·S | A]     (N, 2M+1)
+
+        instead of three (A, A·m, A·S): the DSVI step at the benchmark
+        shapes is launch-overhead-bound, not FLOP-bound, so per-sample op
+        count is the thing to minimise."""
         ell = positive(self.raw_lengthscale)
         s2 = positive(self.raw_outputscale)
+        m = self.var_mean.shape[-1]
+        eye = jnp.eye(m, dtype=self.var_mean.dtype)
 
-        def one(z_o, ell_o, s2_o):
+        def gram(z_o, ell_o, s2_o):
             zs = z_o / ell_o
             z_sq = jnp.sum(zs * zs, axis=-1)
-            k_zz = s2_o * jnp.exp(
+            return s2_o * jnp.exp(
                 -0.5
                 * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
             )
-            l_zz = safe_cholesky(
-                k_zz + EPSILON * jnp.eye(k_zz.shape[-1], dtype=k_zz.dtype)
-            )
-            linv_t = tri_solve(l_zz, jnp.eye(l_zz.shape[-1], dtype=l_zz.dtype)).T
-            return l_zz, linv_t
 
-        return jax.vmap(one)(self.z, ell, s2)
+        k_zz = jax.vmap(gram)(self.z, ell, s2) + EPSILON * eye  # (O, M, M)
+
+        from nonstationary_precip_tpu.ops.pallas_chol import (
+            chol_inv_batched,
+            cholinv_eligible,
+        )
+
+        def xla_pair(k):
+            l = jax.vmap(safe_cholesky)(k)
+            li = jax.vmap(lambda l_o: tri_solve(l_o, eye))(l)
+            return l, li
+
+        if cholinv_eligible(k_zz):
+            l_zz, linv = chol_inv_batched(k_zz)
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(linv)))
+            l_zz, linv = jax.lax.cond(
+                bad, xla_pair, lambda _: (l_zz, linv), k_zz
+            )
+        else:
+            l_zz, linv = xla_pair(k_zz)
+        linv_t = jnp.swapaxes(linv, -1, -2)
+
+        packed = jnp.concatenate(
+            [
+                self.var_mean[:, :, None],
+                jnp.tril(self.var_chol),
+                jnp.broadcast_to(eye, self.var_chol.shape),
+            ],
+            axis=2,
+        )
+        w = linv_t @ packed  # (O, M, 2M+1)
+        return l_zz, linv_t, w
 
     def marginals(self, x: jnp.ndarray, pre=None):
         """Posterior marginals at x (N, Din) → (mean (O, N), var (O, N))."""
@@ -134,9 +168,10 @@ class SVGPLayer:
         s2 = positive(self.raw_outputscale)  # (O,)
         if pre is None:
             pre = self.precompute()
-        _, linv_t = pre
+        w = pre[2]
+        m = self.var_mean.shape[-1]
 
-        def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
+        def one(z_o, ell_o, s2_o, w_o):
             xs = x / ell_o
             zs = z_o / ell_o
             x_sq = jnp.sum(xs * xs, axis=-1)
@@ -145,16 +180,14 @@ class SVGPLayer:
                 -0.5
                 * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
             )
-            a = k_xz @ li_o  # (N, M) = K_xz L^{-T}, MXU matmul
-            s_tril = jnp.tril(s_o)
-            mean = a @ m_o
-            a_s = a @ s_tril
+            out = k_xz @ w_o  # (N, 2M+1): [A·m | A·S | A] in one matmul
+            mean = out[:, 0]
+            a_s = out[:, 1 : m + 1]
+            a = out[:, m + 1 :]
             var = s2_o - jnp.sum(a * a, axis=-1) + jnp.sum(a_s * a_s, axis=-1)
             return mean, jnp.clip(var, 1e-10, None)
 
-        means, variances = jax.vmap(one)(
-            self.z, self.var_mean, self.var_chol, ell, s2, linv_t
-        )
+        means, variances = jax.vmap(one)(self.z, ell, s2, w)
         return means + self._mean(x), variances
 
     def kl(self) -> jnp.ndarray:
@@ -188,7 +221,7 @@ class SVGPLayer:
         s2 = positive(self.raw_outputscale)
         if pre is None:
             pre = self.precompute()
-        _, linv_t = pre
+        linv_t = pre[1]
 
         def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
             xs = x / ell_o

@@ -215,6 +215,120 @@ blocked_cholesky.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Batched (chol, chol⁻¹) for small matrices — the SVGP K_zz workhorse
+# ---------------------------------------------------------------------------
+
+MAX_N_CHOLINV = 512
+
+
+def _chol_inv_kernel(a_ref, l_ref, li_ref, *, n: int):
+    if n == BLOCK:
+        l, li = _chol_inv_fused(a_ref[0])
+    else:
+        l, li = _chol_inv_rec(a_ref[0])
+    l_ref[0] = l
+    li_ref[0] = li
+
+
+def _chol_inv_forward(mats: jnp.ndarray):
+    b, n, _ = mats.shape
+    n_pad = max(BLOCK, 1 << (n - 1).bit_length())  # next power of two ≥ 128
+    if n_pad != n:
+        pad = n_pad - n
+        eye = jnp.eye(pad, dtype=mats.dtype)
+        mats = jnp.concatenate(
+            [
+                jnp.concatenate([mats, jnp.zeros((b, n, pad), mats.dtype)], axis=2),
+                jnp.concatenate(
+                    [
+                        jnp.zeros((b, pad, n), mats.dtype),
+                        jnp.broadcast_to(eye, (b, pad, pad)),
+                    ],
+                    axis=2,
+                ),
+            ],
+            axis=1,
+        )
+    l, li = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, n=n_pad),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_pad**3,
+            bytes_accessed=12 * b * n_pad * n_pad,
+            transcendentals=b * n_pad,
+        ),
+    )(mats)
+    return l[:, :n, :n], li[:, :n, :n]
+
+
+def cholinv_eligible(mats) -> bool:
+    import os
+
+    if os.environ.get("NSGP_PALLAS_CHOLINV", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if mats.dtype != jnp.float32 or mats.ndim != 3:
+        return False
+    return BLOCK <= mats.shape[-1] <= MAX_N_CHOLINV
+
+
+@jax.custom_vjp
+def chol_inv_batched(mats: jnp.ndarray):
+    """(L, L⁻¹) for a batch of small SPD matrices in ONE Pallas launch.
+
+    Replaces the XLA chol + M-RHS triangular-solve pair on the SVGP
+    K_zz path (models/svgp.py precompute) — both XLA ops are sequential
+    block loops that dominate the DSVI step at M = 250.  The batch rides
+    the Pallas grid; each element runs the fused 128-block recurrence
+    (recursive 2×2 blocking above 128).
+
+    Backward is matmul-only (no solves, no refactorisation) because L⁻¹
+    is a primal output: with Φ = tril(LᵀL̄, diag halved),
+      K̄  = sym(L⁻ᵀ Φ L⁻¹)           (Cholesky pullback, Murray 2016)
+      L̄ += −tril(L⁻ᵀ Ī L⁻ᵀ)         (pullback of the inverse output).
+    """
+    return _chol_inv_forward(mats)
+
+
+def _ci_fwd(mats):
+    out = _chol_inv_forward(mats)
+    return out, out
+
+
+def _ci_bwd(res, g):
+    l, li = res
+    lbar, libar = g
+    lbar = jnp.zeros_like(l) if lbar is None else lbar
+    libar = jnp.zeros_like(li) if libar is None else libar
+    lit = jnp.swapaxes(li, -1, -2)  # L⁻ᵀ
+    # inverse-output pullback into L̄
+    lbar = lbar - jnp.tril(lit @ libar @ lit)
+    p = jnp.swapaxes(l, -1, -2) @ lbar
+    eye = jnp.eye(l.shape[-1], dtype=l.dtype)
+    phi = jnp.tril(p) - 0.5 * p * eye
+    kbar_t = lit @ phi @ li
+    return (0.5 * (kbar_t + jnp.swapaxes(kbar_t, -1, -2)),)
+
+
+chol_inv_batched.defvjp(_ci_fwd, _ci_bwd)
+
+
+# ---------------------------------------------------------------------------
 # HBM-streaming variant: N beyond the VMEM cap
 # ---------------------------------------------------------------------------
 

@@ -46,6 +46,7 @@ from nonstationary_precip_tpu.ops.pallas_chol import _chol_block_2level
 
 _FEAT = 128  # lane-aligned feature padding
 _MAX_D = 8
+_ELL_OFF = 8  # ℓ lane offset inside the packed (n, 128) factor buffer
 PANEL = 256  # gram-strip height AND factorisation panel width (2-level)
 MAX_N_FUSED = 1536  # N² out + (N,128)×4 factor inputs + strip planes ≤ 16 MB
 
@@ -74,17 +75,22 @@ def eligible(x, ell) -> bool:
     return 512 <= n <= MAX_N_FUSED
 
 
-def _gram_strip(x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise):
-    """One (PANEL, n) strip of s²·K_gibbs + σ²·I via MXU-packed planes."""
+def _gram_strip(xe_ref, xet_ref, lo, n, d, s2, noise):
+    """One (PANEL, n) strip of s²·K_gibbs + σ²·I via MXU-packed planes.
+
+    ``xe`` packs x in lanes [0, d) and ℓ in lanes [8, 8+d) of one
+    (n, 128) buffer (and its transpose) — halves the factor-input VMEM
+    vs separate x/ℓ buffers (the n=1536 budget was 44 KB over the 16 MB
+    scoped limit with four buffers)."""
     ones_c = jnp.ones((PANEL, 1), jnp.float32)
     ones_r = jnp.ones((1, n), jnp.float32)
     ratio = None
     quad = None
     for k in range(d):
-        l1 = ell1_ref[lo : lo + PANEL, k : k + 1]  # (P, 1)
-        l2 = ell2t_ref[k : k + 1, :]  # (1, n)
-        x1 = x1_ref[lo : lo + PANEL, k : k + 1]
-        x2 = x2t_ref[k : k + 1, :]
+        l1 = xe_ref[lo : lo + PANEL, _ELL_OFF + k : _ELL_OFF + k + 1]  # (P, 1)
+        l2 = xet_ref[_ELL_OFF + k : _ELL_OFF + k + 1, :]  # (1, n)
+        x1 = xe_ref[lo : lo + PANEL, k : k + 1]
+        x2 = xet_ref[k : k + 1, :]
         ss = jnp.dot(
             jnp.concatenate([l1 * l1, ones_c], axis=1),
             jnp.concatenate([ones_r, l2 * l2], axis=0),
@@ -112,7 +118,7 @@ def _gram_strip(x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise):
 
 
 def _fused_kernel(
-    x1_ref, ell1_ref, x2t_ref, ell2t_ref, y_ref, sn_ref, out_ref, alpha_ref, *, n: int, d: int
+    xe_ref, xet_ref, y_ref, sn_ref, out_ref, alpha_ref, *, n: int, d: int
 ):
     s2 = sn_ref[0, 0]
     noise = sn_ref[0, 1]
@@ -122,7 +128,7 @@ def _fused_kernel(
     for i in range(kb):
         lo = i * PANEL
         out_ref[lo : lo + PANEL, :] = _gram_strip(
-            x1_ref, ell1_ref, x2t_ref, ell2t_ref, lo, n, d, s2, noise
+            xe_ref, xet_ref, lo, n, d, s2, noise
         )
 
     # phase 2: in-place blocked right-looking Cholesky (256-wide panels,
@@ -147,14 +153,6 @@ def _fused_kernel(
             )
 
 
-def _pad_cols(arr, n_pad, fill):
-    pad_r = n_pad - arr.shape[0]
-    pad_c = _FEAT - arr.shape[1]
-    if pad_r == 0 and pad_c == 0:
-        return arr
-    return jnp.pad(arr, ((0, pad_r), (0, pad_c)), constant_values=fill)
-
-
 def _forward(x, ell, y, s2, noise):
     n, d = x.shape
     n_pad = -(-n // PANEL) * PANEL
@@ -169,8 +167,10 @@ def _forward(x, ell, y, s2, noise):
         ell = jnp.concatenate([ell, jnp.ones((n_pad - n, d), ell.dtype)], axis=0)
         y = jnp.concatenate([y, jnp.zeros((n_pad - n,), y.dtype)], axis=0)
 
-    x1p = _pad_cols(x, n_pad, 0.0)
-    ell1p = _pad_cols(ell, n_pad, 1.0)
+    # pack x (lanes [0, d)) and ℓ (lanes [8, 8+d)) into one (n, 128) buffer
+    xe = jnp.zeros((n_pad, _FEAT), jnp.float32)
+    xe = jax.lax.dynamic_update_slice(xe, x.astype(jnp.float32), (0, 0))
+    xe = jax.lax.dynamic_update_slice(xe, ell.astype(jnp.float32), (0, _ELL_OFF))
     sn = jnp.stack(
         [jnp.asarray(s2, jnp.float32), jnp.asarray(noise, jnp.float32)]
     )[None, :]
@@ -178,8 +178,6 @@ def _forward(x, ell, y, s2, noise):
     out, alpha = pl.pallas_call(
         functools.partial(_fused_kernel, n=n_pad, d=d),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -198,7 +196,7 @@ def _forward(x, ell, y, s2, noise):
             bytes_accessed=4 * n_pad * n_pad,
             transcendentals=2 * n_pad * n_pad * d + n_pad,
         ),
-    )(x1p, ell1p, x1p.T, ell1p.T, y[:, None], sn)
+    )(xe, xe.T, y[:, None], sn)
     return out[:n, :n], alpha[:n, 0]
 
 
@@ -274,8 +272,17 @@ gibbs_chol_solve_fused.defvjp(_fwd, _bwd)
 
 def gibbs_noisy_chol_alpha(x, ell, y, s2, noise, *, use_fused: bool | None = None):
     """Dispatcher used by GibbsExactGP.loss: (L, α = L⁻¹y) for
-    s²K + σ²I, via the fused Pallas kernel when eligible, with a
-    safe-cholesky XLA fallback (escalating jitter) on numerical failure.
+    s²K + σ²I, via the fused Pallas kernel when eligible.
+
+    The fused path is single-attempt, deliberately: K carries the model's
+    observation noise (σ² ≈ 1e-2 in every reference config) on a
+    unit-diagonal Gibbs Gram, orders of magnitude above the 1e-5 jitter
+    regime where escalating retries matter, and a ``lax.cond`` NaN-retry
+    measured +4.5 ms/step in the training backward (profile 2026-08-16:
+    6.75 ms with cond vs 2.19 without at N=1024).  A non-finite factor
+    surfaces as a non-finite loss and is caught by ``fit(nan_guard=True)``
+    at the training level.  The XLA path keeps full safe_cholesky
+    escalating-jitter semantics.
     """
     from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
     from nonstationary_precip_tpu.ops.linalg import safe_cholesky, tri_solve
@@ -283,15 +290,10 @@ def gibbs_noisy_chol_alpha(x, ell, y, s2, noise, *, use_fused: bool | None = Non
     if use_fused is None:
         use_fused = eligible(x, ell)
 
-    def xla_path(_):
+    if not use_fused:
         n = x.shape[0]
         k = s2 * gibbs_gram(x, ell, x, ell) + noise * jnp.eye(n, dtype=x.dtype)
         chol = safe_cholesky(k)
         return chol, tri_solve(chol, y)
 
-    if not use_fused:
-        return xla_path(None)
-
-    chol, alpha = gibbs_chol_solve_fused(x, ell, y, s2, noise)
-    bad = jnp.logical_not(jnp.all(jnp.isfinite(chol)))
-    return jax.lax.cond(bad, xla_path, lambda _: (chol, alpha), None)
+    return gibbs_chol_solve_fused(x, ell, y, s2, noise)

@@ -267,3 +267,54 @@ def test_pallas_streaming_cholesky_v2_matches_numpy(rng, n):
     ref = np.linalg.cholesky(a.astype(np.float64))
     assert np.allclose(l, ref, rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.triu(l, 1), 0.0)
+
+
+@pytest.mark.parametrize("b,n", [(3, 128), (5, 250), (2, 300)])
+def test_pallas_chol_inv_batched_matches_numpy(rng, b, n):
+    """Batched (L, L⁻¹) kernel vs numpy (padding to the next pow-2)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    mats = []
+    for _ in range(b):
+        a = rng.normal(size=(n, n))
+        mats.append(a @ a.T / n + np.eye(n))
+    mats = jnp.asarray(np.stack(mats), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        l, li = pc._chol_inv_forward(mats)
+    for i in range(b):
+        ref = np.linalg.cholesky(np.asarray(mats[i], np.float64))
+        np.testing.assert_allclose(np.asarray(l[i]), ref, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(li[i]), np.linalg.inv(ref), rtol=5e-3, atol=2e-3
+        )
+
+
+def test_chol_inv_batched_vjp_matches_reference(rng):
+    """Matmul-only pullback (uses the primal L⁻¹ — no solves) == jax.vjp
+    of the chol+solve composition, checked in f64."""
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    with jax.enable_x64(True):
+        b, n = 2, 64
+        mats = []
+        for _ in range(b):
+            a = rng.normal(size=(n, n))
+            mats.append(a @ a.T / n + np.eye(n))
+        mats = jnp.asarray(np.stack(mats))
+        wl = jnp.asarray(rng.normal(size=(b, n, n)))
+        wi = jnp.asarray(rng.normal(size=(b, n, n)))
+
+        def ref(k):
+            l = jnp.linalg.cholesky(k)
+            li = jax.lax.linalg.triangular_solve(
+                l, jnp.broadcast_to(jnp.eye(n), (b, n, n)), left_side=True, lower=True
+            )
+            return l, li
+
+        out = ref(mats)
+        _, vjp = jax.vjp(ref, mats)
+        (gref,) = vjp((wl, wi))
+        (gours,) = pc._ci_bwd(out, (wl, wi))
+        np.testing.assert_allclose(np.asarray(gours), np.asarray(gref), rtol=1e-9, atol=1e-9)

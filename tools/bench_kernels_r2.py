@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Round-2 TPU kernel measurements, batched into one process:
+"""Round-2 TPU kernel measurements — scan-based timing (N iterations of
+the op inside ONE jitted program, so per-call axon-tunnel dispatch
+overhead doesn't contaminate the numbers; same methodology as bench.py):
 
   1. fused Gibbs MAP-loss kernel (ops/pallas_fused.py) vs the XLA+Pallas
-     composition — forward AND value_and_grad step, N = 512/1024/1536;
+     composition — forward AND full Adam training step, N = 512/1024/1536;
   2. streaming Cholesky v2 (GEMM formulation) vs v1 vs XLA,
      N = 2048/4096/8192;
-  3. exactness spot checks on-chip for both new kernels.
+  3. exactness spot checks on-chip.
 
 Writes tools/bench_kernels_r2.json.  Run alone (never share the TPU).
 """
@@ -29,17 +31,41 @@ import numpy as np  # noqa: E402
 
 OUT = Path(__file__).parent / "bench_kernels_r2.json"
 results = {}
+STEPS = 20
 
 
-def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+def timeit_scanned(step_fn, carry0, steps=STEPS):
+    """ms per step of `carry -> carry`, DIFFERENTIAL: time scan programs of
+    length `steps` and `2*steps` and divide the difference — cancels the
+    per-program dispatch constant (measured ~25-30 ms through the axon
+    tunnel, which swamps single-digit-ms kernels at small step counts)."""
+
+    def make(length):
+        @jax.jit
+        def chunk(carry):
+            def body(c, _):
+                return step_fn(c), None
+
+            c, _ = jax.lax.scan(body, carry, None, length=length)
+            return c
+
+        return chunk
+
+    c1, c2 = make(steps), make(2 * steps)
+    jax.block_until_ready(c1(carry0))
+    jax.block_until_ready(c2(carry0))
+
+    def best_of(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(carry0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = best_of(c1)
+    t2 = best_of(c2)
+    return (t2 - t1) / steps * 1e3
 
 
 def log(name, **kw):
@@ -49,58 +75,69 @@ def log(name, **kw):
 
 
 def bench_fused():
+    import os
+
     from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+    from nonstationary_precip_tpu.models import GibbsExactGP
     from nonstationary_precip_tpu.ops.linalg import safe_cholesky, tri_solve
+    from nonstationary_precip_tpu.priors import LogNormalProcess
     import nonstationary_precip_tpu.ops.pallas_fused as pf
+    import optax
 
     rng = np.random.default_rng(0)
     for n in (512, 1024, 1536):
         d = 2
         x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
-        ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+        ell0 = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
         y = jnp.asarray(rng.normal(size=n), jnp.float32)
         s2 = jnp.asarray(0.644, jnp.float32)
         noise = jnp.asarray(0.011, jnp.float32)
 
-        @jax.jit
-        def fwd_fused(x, ell, y, s2, noise):
-            return pf.gibbs_chol_solve_fused(x, ell, y, s2, noise)
+        # exactness on chip
+        cf, af = jax.jit(pf.gibbs_chol_solve_fused)(x, ell0, y, s2, noise)
 
-        @jax.jit
-        def fwd_xla(x, ell, y, s2, noise):
+        def xla_fwd(ell):
             k = s2 * gibbs_gram(x, ell, x, ell, use_pallas=False) + noise * jnp.eye(n)
             chol = safe_cholesky(k)
             return chol, tri_solve(chol, y)
 
-        # NOTE: fwd_xla IS the round-1 default mix — safe_cholesky's
-        # dispatcher routes 768 ≤ N ≤ 1280 to the Pallas blocked kernel.
-
-        # exactness on chip
-        cf, af = fwd_fused(x, ell, y, s2, noise)
-        cx, ax = fwd_xla(x, ell, y, s2, noise)
+        cx, ax = jax.jit(xla_fwd)(ell0)
         maxdiff_c = float(jnp.max(jnp.abs(cf - cx)))
         maxdiff_a = float(jnp.max(jnp.abs(af - ax)))
 
-        t_fused = timeit(fwd_fused, x, ell, y, s2, noise)
-        t_xla = timeit(fwd_xla, x, ell, y, s2, noise)
+        # forward-only: chain ell through the output to defeat CSE/DCE
+        def fwd_fused_step(ell):
+            l, a = pf.gibbs_chol_solve_fused(x, ell, y, s2, noise)
+            return ell + 1e-30 * l[0, 0] + 1e-30 * a[0]
 
-        # full MAP-loss value_and_grad step (the training hot path)
-        from nonstationary_precip_tpu.models import GibbsExactGP
-        from nonstationary_precip_tpu.priors import LogNormalProcess
+        def fwd_xla_step(ell):
+            l, a = xla_fwd(ell)
+            return ell + 1e-30 * l[0, 0] + 1e-30 * a[0]
 
-        prior = LogNormalProcess.create(d, mean=float(np.log(0.3)), outputscale=1.0, lengthscale=1.3)
-        model = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644)
+        t_fused = timeit_scanned(fwd_fused_step, ell0)
+        t_xla = timeit_scanned(fwd_xla_step, ell0)
+
+        # full MAP-loss Adam step (the training hot path)
+        prior = LogNormalProcess.create(
+            d, mean=float(np.log(0.3)), outputscale=1.0, lengthscale=1.3
+        )
+        model0 = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644)
         pc = prior.gram_chol(x)
+        optimizer = optax.adam(0.01)
 
-        vag_fused = jax.jit(jax.value_and_grad(lambda m: m.loss(x, y, pc)))
-        import os
+        def make_step():
+            def step(carry):
+                m, s = carry
+                _, grads = jax.value_and_grad(lambda mm: mm.loss(x, y, pc))(m)
+                updates, s = optimizer.update(grads, s, m)
+                return optax.apply_updates(m, updates), s
 
-        t_step_fused = timeit(vag_fused, model, iters=10)
+            return step
 
+        carry0 = (model0, optimizer.init(model0))
+        t_step_fused = timeit_scanned(make_step(), carry0)
         os.environ["NSGP_PALLAS_FUSED"] = "0"
-        vag_xla = jax.jit(jax.value_and_grad(lambda m: m.loss(x, y, pc)))
-
-        t_step_xla = timeit(vag_xla, model, iters=10)
+        t_step_xla = timeit_scanned(make_step(), carry0)
         os.environ["NSGP_PALLAS_FUSED"] = "1"
 
         log(
@@ -120,32 +157,33 @@ def bench_streaming():
     rng = np.random.default_rng(1)
     for n in (2048, 4096, 8192):
         a = rng.normal(size=(n, 256)).astype(np.float32)
-        mat = jnp.asarray(a @ a.T / 256 + 4.0 * np.eye(n, dtype=np.float32))
+        mat0 = jnp.asarray(a @ a.T / 256 + 4.0 * np.eye(n, dtype=np.float32))
 
-        f_xla = jax.jit(jnp.linalg.cholesky)
-        f_v1 = jax.jit(pc._forward_streaming)
-        f_v2 = jax.jit(pc._forward_streaming2)
-
-        l_xla = f_xla(mat)
-        l_v2 = f_v2(mat)
+        l_xla = jax.jit(jnp.linalg.cholesky)(mat0)
+        l_v2 = jax.jit(pc._forward_streaming2)(mat0)
         maxdiff = float(jnp.max(jnp.abs(jnp.tril(l_v2) - jnp.tril(l_xla))))
 
-        t_xla = timeit(f_xla, mat, iters=10)
-        t_v2 = timeit(f_v2, mat, iters=10)
-        t_v1 = timeit(f_v1, mat, iters=10) if n <= pc.MAX_N_STREAM else None
+        def step_of(f):
+            def step(mat):
+                l = f(mat)
+                return mat + (1e-30 * l[0, 0]) * jnp.eye(n, dtype=mat.dtype)
+
+            return step
+
+        t_xla = timeit_scanned(step_of(jnp.linalg.cholesky), mat0, steps=10)
+        t_v2 = timeit_scanned(step_of(pc._forward_streaming2), mat0, steps=10)
+        t_v1 = timeit_scanned(step_of(pc._forward_streaming), mat0, steps=10)
 
         log(
             f"stream_n{n}",
             xla_ms=round(t_xla, 3),
-            v1_ms=round(t_v1, 3) if t_v1 else None,
+            v1_ms=round(t_v1, 3),
             v2_ms=round(t_v2, 3),
             maxdiff=maxdiff,
         )
 
 
 if __name__ == "__main__":
-    import sys
-
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), jax.devices())
     if which in ("all", "fused"):

@@ -50,6 +50,8 @@ def decompose_joint_nlpd(mean, cov, y, y_std):
     quad = float(alpha @ alpha)
     logdet = float(2 * np.sum(np.log(np.diag(l))))
     nlpd = 0.5 * (quad + logdet + n * math.log(2 * math.pi)) / n + math.log(y_std)
+    if not np.all(np.isfinite(cov)):
+        raise ValueError("non-finite predictive covariance")
     eig = np.linalg.eigvalsh(cov)
     return {
         "nlpd_joint": nlpd,
@@ -136,7 +138,13 @@ def run_spatial():
 
     results = {}
     for inference in ["exact", "sparse"]:
-        cfg = ExperimentConfig(lr=0.01, max_iters=5000, inference=inference)
+        # benchmark configs: exact 5000 iters, sparse 2000 (RESULTS.json);
+        # NOTE the sparse run goes NaN between 2000 and 5000 iters on
+        # split 0 (trained z walks Kzz into safe_cholesky's retry ceiling)
+        # — a stability boundary of the inherited config, recorded in
+        # PARITY.md, not a benchmark regime
+        iters = 5000 if inference == "exact" else 2000
+        cfg = ExperimentConfig(lr=0.01, max_iters=iters, inference=inference)
         dtype = jnp.float32
         model, mask, args, datas = make_split(x_norm, y_norm, 0, cfg, dtype)
         if inference == "sparse":
