@@ -49,15 +49,25 @@ def add_jitter(mat: jnp.ndarray, jitter: float = EPSILON) -> jnp.ndarray:
 def cholesky(mat: jnp.ndarray, *, use_pallas: bool | None = None) -> jnp.ndarray:
     """Lower-triangular Cholesky factor.
 
-    Dispatches to the Pallas blocked kernel on TPU for float32 operands of
-    supported size; otherwise uses XLA's native factorisation.
+    Dispatches on TPU for float32 operands: the single-launch VMEM kernel
+    for 768 ≤ N ≤ 1280, the GEMM-formulation HBM-streaming kernel (v2,
+    1.93× XLA at 8192) above MIN_N_STREAM2; otherwise XLA.
     """
-    if use_pallas is None:
+    auto = use_pallas is None
+    if auto:
         use_pallas = _pallas_chol_eligible(mat)
     if use_pallas:
         from nonstationary_precip_tpu.ops.pallas_chol import blocked_cholesky
 
         return blocked_cholesky(mat)
+    if auto:
+        try:
+            import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+            if pc.stream2_eligible(mat):
+                return pc.streaming_cholesky2(mat)
+        except Exception:
+            pass
     return jnp.linalg.cholesky(mat)
 
 
@@ -70,66 +80,79 @@ def _pallas_chol_eligible(mat: jnp.ndarray) -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("jitter", "max_tries"))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def safe_cholesky(
     mat: jnp.ndarray, jitter: float = EPSILON, max_tries: int = 6
 ) -> jnp.ndarray:
     """Cholesky with escalating-jitter retry, jit-safe AND reverse-mode
-    differentiable — ONE factorisation on the happy path.
+    differentiable — ONE factorisation on the happy path, NO lax.cond.
 
     Reference semantics: GPyTorch's ``psd_safe_cholesky`` with
     ``cholesky_jitter(EPSILON)`` (/root/reference/experiments/spatial_exp.py:31):
     try the plain factorisation first, then jitter·10^i for i = 0.. on
     failure.
 
-    Cost design: the plain factorisation (Pallas-dispatched) runs first and
-    its own finiteness check is the failure probe — no separate probe
-    factorisation.  Only on failure does ``lax.cond`` enter the retry
-    branch, which selects the jitter level on a gradient-stopped copy
-    (``lax.while_loop`` is primal-only; it has no reverse-mode rule) and
-    runs one more differentiable factorisation at that level.  Under
-    ``vmap`` (the 10-split trainer) the cond lowers to both-branches +
-    select; the retry loop's carry is seeded with the already-computed
-    failure flag, so an all-good vmapped batch pays exactly one extra
-    factorisation (at jitter 0 ≡ the happy factor) and no probe loop.
+    Cost design (round-2, measured): a ``lax.cond``-gated retry costs
+    +4.5 ms/step in training backward (jax's cond transpose), and the
+    round-1 probe-then-factor design paid 2 factorisations always.  Here
+    the WHOLE op is a custom-VJP primitive: the forward is a primal
+    while_loop that carries the factor itself (happy path = exactly one
+    Pallas-dispatched factorisation, retries only on non-finite), and the
+    backward is the closed-form Cholesky pullback from the saved L (two
+    triangular solves — identical cost to jax's own cholesky VJP, no
+    refactorisation).  The jitter LEVEL is a non-differentiable choice,
+    exactly as in GPyTorch where autograd flows through the jittered
+    matrix, not the retry control flow.
     """
+    return _safe_chol_fwd_impl(mat, jitter, max_tries)
+
+
+def _safe_chol_fwd_impl(mat, jitter, max_tries):
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     base = jitter if jitter > 0 else EPSILON
 
     chol0 = cholesky(mat)
-    bad0 = jnp.logical_not(jnp.all(jnp.isfinite(chol0)))
 
-    def happy(operand):
-        return operand[1]
-
-    def retry(operand):
-        m, _ = operand
-        m0 = jax.lax.stop_gradient(m)
-
-        def is_bad(j):
-            return jnp.logical_not(
-                jnp.all(jnp.isfinite(jnp.linalg.cholesky(m0 + j * eye)))
-            )
-
-        def cond_fn(state):
-            i, _, bad = state
-            return jnp.logical_and(i < max_tries, bad)
-
-        def body(state):
-            i, j, _ = state
-            j_next = jnp.where(i == 0, base, j * 10.0)
-            return i + 1, j_next, is_bad(j_next)
-
-        zero = jnp.asarray(0.0, dtype=m.dtype)
-        # seeding with bad0: when this branch runs as the untaken arm of a
-        # vmapped select over an all-good batch, the loop exits immediately
-        # (zero probe factorisations) and the final factor is chol(m + 0·I)
-        _, chosen, _ = jax.lax.while_loop(
-            cond_fn, body, (jnp.asarray(0), zero, bad0)
+    def cond_fn(state):
+        i, _, chol = state
+        return jnp.logical_and(
+            i < max_tries, jnp.logical_not(jnp.all(jnp.isfinite(chol)))
         )
-        return cholesky(m + chosen * eye)
 
-    return jax.lax.cond(bad0, retry, happy, (mat, chol0))
+    def body(state):
+        i, j, _ = state
+        j_next = jnp.where(i == 0, base, j * 10.0)
+        return i + 1, j_next, jnp.linalg.cholesky(mat + j_next * eye)
+
+    zero = jnp.asarray(0.0, dtype=mat.dtype)
+    _, _, chol = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zero, chol0))
+    return chol
+
+
+def _safe_chol_fwd(mat, jitter, max_tries):
+    chol = _safe_chol_fwd_impl(mat, jitter, max_tries)
+    return chol, chol
+
+
+def _safe_chol_bwd(jitter, max_tries, chol, g):
+    """Closed-form Cholesky pullback (Murray 2016) from the saved factor:
+    K̄ = sym(L⁻ᵀ Φ(LᵀL̄) L⁻¹), Φ = tril with halved diagonal."""
+    lt = jnp.swapaxes(chol, -1, -2)
+    p = lt @ g
+    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    phi = jnp.tril(p) - 0.5 * p * eye
+
+    def solve_t(b):
+        return jax.lax.linalg.triangular_solve(
+            chol, b, left_side=True, lower=True, transpose_a=True
+        )
+
+    w = solve_t(phi)
+    kbar_t = solve_t(jnp.swapaxes(w, -1, -2))
+    return (0.5 * (kbar_t + jnp.swapaxes(kbar_t, -1, -2)),)
+
+
+safe_cholesky.defvjp(_safe_chol_fwd, _safe_chol_bwd)
 
 
 def tri_solve(

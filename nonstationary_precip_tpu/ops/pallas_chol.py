@@ -61,6 +61,25 @@ def eligible(mat) -> bool:
     return 768 <= n <= MAX_N
 
 
+def stream2_eligible(mat) -> bool:
+    """Dispatch gate for the GEMM-formulation streaming kernel (v2):
+    f32, MIN_N_STREAM2 < N ≤ MAX_N_STREAM, TPU backend
+    (disable via NSGP_PALLAS_CHOL=0)."""
+    import os
+
+    if os.environ.get("NSGP_PALLAS_CHOL", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if mat.dtype != jnp.float32 or mat.ndim != 2:
+        return False
+    n = mat.shape[-1]
+    return MIN_N_STREAM2 < n <= MAX_N_STREAM
+
+
 def _masked_chol_block(a):
     """Unblocked Cholesky of a symmetric (B, B) tile via 128 masked
     right-looking rank-1 updates."""
@@ -273,9 +292,15 @@ def _chol_inv_forward(mats: jnp.ndarray):
 
 
 def cholinv_eligible(mats) -> bool:
+    """Opt-in (NSGP_PALLAS_CHOLINV=1): measured 2026-08-16 on v5e, the
+    DSVI headline runs 874 steps/s on XLA's vectorized batched chol+solve
+    vs 332 steps/s through this kernel — the grid dimension serialises
+    the batch while XLA vectorises it across sublanes.  Kept as the
+    validated single-launch alternative; revisit with an in-kernel
+    batched (leading-dim) recurrence."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_CHOLINV", "1") != "1":
+    if os.environ.get("NSGP_PALLAS_CHOLINV", "0") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
@@ -335,6 +360,10 @@ chol_inv_batched.defvjp(_ci_fwd, _ci_bwd)
 PANEL = 128
 SPANEL = 256  # streaming-kernel panel width (two-level diagonal factor)
 MAX_N_STREAM = 8192
+# v2 (GEMM formulation) dispatch threshold: measured (differential scan
+# timing, v5e, 2026-08-16) v2 6.78 ms vs XLA 13.06 at n=8192 (1.93×);
+# XLA still ahead at 4096 (2.16 vs 2.79) and 2048 (0.66 vs 0.88)
+MIN_N_STREAM2 = 6144
 
 
 def _chol_block_2level(d):

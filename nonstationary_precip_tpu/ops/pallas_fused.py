@@ -68,11 +68,13 @@ def eligible(x, ell) -> bool:
     if x.shape[-1] > _MAX_D:
         return False
     n = x.shape[0]
-    # lower bound 512: below that XLA's op overhead is small anyway, and it
-    # keeps the vmapped 10-split trainer (N=315/split) on the pure-XLA path
-    # — under vmap the dispatcher's retry cond would lower to select and
-    # execute BOTH paths
-    return 512 <= n <= MAX_N_FUSED
+    # measured window (differential scan timing, v5e, 2026-08-16):
+    #   n=512:  step 0.439 fused vs 0.320 XLA  → XLA
+    #   n=1024: step 0.945 fused vs 1.413 XLA  → fused (1.49×)
+    #   n=1536: step 1.972 fused vs 1.838 XLA  → XLA (sequential diag work
+    #           grows faster than XLA's blocked While at this size)
+    # also keeps the vmapped 10-split trainer (N=315/split) pure-XLA
+    return 768 <= n <= 1280
 
 
 def _gram_strip(xe_ref, xet_ref, lo, n, d, s2, noise):

@@ -138,12 +138,14 @@ def run_spatial():
 
     results = {}
     for inference in ["exact", "sparse"]:
-        # benchmark configs: exact 5000 iters, sparse 2000 (RESULTS.json);
-        # NOTE the sparse run goes NaN between 2000 and 5000 iters on
-        # split 0 (trained z walks Kzz into safe_cholesky's retry ceiling)
-        # — a stability boundary of the inherited config, recorded in
-        # PARITY.md, not a benchmark regime
-        iters = 5000 if inference == "exact" else 2000
+        # benchmark configs: exact 5000 iters, sparse 2000 (RESULTS.json).
+        # NOTE: on CPU f32 the sparse trajectory diverges shortly before
+        # 2000 iters (trained z walks K_zz past safe_cholesky's retry
+        # ceiling); the TPU benchmark run at 2000 stays finite — the config
+        # rides the stability edge and rounding decides.  1500 is safely
+        # inside the stable regime on both backends and the calibration
+        # decomposition is already converged there.
+        iters = 5000 if inference == "exact" else 1500
         cfg = ExperimentConfig(lr=0.01, max_iters=iters, inference=inference)
         dtype = jnp.float32
         model, mask, args, datas = make_split(x_norm, y_norm, 0, cfg, dtype)
@@ -218,7 +220,8 @@ def run_st_decomposed():
             prior = LogNormalProcess.create(
                 input_dim=2, mean=_math.log(0.3), outputscale=1.0, lengthscale=1.3, dtype=dtype
             )
-            z = kmeans_inducing_points(jax.random.PRNGKey(BASE_SEED), x_train, 500)
+            # benchmark config: --num_inducing 100 (run_benchmarks.py)
+            z = kmeans_inducing_points(jax.random.PRNGKey(BASE_SEED), x_train, 100)
             model = SparseSpatioTemporalNonstationary.create(z, prior, dtype=dtype)
             mask = model.trainable()
         else:
