@@ -21,3 +21,8 @@ native:
 clean:
 	$(MAKE) -C csrc clean
 	rm -rf .pytest_cache
+
+# pre-compile every benchmark program into the persistent cache so axon's
+# 3-20 min remote compiles are paid once, not per experiment run
+warm:
+	python tools/warm_cache.py

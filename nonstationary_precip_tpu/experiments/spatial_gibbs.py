@@ -105,7 +105,10 @@ def main(argv=None):
     else:
         loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
 
-    # all splits train simultaneously as one batched program
+    # all splits train simultaneously as one batched program; chunk=500
+    # keys the compiled scan to a fixed length so changing --max_iters
+    # never triggers a fresh 3-20 min axon compile (the chunk boundary
+    # costs one ~30 ms dispatch per 500 steps)
     res = fit_splits(
         models,
         loss_fn,
@@ -113,6 +116,7 @@ def main(argv=None):
         lr=cfg.lr,
         num_steps=cfg.max_iters,
         masks=masks,
+        chunk=min(500, cfg.max_iters),
     )
     trained = unstack_pytree(res.model, cfg.num_splits)
 

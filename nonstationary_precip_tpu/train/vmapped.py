@@ -41,6 +41,7 @@ def fit_splits(
     num_steps: int = 1000,
     masks: Sequence[Any] = None,
     log_every: int = 0,
+    chunk: int = 0,
 ) -> TrainResult:
     """Train K models on K datasets simultaneously.
 
@@ -71,6 +72,7 @@ def fit_splits(
         mask=mask,
         log_every=log_every,
         has_aux=True,
+        chunk=chunk,
     )
     return TrainResult(model=res.model, losses=res.losses, steps=res.steps)
 
