@@ -25,9 +25,53 @@ def main():
         pass
 
     from nonstationary_precip_tpu.kernels import RBF, Scale
-    from nonstationary_precip_tpu.models import ExactGP
+    from nonstationary_precip_tpu.models import ExactGP, GibbsExactGP
+    from nonstationary_precip_tpu.priors import LogNormalProcess
 
     rng = np.random.default_rng(0)
+
+    # nonstationary MAP steps: the fused Gram→chol→solve Pallas kernel
+    # serves 768 ≤ N ≤ 1280 (1.49× the XLA composition at N=1024)
+    for n in (1024, 1280):
+        x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+        y = jnp.sin(x[:, 0])
+        prior = LogNormalProcess.create(2, mean=float(np.log(0.3)), outputscale=1.0, lengthscale=1.3)
+        gmodel = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644)
+        pc = prior.gram_chol(x)
+        optimizer = optax.adam(0.01)
+        opt_state = optimizer.init(gmodel)
+        steps = 20
+
+        @jax.jit
+        def gchunk(model, opt_state):
+            def step(carry, _):
+                m, s = carry
+                loss, grads = jax.value_and_grad(lambda mm: mm.loss(x, y, pc))(m)
+                updates, s = optimizer.update(grads, s, m)
+                m = optax.apply_updates(m, updates)
+                return (m, s), loss
+
+            return jax.lax.scan(step, (model, opt_state), None, length=steps)
+
+        (gm, gs), losses = gchunk(gmodel, opt_state)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        (gm, gs), losses = gchunk(gmodel, opt_state)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        print(
+            json.dumps(
+                {
+                    "metric": "gibbs_map_step_ms",
+                    "N": n,
+                    "value": round(dt * 1e3, 3),
+                    "unit": "ms/step",
+                    "kernel": "pallas_fused",
+                }
+            ),
+            flush=True,
+        )
+
     for n in (1024, 2048, 4096, 8192):
         x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
         y = jnp.sin(x[:, 0])

@@ -215,6 +215,24 @@ def _forward(mat: jnp.ndarray) -> jnp.ndarray:
     return out[:n, :n]
 
 
+def _chol_pullback(chol, g):
+    """Closed-form Cholesky pullback from the saved factor (Murray 2016):
+    K̄ = sym(L⁻ᵀ Φ(LᵀL̄) L⁻¹), Φ = tril with halved diagonal — two
+    triangular solves, no refactorisation."""
+    lt = jnp.swapaxes(chol, -1, -2)
+    p = lt @ g
+    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    phi = jnp.tril(p) - 0.5 * p * eye
+
+    def solve_t(b):
+        return jax.lax.linalg.triangular_solve(
+            chol, b, left_side=True, lower=True, transpose_a=True
+        )
+
+    kbar_t = solve_t(jnp.swapaxes(solve_t(phi), -1, -2))
+    return (0.5 * (kbar_t + jnp.swapaxes(kbar_t, -1, -2)),)
+
+
 @jax.custom_vjp
 def blocked_cholesky(mat: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky factor via the single-launch Pallas kernel."""
@@ -222,12 +240,12 @@ def blocked_cholesky(mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd(mat):
-    return _forward(mat), mat
+    out = _forward(mat)
+    return out, out
 
 
-def _bwd(mat, g):
-    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
-    return vjp(g)
+def _bwd(chol, g):
+    return _chol_pullback(chol, g)
 
 
 blocked_cholesky.defvjp(_fwd, _bwd)
@@ -569,12 +587,12 @@ def streaming_cholesky(mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sfwd(mat):
-    return _forward_streaming(mat), mat
+    out = _forward_streaming(mat)
+    return out, out
 
 
-def _sbwd(mat, g):
-    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
-    return vjp(g)
+def _sbwd(chol, g):
+    return _chol_pullback(chol, g)
 
 
 streaming_cholesky.defvjp(_sfwd, _sbwd)
@@ -786,12 +804,12 @@ def streaming_cholesky2(mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def _s2fwd(mat):
-    return _forward_streaming2(mat), mat
+    out = _forward_streaming2(mat)
+    return out, out
 
 
-def _s2bwd(mat, g):
-    _, vjp = jax.vjp(jnp.linalg.cholesky, mat)
-    return vjp(g)
+def _s2bwd(chol, g):
+    return _chol_pullback(chol, g)
 
 
 streaming_cholesky2.defvjp(_s2fwd, _s2bwd)

@@ -1,10 +1,16 @@
-"""Batched linear-algebra convenience functions.
+"""Batched linear-algebra convenience functions — COMPATIBILITY API.
 
 API-parity layer for the reference's ``utils/functional.py``
 (/root/reference/utils/functional.py:14-162) in JAX: terse names for
 batched dot/transpose/trace/matvec/quadratic forms, (half-)vectorisation,
 Kronecker products, projections.  Solve paths go through Cholesky
 (ops/linalg) rather than LU since every matrix in this framework is PSD.
+
+Status: this module exists so reference users migrating code that calls
+``fn.quad``/``fn.vech``/… find the same surface here (tested in
+tests/test_functional.py).  The framework's own internals call
+``ops/linalg`` directly — its primitives carry the Pallas dispatch and
+custom VJPs that these one-liners don't need.
 """
 
 from __future__ import annotations
