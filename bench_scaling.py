@@ -53,12 +53,27 @@ def main():
 
             return jax.lax.scan(step, (model, opt_state), None, length=steps)
 
-        (gm, gs), losses = gchunk(gmodel, opt_state)
-        jax.block_until_ready(losses)
+        # differential timing: (T(2S) - T(S))/S cancels the ~28 ms
+        # per-program axon dispatch constant
+        @jax.jit
+        def gchunk2(model, opt_state):
+            def step(carry, _):
+                m, s = carry
+                loss, grads = jax.value_and_grad(lambda mm: mm.loss(x, y, pc))(m)
+                updates, s = optimizer.update(grads, s, m)
+                m = optax.apply_updates(m, updates)
+                return (m, s), loss
+
+            return jax.lax.scan(step, (model, opt_state), None, length=2 * steps)
+
+        jax.block_until_ready(gchunk(gmodel, opt_state)[1])
+        jax.block_until_ready(gchunk2(gmodel, opt_state)[1])
         t0 = time.perf_counter()
-        (gm, gs), losses = gchunk(gmodel, opt_state)
-        jax.block_until_ready(losses)
-        dt = (time.perf_counter() - t0) / steps
+        jax.block_until_ready(gchunk(gmodel, opt_state)[1])
+        t1 = time.perf_counter()
+        jax.block_until_ready(gchunk2(gmodel, opt_state)[1])
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / steps
         print(
             json.dumps(
                 {
@@ -95,12 +110,28 @@ def main():
             )
             return model, opt_state, losses
 
-        model, opt_state, losses = chunk(model, opt_state)
-        jax.block_until_ready(losses)
+        @jax.jit
+        def chunk2(model, opt_state):
+            def step(carry, _):
+                m, s = carry
+                loss, grads = jax.value_and_grad(lambda mm: mm.loss(x, y))(m)
+                updates, s = optimizer.update(grads, s, m)
+                m = optax.apply_updates(m, updates)
+                return (m, s), loss
+
+            (model, opt_state), losses = jax.lax.scan(
+                step, (model, opt_state), None, length=2 * steps
+            )
+            return model, opt_state, losses
+
+        jax.block_until_ready(chunk(model, opt_state)[2])
+        jax.block_until_ready(chunk2(model, opt_state)[2])
         t0 = time.perf_counter()
-        model, opt_state, losses = chunk(model, opt_state)
-        jax.block_until_ready(losses)
-        dt = (time.perf_counter() - t0) / steps
+        jax.block_until_ready(chunk(model, opt_state)[2])
+        t1 = time.perf_counter()
+        jax.block_until_ready(chunk2(model, opt_state)[2])
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / steps
         print(
             json.dumps(
                 {

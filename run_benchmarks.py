@@ -36,8 +36,10 @@ EXPECTED_BANDS = {
     "sgpr_bench_100iter": {"rmse": 1.70, "nlpd": 2.10},
     "sgpr_bench_converged": {"rmse": 1.70, "nlpd": 2.10},
     # field drift vs the reference's shipped dgp2 artifact: RMSE between
-    # the two predicted fields (mm/day) and 1 − pattern correlation
-    "dgp_field_regression": {"rmse": 0.90, "nlpd": 0.25},
+    # the two predicted fields (mm/day) and 1 − pattern correlation.
+    # Measured (v5e, 400 epochs, 2026-08-16): rmse 0.433, corr 0.9506
+    # (our field's ground-truth corr 0.9732 vs the reference's own 0.9200)
+    "dgp_field_regression": {"rmse": 0.60, "nlpd": 0.10},
 }
 
 
