@@ -104,19 +104,20 @@ def blocked_trsm(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fwd(l, b):
-    return _forward(l, b), (l, b)
+    x = _forward(l, b)
+    return x, (l, x)
 
 
 def _bwd(res, g):
-    l, b = res
-
-    def ref(l_, b_):
-        return jax.lax.linalg.triangular_solve(
-            l_, b_, left_side=True, lower=True
-        )
-
-    _, vjp = jax.vjp(ref, l, b)
-    return vjp(g)
+    """Closed-form pullback from the saved primal solution X = L⁻¹B:
+    B̄ = L⁻ᵀ X̄ (one triangular solve), L̄ = −tril(B̄ Xᵀ) — no re-solve of
+    the forward system."""
+    l, x = res
+    bbar = jax.lax.linalg.triangular_solve(
+        l, g, left_side=True, lower=True, transpose_a=True
+    )
+    lbar = -jnp.tril(bbar @ x.T)
+    return lbar, bbar
 
 
 blocked_trsm.defvjp(_fwd, _bwd)
