@@ -17,6 +17,7 @@ EXPERIMENTS = [
     "deepgp_spatial",
     "precipitation_baselines",
     "sgpr_bench",
+    "field_regression",
 ]
 
 

@@ -183,6 +183,31 @@ def bench_streaming():
         )
 
 
+def bench_vmem_chol():
+    """Fair (differential) blocked_cholesky vs XLA chol at the dispatch
+    window sizes — round-1's 2.1×@1024 claim was dispatch-contaminated."""
+    import nonstationary_precip_tpu.ops.pallas_chol as pc
+
+    rng = np.random.default_rng(2)
+    for n in (768, 1024, 1280):
+        a = rng.normal(size=(n, 128)).astype(np.float32)
+        mat0 = jnp.asarray(a @ a.T / 128 + 4.0 * np.eye(n, dtype=np.float32))
+
+        def step_of(f):
+            def step(mat):
+                l = f(mat)
+                return mat + (1e-30 * l[0, 0]) * jnp.eye(n, dtype=mat.dtype)
+
+            return step
+
+        t_xla = timeit_scanned(step_of(jnp.linalg.cholesky), mat0, steps=50)
+        t_pal = timeit_scanned(step_of(pc._forward), mat0, steps=50)
+        maxdiff = float(
+            jnp.max(jnp.abs(jax.jit(pc._forward)(mat0) - jax.jit(jnp.linalg.cholesky)(mat0)))
+        )
+        log(f"vmemchol_n{n}", xla_ms=round(t_xla, 3), pallas_ms=round(t_pal, 3), maxdiff=maxdiff)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend(), jax.devices())
@@ -190,3 +215,5 @@ if __name__ == "__main__":
         bench_fused()
     if which in ("all", "stream"):
         bench_streaming()
+    if which in ("all", "vmemchol"):
+        bench_vmem_chol()
