@@ -41,14 +41,19 @@ MAX_N = 1280
 
 
 def eligible(mat) -> bool:
-    """Auto-dispatch gate (disable via NSGP_PALLAS_CHOL=0).
+    """Opt-in gate (NSGP_PALLAS_CHOL_VMEM=1).
 
-    Measured 2026-08 on v5e (exact vs XLA, 5e-7 maxdiff):
-      n=512: 0.76 ms both;  n=1024: 0.92 vs 1.92 ms;  n=1280: 1.07 vs 1.45 ms
-    — the single-launch kernel wins above ~512, so dispatch from 768 up."""
+    Round-1 measured this kernel 2.1× XLA at n=1024, but that comparison
+    carried the ~28 ms per-program axon dispatch in both numbers; fair
+    differential timing (2026-08-16) shows XLA ahead standalone —
+    n=1024: 0.205 vs 0.392 ms; n=1280: 0.279 vs 0.494.  The VMEM-resident
+    factorisation still pays off where it FUSES with neighbours (the
+    gram→chol→solve kernel in pallas_fused.py wins its training step
+    1.49× at n=1024), so the standalone kernel stays opt-in as the
+    building block and validated alternative."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_CHOL", "1") != "1":
+    if os.environ.get("NSGP_PALLAS_CHOL_VMEM", "0") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
