@@ -6,6 +6,7 @@ from nonstationary_precip_tpu.models.spatio_temporal import (  # noqa: F401
     SpatioTemporalStationary,
     SparseSpatioTemporalNonstationary,
 )
+from nonstationary_precip_tpu.models.sgpr import SGPR  # noqa: F401
 from nonstationary_precip_tpu.models.svgp import SVGPLayer  # noqa: F401
 from nonstationary_precip_tpu.models.deep_gp import DeepGP  # noqa: F401
 from nonstationary_precip_tpu.models.multivariate_gibbs_gp import (  # noqa: F401
