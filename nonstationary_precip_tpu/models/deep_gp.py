@@ -109,9 +109,22 @@ class DeepGP:
         """
         stack = self._hidden_stack()
         keys = jax.random.split(key, num_samples)
-        # K_zz factors are sample-independent: hoist them out of the vmap
-        pre = [layer.precompute() for layer in stack]
-        pre_head = self.head.precompute()
+        # K_zz factors are sample-independent: hoist them out of the vmap,
+        # and run every layer through ONE batched chol/solve/matmul
+        # (svgp.precompute_layers) — per-op latency at M=250 dominates
+        from nonstationary_precip_tpu.models.svgp import precompute_layers
+
+        uniq = list(self.layers) + [self.head]
+        ms = {l.var_mean.shape[-1] for l in uniq}
+        if len(ms) == 1:
+            pre_uniq = precompute_layers(uniq)
+        else:  # mixed inducing counts: per-layer fallback
+            pre_uniq = [l.precompute() for l in uniq]
+        pre_head = pre_uniq[-1]
+        if self.share_hidden:
+            pre = [pre_uniq[0]] * len(stack)
+        else:
+            pre = pre_uniq[:-1]
 
         def one_sample(k):
             h = x

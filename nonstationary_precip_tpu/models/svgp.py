@@ -102,20 +102,8 @@ class SVGPLayer:
         n = x.shape[-2]
         return jnp.broadcast_to(self.mean_b[:, None], (self.mean_b.shape[0], n))
 
-    def precompute(self):
-        """Sample-independent factors per output:
-        (chol(K_zz+εI) (O, M, M), L⁻ᵀ (O, M, M), W (O, M, 2M+1)).
-
-        Hoisted out of the DSVI S-sample vmap — everything here depends
-        only on parameters.  W = L⁻ᵀ·[m | tril(S) | I] packs the whitened
-        variational mean, root, and identity side by side so the
-        per-sample marginals collapse to ONE MXU matmul
-
-            K_xz @ W = [mean-part | A·S | A]     (N, 2M+1)
-
-        instead of three (A, A·m, A·S): the DSVI step at the benchmark
-        shapes is launch-overhead-bound, not FLOP-bound, so per-sample op
-        count is the thing to minimise."""
+    def gram_zz(self):
+        """K_zz + εI per output, (O, M, M)."""
         ell = positive(self.raw_lengthscale)
         s2 = positive(self.raw_outputscale)
         m = self.var_mean.shape[-1]
@@ -129,29 +117,13 @@ class SVGPLayer:
                 * jnp.maximum(z_sq[:, None] + z_sq[None, :] - 2.0 * zs @ zs.T, 0.0)
             )
 
-        k_zz = jax.vmap(gram)(self.z, ell, s2) + EPSILON * eye  # (O, M, M)
+        return jax.vmap(gram)(self.z, ell, s2) + EPSILON * eye
 
-        from nonstationary_precip_tpu.ops.pallas_chol import (
-            chol_inv_batched,
-            cholinv_eligible,
-        )
-
-        def xla_pair(k):
-            l = jax.vmap(safe_cholesky)(k)
-            li = jax.vmap(lambda l_o: tri_solve(l_o, eye))(l)
-            return l, li
-
-        if cholinv_eligible(k_zz):
-            l_zz, linv = chol_inv_batched(k_zz)
-            bad = jnp.logical_not(jnp.all(jnp.isfinite(linv)))
-            l_zz, linv = jax.lax.cond(
-                bad, xla_pair, lambda _: (l_zz, linv), k_zz
-            )
-        else:
-            l_zz, linv = xla_pair(k_zz)
-        linv_t = jnp.swapaxes(linv, -1, -2)
-
-        packed = jnp.concatenate(
+    def packed_variational(self):
+        """[m | tril(S) | I] per output, (O, M, 2M+1)."""
+        m = self.var_mean.shape[-1]
+        eye = jnp.eye(m, dtype=self.var_mean.dtype)
+        return jnp.concatenate(
             [
                 self.var_mean[:, :, None],
                 jnp.tril(self.var_chol),
@@ -159,8 +131,25 @@ class SVGPLayer:
             ],
             axis=2,
         )
-        w = linv_t @ packed  # (O, M, 2M+1)
-        return l_zz, linv_t, w
+
+    def precompute(self):
+        """Sample-independent factors per output:
+        (chol(K_zz+εI) (O, M, M), L⁻ᵀ (O, M, M), W (O, M, 2M+1)).
+
+        Hoisted out of the DSVI S-sample vmap — everything here depends
+        only on parameters.  W = L⁻ᵀ·[m | tril(S) | I] packs the whitened
+        variational mean, root, and identity side by side so the
+        per-sample marginals collapse to ONE MXU matmul
+
+            K_xz @ W = [mean-part | A·S | A]     (N, 2M+1)
+
+        instead of three (A, A·m, A·S): the DSVI step at the benchmark
+        shapes is launch-overhead-bound, not FLOP-bound, so per-sample op
+        count is the thing to minimise.  (``precompute_layers`` stacks
+        several layers through ONE batched chol/solve/matmul — use it
+        when multiple layers share M.)"""
+        return precompute_layers([self])[0]
+
 
     def marginals(self, x: jnp.ndarray, pre=None):
         """Posterior marginals at x (N, Din) → (mean (O, N), var (O, N))."""
@@ -251,3 +240,35 @@ class SVGPLayer:
         chol = safe_cholesky(cov + 1e-4 * jnp.eye(n, dtype=cov.dtype))
         eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
         return (mean + jnp.einsum("onm,om->on", chol, eps)).T
+
+
+def precompute_layers(layers):
+    """Batched precompute across layers sharing the inducing count M:
+    ONE batched Cholesky, ONE batched triangular solve, and ONE batched
+    W matmul over the concatenated (ΣO, M, M) K_zz stack, split back per
+    layer.  The DSVI step is dominated by per-op latency at M = 250
+    (ablation 2026-08-16: precompute = 0.535 ms of a 0.68 ms forward),
+    so 3 layers × 3 ops → 3 ops is the big lever."""
+    m = layers[0].var_mean.shape[-1]
+    assert all(l.var_mean.shape[-1] == m for l in layers)
+    eye = jnp.eye(m, dtype=layers[0].var_mean.dtype)
+
+    k_all = jnp.concatenate([l.gram_zz() for l in layers], axis=0)  # (ΣO, M, M)
+    l_all = safe_cholesky(k_all)
+    eye_b = jnp.broadcast_to(eye, l_all.shape)
+    linv_all = jax.lax.linalg.triangular_solve(
+        l_all, eye_b, left_side=True, lower=True
+    )
+    linv_t_all = jnp.swapaxes(linv_all, -1, -2)
+    packed_all = jnp.concatenate([l.packed_variational() for l in layers], axis=0)
+    w_all = linv_t_all @ packed_all  # (ΣO, M, 2M+1)
+
+    out = []
+    off = 0
+    for l in layers:
+        o = l.var_mean.shape[0]
+        out.append(
+            (l_all[off : off + o], linv_t_all[off : off + o], w_all[off : off + o])
+        )
+        off += o
+    return out
