@@ -134,3 +134,37 @@ def test_deep_gp_shared_hidden_replicates_reference_tying(key, rng):
     y = jnp.zeros((8,), jnp.float32)
     l = float(model.loss(jax.random.PRNGKey(2), x, y, num_data=8, num_samples=2))
     assert np.isfinite(l)
+
+
+def test_precompute_layers_matches_per_layer(key, rng):
+    """Stacked batched precompute == per-layer precompute (same M), and
+    mixed-M DeepGP construction falls back cleanly."""
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.models.svgp import SVGPLayer, precompute_layers
+
+    k1, k2 = jax.random.split(key)
+    a = SVGPLayer.create(k1, 2, 2, num_inducing=12)
+    b = SVGPLayer.create(k2, 2, 1, num_inducing=12)
+    stacked = precompute_layers([a, b])
+    for layer, pre_s in zip([a, b], stacked):
+        pre_1 = precompute_layers([layer])[0]
+        for x, y in zip(pre_s, pre_1):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+
+def test_deepgp_mixed_inducing_counts_fallback(key):
+    """propagate's batched-precompute path requires equal M; a DeepGP with
+    mixed M must still run via the per-layer fallback."""
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.models import DeepGP
+    from nonstationary_precip_tpu.models.svgp import SVGPLayer
+
+    model = DeepGP.create(key, input_dims=2, num_layers=1, num_inducing=8)
+    small_head = SVGPLayer.create(jax.random.PRNGKey(9), 2, 1, num_inducing=6)
+    model = model.replace(head=small_head)
+    x = jnp.zeros((5, 2), jnp.float32)
+    y = jnp.zeros(5, jnp.float32)
+    loss = model.loss(jax.random.PRNGKey(1), x, y, num_data=5, num_samples=2)
+    assert np.isfinite(float(loss))
