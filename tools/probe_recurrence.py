@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Probe per-step cost of the 128-wide Cholesky recurrence variants.
+
+The streaming/fused kernels' wall-time floor is n sequential column steps
+(~0.3 µs each) of the masked recurrence (_chol_inv_fused).  Candidates:
+
+  A masked   — current: column/row extraction via masked lane/sublane
+               reductions (ops/pallas_chol.py)
+  B dynslice — row via dynamic sublane slice of the symmetric image +
+               column via MXU matvec with a one-hot (B,1) selector
+  C twocol   — two columns per iteration, rank-2 MXU trailing update
+
+Each variant factorises a (128,128) tile REPS times inside one kernel
+(sequentially chained through the input so steps can't be elided), timed
+differentially.  Exactness asserted against numpy first.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from nonstationary_precip_tpu.ops.pallas_chol import _masked_chol_block  # noqa: E402
+
+B = 128
+
+
+def _chol_dynslice(a):
+    """Variant B: dynamic sublane slices + MXU one-hot matvec."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    def step(j, a):
+        row = jax.lax.dynamic_slice(a, (j, 0), (1, B))  # (1, B) sublane-dyn
+        diag = jnp.sum(jnp.where(cols[:1, :] == j, row, 0.0))
+        inv_sqrt = jax.lax.rsqrt(diag)
+        e_j = jnp.where(rows_c == j, 1.0, 0.0).astype(a.dtype)  # (B, 1)
+        col = jnp.dot(a, e_j, preferred_element_type=a.dtype) * inv_sqrt
+        col = jnp.where(rows_c >= j, col, 0.0)
+        rowv = row * inv_sqrt
+        rowv = jnp.where(cols[:1, :] >= j, rowv, 0.0)
+        a = jnp.where(cols == j, col, a)
+        trail = (rows > j) & (cols > j)
+        return a - jnp.where(trail, col * rowv, 0.0)
+
+    a = jax.lax.fori_loop(0, B, step, a)
+    return jnp.where(rows >= cols, a, 0.0)
+
+
+def _chol_twocol(a):
+    """Variant C: two columns per iteration, rank-2 MXU trailing update."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    def step(i, a):
+        j = 2 * i
+        # column j
+        cmask_j = cols == j
+        d_j = jnp.sum(jnp.where(cmask_j & (rows == j), a, 0.0))
+        isq_j = jax.lax.rsqrt(d_j)
+        col_j = jnp.sum(jnp.where(cmask_j, a, 0.0), axis=1, keepdims=True) * isq_j
+        col_j = jnp.where(rows_c >= j, col_j, 0.0)
+        # column j+1 gets col_j's rank-1 correction on the fly
+        cmask_k = cols == j + 1
+        colk_raw = jnp.sum(jnp.where(cmask_k, a, 0.0), axis=1, keepdims=True)
+        lj_k = jnp.sum(jnp.where(rows_c == j + 1, col_j, 0.0))
+        colk = colk_raw - lj_k * col_j
+        d_k = jnp.sum(jnp.where(rows_c == j + 1, colk, 0.0))
+        isq_k = jax.lax.rsqrt(d_k)
+        col_k = jnp.where(rows_c >= j + 1, colk * isq_k, 0.0)
+        # write both columns
+        a = jnp.where(cmask_j, col_j, a)
+        a = jnp.where(cmask_k, col_k, a)
+        # rank-2 trailing update via MXU: P (B,2) @ P^T rows
+        p = jnp.concatenate([col_j, col_k], axis=1)  # (B, 2)
+        upd = jnp.dot(p, p.T, preferred_element_type=a.dtype)
+        trail = (rows > j + 1) & (cols > j + 1)
+        return a - jnp.where(trail, upd, 0.0)
+
+    a = jax.lax.fori_loop(0, B // 2, step, a)
+    return jnp.where(rows >= cols, a, 0.0)
+
+
+VARIANTS = {
+    "A_masked": _masked_chol_block,
+    # B_dynslice is NOT Mosaic-lowerable: dynamic_slice on VALUES is an
+    # unimplemented primitive (only refs support pl.ds indexing) — kept
+    # above for the record
+    "C_twocol": _chol_twocol,
+}
+
+
+def make_kernel(fn, reps):
+    def kernel(a_ref, out_ref):
+        def body(r, acc):
+            l = fn(acc)
+            # chain: rebuild an SPD-ish input from the factor so reps are
+            # sequentially dependent and can't be collapsed
+            return acc + 1e-12 * l
+
+        acc = jax.lax.fori_loop(0, reps, body, a_ref[:])
+        out_ref[:] = fn(acc)
+
+    return kernel
+
+
+def run_variant(name, fn, mat, reps):
+    out = pl.pallas_call(
+        make_kernel(fn, reps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, B), jnp.float32),
+    )(mat)
+    return out
+
+
+def main():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(B, B)).astype(np.float32)
+    mat = jnp.asarray(a @ a.T / B + 2.0 * np.eye(B, dtype=np.float32))
+    ref = np.linalg.cholesky(np.asarray(mat, np.float64))
+
+    # exactness ON CHIP (interpret mode through the axon backend would
+    # round-trip every tiny op; CPU-interpret exactness is covered by the
+    # standalone check in this file's development notes)
+    for name, fn in VARIANTS.items():
+        l = np.asarray(jax.jit(functools.partial(run_variant, name, fn, reps=0))(mat))
+        err = np.max(np.abs(l - ref))
+        print(f"{name}: on-chip maxdiff {err:.2e}", flush=True)
+        assert err < 5e-4, name
+
+    # differential timing on chip: reps vs 2*reps
+    reps = 50
+    for name, fn in VARIANTS.items():
+        f1 = jax.jit(functools.partial(run_variant, name, fn, reps=reps))
+        f2 = jax.jit(functools.partial(run_variant, name, fn, reps=2 * reps))
+        jax.block_until_ready(f1(mat))
+        jax.block_until_ready(f2(mat))
+
+        def best(f):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(mat))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt = (best(f2) - best(f1)) / reps * 1e6
+        print(f"{name}: {dt:.2f} us per 128-chol ({dt/128*1e3:.0f} ns/step)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
