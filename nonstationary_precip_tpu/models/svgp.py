@@ -211,6 +211,20 @@ class SVGPLayer:
         if pre is None:
             pre = self.precompute()
         linv_t = pre[1]
+        if linv_t is None:
+            # fused precompute carries only (L, W); the full-covariance
+            # path is the one consumer of the explicit inverse
+            l_zz = pre[0]
+            eye_b = jnp.broadcast_to(
+                jnp.eye(l_zz.shape[-1], dtype=l_zz.dtype), l_zz.shape
+            )
+            linv_t = jnp.swapaxes(
+                jax.lax.linalg.triangular_solve(
+                    l_zz, eye_b, left_side=True, lower=True
+                ),
+                -1,
+                -2,
+            )
 
         def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
             xs = x / ell_o
@@ -247,28 +261,68 @@ def precompute_layers(layers):
     ONE batched Cholesky, ONE batched triangular solve, and ONE batched
     W matmul over the concatenated (ΣO, M, M) K_zz stack, split back per
     layer.  The DSVI step is dominated by per-op latency at M = 250
-    (ablation 2026-08-16: precompute = 0.535 ms of a 0.68 ms forward),
-    so 3 layers × 3 ops → 3 ops is the big lever."""
+    (ablation 2026-08-16: precompute = 0.535 ms of a 0.68 ms forward).
+
+    On TPU f32 the whole pipeline further fuses into ONE Pallas launch
+    (ops/pallas_svgp.py — gram, batched-inside Cholesky recurrence, and
+    W = L⁻ᵀ[m|S|I]); the per-layer tuple then carries ``None`` for L⁻ᵀ,
+    which ``joint`` recomputes lazily (only the full-covariance path
+    needs it)."""
     m = layers[0].var_mean.shape[-1]
     assert all(l.var_mean.shape[-1] == m for l in layers)
-    eye = jnp.eye(m, dtype=layers[0].var_mean.dtype)
-
-    k_all = jnp.concatenate([l.gram_zz() for l in layers], axis=0)  # (ΣO, M, M)
-    l_all = safe_cholesky(k_all)
-    eye_b = jnp.broadcast_to(eye, l_all.shape)
-    linv_all = jax.lax.linalg.triangular_solve(
-        l_all, eye_b, left_side=True, lower=True
-    )
-    linv_t_all = jnp.swapaxes(linv_all, -1, -2)
     packed_all = jnp.concatenate([l.packed_variational() for l in layers], axis=0)
-    w_all = linv_t_all @ packed_all  # (ΣO, M, 2M+1)
+    sizes = [l.var_mean.shape[0] for l in layers]
+
+    fused = _try_fused_precompute(layers, packed_all)
+    if fused is not None:
+        l_all, w_all = fused
+        linv_t_all = None
+    else:
+        eye = jnp.eye(m, dtype=layers[0].var_mean.dtype)
+        k_all = jnp.concatenate([l.gram_zz() for l in layers], axis=0)  # (ΣO, M, M)
+        l_all = safe_cholesky(k_all)
+        eye_b = jnp.broadcast_to(eye, l_all.shape)
+        linv_all = jax.lax.linalg.triangular_solve(
+            l_all, eye_b, left_side=True, lower=True
+        )
+        linv_t_all = jnp.swapaxes(linv_all, -1, -2)
+        w_all = linv_t_all @ packed_all  # (ΣO, M, 2M+1)
 
     out = []
     off = 0
-    for l in layers:
-        o = l.var_mean.shape[0]
+    for o in sizes:
         out.append(
-            (l_all[off : off + o], linv_t_all[off : off + o], w_all[off : off + o])
+            (
+                l_all[off : off + o],
+                None if linv_t_all is None else linv_t_all[off : off + o],
+                w_all[off : off + o],
+            )
         )
         off += o
     return out
+
+
+def _try_fused_precompute(layers, packed_all):
+    """Concatenate (z, 1/ℓ, s²) across layers — feature dims padded to the
+    max (ghost dims: z=0, ℓ=1 contribute nothing to the RBF gram) — and
+    run the single-launch Pallas precompute.  Returns None if ineligible
+    (CPU, f64, M > 256, D > 8)."""
+    from nonstationary_precip_tpu.ops import pallas_svgp
+
+    d_max = max(l.z.shape[-1] for l in layers)
+
+    def pad_d(arr, fill):
+        pad = d_max - arr.shape[-1]
+        if pad == 0:
+            return arr
+        widths = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+        return jnp.pad(arr, widths, constant_values=fill)
+
+    z_all = jnp.concatenate([pad_d(l.z, 0.0) for l in layers], axis=0)
+    if not pallas_svgp.eligible(z_all):
+        return None
+    ell_all = jnp.concatenate(
+        [pad_d(positive(l.raw_lengthscale), 1.0) for l in layers], axis=0
+    )
+    s2_all = jnp.concatenate([positive(l.raw_outputscale) for l in layers], axis=0)
+    return pallas_svgp.svgp_precompute_fused(z_all, ell_all, s2_all, packed_all)

@@ -1,0 +1,312 @@
+"""Fused SVGP K_zz precompute: gram → Cholesky → W = L⁻ᵀ[m|tril(S)|I]
+for ALL layers' output dims in ONE Pallas launch.
+
+The DSVI step's dominant cost is this sample-independent precompute
+(ablation 2026-08-16: 0.535 ms of a 0.68 ms forward at M=250, T=5 output
+dims across 3 layers).  XLA runs it as ~9 batched ops; here the whole
+pipeline is one kernel, and — unlike the retired grid-batched
+chol_inv_batched (grid SERIALISES the batch: 332 vs 874 steps/s) — the
+Cholesky recurrence is batched INSIDE the kernel: every masked column
+step operates on a (T, 128, 128) tensor, so the ~256-step sequential
+chain is paid once for all T matrices instead of T times.
+
+Layout: M padded to 256 (two-level 128-block recurrence), z lane-padded
+to 128 features, W width 2M+1 padded to lanes.
+
+Custom VJP (closed form, no refactorisation — validated f64-exact):
+  W = L⁻ᵀ P         ⇒  P̄ = L⁻¹ W̄,   L̄ += −L⁻ᵀ W̄ Wᵀ
+  L = chol(K)       ⇒  K̄ = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹)
+  K = s²G(z/ℓ) + εI ⇒  z̄, ℓ̄, s̄² via the (cheap, O(TM²D)) gram VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nonstationary_precip_tpu.utils.config import EPSILON
+
+_FEAT = 128
+_MAX_D = 8
+BLOCK = 128
+
+
+def eligible(z_all) -> bool:
+    import os
+
+    if os.environ.get("NSGP_PALLAS_SVGP", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if z_all.dtype != jnp.float32 or z_all.ndim != 3:
+        return False
+    t, m, d = z_all.shape
+    # m ≤ 256: the in-kernel recurrence is 1- or 2-level 128 blocks
+    return t <= 16 and d <= _MAX_D and 64 <= m <= 256
+
+
+# -- batched (leading-dim) masked recurrences --------------------------------
+
+
+def _chol_inv_fused_b(a):
+    """(chol(A), chol(A)⁻¹) for (T, B, B) symmetric tiles — the 128-step
+    fused recurrence of ops/pallas_chol.py with every op batched over T."""
+    t, b, _ = a.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, b, b), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, b, b), 2)
+    eye = jnp.where(rows == cols, 1.0, 0.0).astype(a.dtype)
+
+    def step(j, carry):
+        a, x = carry
+        colmask = cols == j
+        rowmask = rows == j
+        diag = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=(-2, -1), keepdims=True)
+        inv_sqrt = jax.lax.rsqrt(diag)  # (T,1,1)
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True) * inv_sqrt
+        col = jnp.where(rows[:, :, :1] >= j, col, 0.0)  # (T,B,1)
+        rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True) * inv_sqrt
+        rowv = jnp.where(cols[:, :1, :] >= j, rowv, 0.0)  # (T,1,B)
+        a = jnp.where(colmask, col, a)
+        trail = (rows > j) & (cols > j)
+        a = a - jnp.where(trail, col * rowv, 0.0)
+
+        # inverse row j rides along (cols < j of row j are final L entries)
+        lrow = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True)  # (T,1,B)
+        lrow_lt = jnp.where(cols[:, :1, :] < j, lrow, 0.0)
+        e_j = jnp.where(cols[:, :1, :] == j, 1.0, 0.0).astype(a.dtype)
+        # (T,1,B) @ (T,B,B) as a masked-multiply + sublane reduction (no
+        # batched MXU dot in Mosaic): Σ_b lrow_lt[t,0,b] · x[t,b,c]
+        prod = jnp.swapaxes(lrow_lt, -1, -2) * x  # (T,B,B): row b scaled
+        contrib = jnp.sum(prod, axis=-2, keepdims=True)  # (T,1,B)
+        xrow = (e_j - contrib) * inv_sqrt
+        x = jnp.where(rowmask, xrow, x)
+        return a, x
+
+    a, x = jax.lax.fori_loop(0, b, step, (a, eye))
+    return jnp.where(rows >= cols, a, 0.0), x
+
+
+def _chol_inv_2level_b(d):
+    """Batched two-level (2B) factor+inverse: block algebra over (T,2B,2B)
+    with per-T MXU matmuls (static python loop — Mosaic dots are 2-D).
+
+    The real SVGP K_zz (M=250 random 2-D z, ε=1e-5 jitter) is numerically
+    near-singular: ‖L₁₁⁻¹‖ ~ 3e2, so the inverse-based panel
+    l21 = D21·I11ᵀ carries ~3e-4 error and the one-shot rank-128 Schur
+    complement flips ~1e-5 diagonals negative (NaN).  One Newton
+    refinement of each inverse (X ← X(2I − L X)) and of the panel
+    (l21 += (D21 − l21 L11ᵀ)·I11ᵀ) — five extra MXU matmuls per T —
+    squares the error away; validated against f64 on the ill-conditioned
+    case in tests."""
+    t, n, _ = d.shape
+    b = n // 2
+    d11 = d[:, :b, :b]
+    d21 = d[:, b:, :b]
+    d22 = d[:, b:, b:]
+    eye = jnp.eye(b, dtype=d.dtype)
+
+    def bmm(x, y):
+        # (T, p, q) @ (T, q, r) via static per-T 2-D dots
+        return jnp.stack(
+            [jnp.dot(x[i], y[i], preferred_element_type=jnp.float32) for i in range(t)]
+        )
+
+    def refine_inv(l, x):
+        # Newton: X ← X (2I − L X), keeps lower-triangular support
+        return jnp.tril(bmm(x, 2.0 * eye - bmm(l, x)))
+
+    l11, i11 = _chol_inv_fused_b(d11)
+    i11 = refine_inv(l11, i11)
+    l21 = bmm(d21, jnp.swapaxes(i11, -1, -2))
+    l21 = l21 + bmm(d21 - bmm(l21, jnp.swapaxes(l11, -1, -2)), jnp.swapaxes(i11, -1, -2))
+    l22, i22 = _chol_inv_fused_b(d22 - bmm(l21, jnp.swapaxes(l21, -1, -2)))
+    i22 = refine_inv(l22, i22)
+    zero = jnp.zeros((t, b, b), jnp.float32)
+    ilow = -bmm(i22, bmm(l21, i11))
+    l = jnp.concatenate(
+        [
+            jnp.concatenate([l11, zero], axis=2),
+            jnp.concatenate([l21, l22], axis=2),
+        ],
+        axis=1,
+    )
+    linv = jnp.concatenate(
+        [
+            jnp.concatenate([i11, zero], axis=2),
+            jnp.concatenate([ilow, i22], axis=2),
+        ],
+        axis=1,
+    )
+    return l, linv
+
+
+def _svgp_kernel(
+    z_ref, ell_ref, s2_ref, packed_ref, l_ref, w_ref, *, t: int, m: int, mm: int
+):
+    # -- gram: K = s2 * exp(-0.5 (|z|² + |z'|² - 2 z z'ᵀ)) + εI per t,
+    # padded rows/cols masked to an identity block (exact, no reliance on
+    # padded-z magnitudes) -------------------------------------------------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    valid = (rows < mm) & (cols < mm)
+    for i in range(t):
+        z = z_ref[i]  # (m, 128): features in lanes [0, d)
+        s2 = s2_ref[0, i]
+        zs_full = z * ell_ref[i]  # ell_ref holds 1/ℓ in lanes [0, d), 0 beyond
+        sq = jnp.sum(zs_full * zs_full, axis=-1, keepdims=True)  # (m, 1)
+        cross = jnp.dot(zs_full, zs_full.T, preferred_element_type=jnp.float32)
+        quad = jnp.maximum(sq + sq.T - 2.0 * cross, 0.0)
+        k = s2 * jnp.exp(-0.5 * quad)
+        k = jnp.where(valid, k, 0.0)
+        k = jnp.where(rows == cols, s2 + EPSILON, k)
+        l_ref[i] = k  # use l_ref as the K workspace
+
+    # -- batched factor + inverse ------------------------------------------
+    if m == BLOCK:
+        l, linv = _chol_inv_fused_b(l_ref[:])
+    else:
+        l, linv = _chol_inv_2level_b(l_ref[:])
+    l_ref[:] = l
+
+    # -- W = L⁻ᵀ packed per t (MXU) -----------------------------------------
+    for i in range(t):
+        w_ref[i] = jnp.dot(
+            linv[i].T, packed_ref[i], preferred_element_type=jnp.float32
+        )
+
+
+def _forward(z_all, ell_all, s2_all, packed_all):
+    """z_all (T,M,D), ell_all (T,D), s2_all (T,), packed_all (T,M,P) →
+    (L (T,M,M), W (T,M,P))."""
+    t, mm, d = z_all.shape
+    p = packed_all.shape[-1]
+    m_pad = BLOCK if mm <= BLOCK else 2 * BLOCK
+    assert mm <= m_pad <= 2 * BLOCK
+    w_pad = -(-p // _FEAT) * _FEAT
+
+    # z lane-padded; inverse lengthscales broadcast into the lanes so the
+    # kernel's zs = z * ell_inv is a single elementwise multiply
+    z_p = jnp.zeros((t, m_pad, _FEAT), jnp.float32)
+    z_p = jax.lax.dynamic_update_slice(z_p, z_all.astype(jnp.float32), (0, 0, 0))
+    ell_inv = jnp.zeros((t, _FEAT), jnp.float32)
+    ell_inv = jax.lax.dynamic_update_slice(
+        ell_inv, (1.0 / ell_all).astype(jnp.float32), (0, 0)
+    )
+    ell_b = jnp.broadcast_to(ell_inv[:, None, :], (t, m_pad, _FEAT))
+
+    packed_p = jnp.zeros((t, m_pad, w_pad), jnp.float32)
+    packed_p = jax.lax.dynamic_update_slice(
+        packed_p, packed_all.astype(jnp.float32), (0, 0, 0)
+    )
+
+    s2_p = s2_all.astype(jnp.float32)[None, :]  # (1, T) SMEM
+
+    l, w = pl.pallas_call(
+        functools.partial(_svgp_kernel, t=t, m=m_pad, mm=mm),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, m_pad, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t, m_pad, w_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * (2 * m_pad**3 + 2 * m_pad * m_pad * p),
+            bytes_accessed=4 * t * (2 * m_pad * m_pad + 2 * m_pad * w_pad),
+            transcendentals=t * m_pad * m_pad,
+        ),
+    )(z_p, ell_b, s2_p, packed_p)
+    return l[:, :mm, :mm], w[:, :mm, :p]
+
+
+def _reference(z_all, ell_all, s2_all, packed_all):
+    """Pure-jnp composition (oracle and VJP recompute for the gram)."""
+    zs = z_all / ell_all[:, None, :]
+    sq = jnp.sum(zs * zs, axis=-1)
+    quad = jnp.maximum(
+        sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum("tmd,tnd->tmn", zs, zs),
+        0.0,
+    )
+    k = s2_all[:, None, None] * jnp.exp(-0.5 * quad)
+    mm = z_all.shape[1]
+    eye = jnp.eye(mm, dtype=z_all.dtype)
+    k = k + EPSILON * eye
+    l = jnp.linalg.cholesky(k)
+    w = jax.lax.linalg.triangular_solve(
+        l, packed_all, left_side=True, lower=True, transpose_a=True
+    )
+    return l, w
+
+
+@jax.custom_vjp
+def svgp_precompute_fused(z_all, ell_all, s2_all, packed_all):
+    """(L, W = L⁻ᵀ·packed) for T layers' K_zz in one Pallas launch."""
+    return _forward(z_all, ell_all, s2_all, packed_all)
+
+
+def _fwd(z_all, ell_all, s2_all, packed_all):
+    out = _forward(z_all, ell_all, s2_all, packed_all)
+    return out, (z_all, ell_all, s2_all, out)
+
+
+def _solve_t(l, b):
+    return jax.lax.linalg.triangular_solve(
+        l, b, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def _solve(l, b):
+    return jax.lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
+
+
+def _bwd(res, g):
+    z_all, ell_all, s2_all, (l, w) = res
+    lbar, wbar = g
+    lbar = jnp.zeros_like(l) if lbar is None else lbar
+    wbar = jnp.zeros_like(w) if wbar is None else wbar
+
+    # W = L⁻ᵀ P:  P̄ = L⁻¹ W̄;  L̄ += −W W̄ᵀ L⁻ᵀ = −(L⁻¹ W̄ Wᵀ)ᵀ,
+    # restricted to the lower triangle (L's structural support)
+    pbar = _solve(l, wbar)
+    lbar = jnp.tril(lbar) - jnp.tril(
+        jnp.swapaxes(_solve(l, wbar @ jnp.swapaxes(w, -1, -2)), -1, -2)
+    )
+
+    # chol pullback from the saved factor
+    lt = jnp.swapaxes(l, -1, -2)
+    pmat = lt @ lbar
+    eye = jnp.eye(l.shape[-1], dtype=l.dtype)
+    phi = jnp.tril(pmat) - 0.5 * pmat * eye
+    kbar_t = _solve_t(l, jnp.swapaxes(_solve_t(l, phi), -1, -2))
+    kbar = 0.5 * (kbar_t + jnp.swapaxes(kbar_t, -1, -2))
+
+    # gram VJP (recomputes the cheap O(TM²D) gram only)
+    def gram(z, ell, s2):
+        zs = z / ell[:, None, :]
+        sq = jnp.sum(zs * zs, axis=-1)
+        quad = jnp.maximum(
+            sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum("tmd,tnd->tmn", zs, zs),
+            0.0,
+        )
+        return s2[:, None, None] * jnp.exp(-0.5 * quad)
+
+    _, vjp = jax.vjp(gram, z_all, ell_all, s2_all)
+    zbar, ellbar, s2bar = vjp(kbar)
+    return zbar, ellbar, s2bar, pbar
+
+
+svgp_precompute_fused.defvjp(_fwd, _bwd)

@@ -318,3 +318,67 @@ def test_chol_inv_batched_vjp_matches_reference(rng):
         (gref,) = vjp((wl, wi))
         (gours,) = pc._ci_bwd(out, (wl, wi))
         np.testing.assert_allclose(np.asarray(gours), np.asarray(gref), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("t,mm,d", [(3, 128, 2), (5, 250, 2), (2, 200, 3)])
+def test_pallas_svgp_precompute_matches_reference(rng, t, mm, d):
+    """Fused gram→chol→W kernel (batched-inside recurrence) vs f64 truth,
+    incl. the M=250→256 padding path.
+
+    The real SVGP K_zz (random 2-D z, ε=1e-5) is numerically
+    near-singular, so BOTH f32 paths sit O(1e-3) in L (and far more in
+    W = L⁻ᵀP) from the f64 truth — the honest criterion is that the
+    kernel's error is bounded by the XLA composition's own f32 error."""
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+    from jax.experimental.pallas import tpu as pltpu
+
+    z_np = rng.normal(size=(t, mm, d))
+    ell_np = np.exp(rng.normal(size=(t, d)) * 0.3) + 0.3
+    s2_np = np.exp(rng.normal(size=t) * 0.2)
+    p_np = rng.normal(size=(t, mm, 2 * mm + 1))
+    z = jnp.asarray(z_np, jnp.float32)
+    ell = jnp.asarray(ell_np, jnp.float32)
+    s2 = jnp.asarray(s2_np, jnp.float32)
+    packed = jnp.asarray(p_np, jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        l, w = ps._forward(z, ell, s2, packed)
+    l = np.asarray(l)
+    w = np.asarray(w)
+    assert np.isfinite(l).all() and np.isfinite(w).all()
+    np.testing.assert_allclose(np.triu(l[0], 1), 0.0)
+
+    l_r, w_r = ps._reference(z, ell, s2, packed)
+    with jax.enable_x64(True):
+        l64, w64 = ps._reference(
+            jnp.asarray(z_np), jnp.asarray(ell_np), jnp.asarray(s2_np), jnp.asarray(p_np)
+        )
+    l64 = np.asarray(l64)
+    w64 = np.asarray(w64)
+    err_l = np.max(np.abs(l - l64))
+    err_l_xla = np.max(np.abs(np.asarray(l_r) - l64))
+    err_w = np.max(np.abs(w - w64))
+    err_w_xla = np.max(np.abs(np.asarray(w_r) - w64))
+    assert err_l <= 2.0 * err_l_xla + 1e-5, (err_l, err_l_xla)
+    assert err_w <= 2.0 * err_w_xla + 1e-3, (err_w, err_w_xla)
+
+
+def test_pallas_svgp_precompute_bwd_exact_in_f64(rng):
+    """Closed-form (L, W) pullback == jax.vjp of the reference (f64)."""
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+
+    with jax.enable_x64(True):
+        t, mm, d = 2, 48, 2
+        z = jnp.asarray(rng.normal(size=(t, mm, d)))
+        ell = jnp.asarray(np.exp(rng.normal(size=(t, d)) * 0.3) + 0.3)
+        s2 = jnp.asarray(np.exp(rng.normal(size=t) * 0.2))
+        packed = jnp.asarray(rng.normal(size=(t, mm, 2 * mm + 1)))
+        wl = jnp.asarray(rng.normal(size=(t, mm, mm)))
+        ww = jnp.asarray(rng.normal(size=(t, mm, 2 * mm + 1)))
+
+        out = ps._reference(z, ell, s2, packed)
+        _, vjp = jax.vjp(ps._reference, z, ell, s2, packed)
+        ref = vjp((wl, ww))
+        ours = ps._bwd((z, ell, s2, out), (wl, ww))
+        for a_, b_ in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-8, atol=1e-9)
