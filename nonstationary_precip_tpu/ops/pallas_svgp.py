@@ -67,11 +67,16 @@ def _chol_inv_fused_b(a):
         a, x = carry
         colmask = cols == j
         rowmask = rows == j
-        diag = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=(-2, -1), keepdims=True)
-        inv_sqrt = jax.lax.rsqrt(diag)  # (T,1,1)
-        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True) * inv_sqrt
+        # per-T scalar diag: Mosaic crashes on (T,1,1) reductions
+        # (layout CHECK, probed 2026-08-16) — extract rank-0 scalars per T
+        # and rebuild (T,B,1)/(T,1,B) uniform broadcast forms
+        dvec = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=-1, keepdims=True)
+        svals = [jax.lax.rsqrt(jnp.sum(dvec[i])) for i in range(t)]
+        isq_col = jnp.stack([jnp.full((b, 1), s, a.dtype) for s in svals])  # (T,B,1)
+        isq_row = jnp.stack([jnp.full((1, b), s, a.dtype) for s in svals])  # (T,1,B)
+        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True) * isq_col
         col = jnp.where(rows[:, :, :1] >= j, col, 0.0)  # (T,B,1)
-        rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True) * inv_sqrt
+        rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True) * isq_row
         rowv = jnp.where(cols[:, :1, :] >= j, rowv, 0.0)  # (T,1,B)
         a = jnp.where(colmask, col, a)
         trail = (rows > j) & (cols > j)
@@ -85,7 +90,7 @@ def _chol_inv_fused_b(a):
         # batched MXU dot in Mosaic): Σ_b lrow_lt[t,0,b] · x[t,b,c]
         prod = jnp.swapaxes(lrow_lt, -1, -2) * x  # (T,B,B): row b scaled
         contrib = jnp.sum(prod, axis=-2, keepdims=True)  # (T,1,B)
-        xrow = (e_j - contrib) * inv_sqrt
+        xrow = (e_j - contrib) * isq_row
         x = jnp.where(rowmask, xrow, x)
         return a, x
 
