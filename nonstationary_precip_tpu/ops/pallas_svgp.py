@@ -36,9 +36,19 @@ BLOCK = 128
 
 
 def eligible(z_all) -> bool:
+    """Opt-in (NSGP_PALLAS_SVGP=1).  Status 2026-08-16: forward+VJP are
+    validated (f64-exact pullback; f32 accuracy bounded by the XLA
+    composition's own on the near-singular init), and the DSVI headline
+    is NEUTRAL vs the XLA batched path (995 vs 1015 steps/s, within the
+    shared-host variance band) — but a full 400-epoch deepgp_spatial
+    training run goes NaN through this path where the XLA path stays
+    finite: somewhere along the trained-z/ℓ trajectory the in-kernel
+    recurrence (or its Newton-refined block inverse) loses to XLA's
+    factorisation numerics.  Until that regime is isolated, the XLA
+    path keeps the default."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_SVGP", "1") != "1":
+    if os.environ.get("NSGP_PALLAS_SVGP", "0") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
