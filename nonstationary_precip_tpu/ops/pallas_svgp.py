@@ -38,14 +38,19 @@ BLOCK = 128
 def eligible(z_all) -> bool:
     """Opt-in (NSGP_PALLAS_SVGP=1).  Status 2026-08-16: forward+VJP are
     validated (f64-exact pullback; f32 accuracy bounded by the XLA
-    composition's own on the near-singular init), and the DSVI headline
-    is NEUTRAL vs the XLA batched path (995 vs 1015 steps/s, within the
-    shared-host variance band) — but a full 400-epoch deepgp_spatial
-    training run goes NaN through this path where the XLA path stays
-    finite: somewhere along the trained-z/ℓ trajectory the in-kernel
-    recurrence (or its Newton-refined block inverse) loses to XLA's
-    factorisation numerics.  Until that regime is isolated, the XLA
-    path keeps the default."""
+    composition's own), and the DSVI headline is NEUTRAL vs the XLA
+    batched path (995 vs 1015 steps/s, within the shared-host variance
+    band).  Root cause for staying opt-in: the DeepGP INIT K_zz (250
+    z ~ N(0,1) in 2-D, ℓ = s² = softplus(0), ε = 1e-5) is so
+    ill-conditioned that even XLA's plain f32 Cholesky returns NaN
+    on-chip at some inits — the production XLA path survives ONLY via
+    safe_cholesky's escalating-jitter retry.  A retry-free fused kernel
+    is therefore structurally fragile at init regardless of its own
+    numerics (measured: at one init this kernel is finite where plain
+    XLA chol is NaN; at the benchmark's init the reverse), and wrapping
+    it in a lax.cond retry costs more than the kernel saves (cond ≈
+    +4.5 ms/step in training backward).  Use where inits are controlled
+    or jitter is generous."""
     import os
 
     if os.environ.get("NSGP_PALLAS_SVGP", "0") != "1":
