@@ -36,24 +36,20 @@ BLOCK = 128
 
 
 def eligible(z_all) -> bool:
-    """Opt-in (NSGP_PALLAS_SVGP=1).  Status 2026-08-16: forward+VJP are
-    validated (f64-exact pullback; f32 accuracy bounded by the XLA
-    composition's own), and the DSVI headline is NEUTRAL vs the XLA
-    batched path (995 vs 1015 steps/s, within the shared-host variance
-    band).  Root cause for staying opt-in: the DeepGP INIT K_zz (250
-    z ~ N(0,1) in 2-D, ℓ = s² = softplus(0), ε = 1e-5) is so
-    ill-conditioned that even XLA's plain f32 Cholesky returns NaN
-    on-chip at some inits — the production XLA path survives ONLY via
-    safe_cholesky's escalating-jitter retry.  A retry-free fused kernel
-    is therefore structurally fragile at init regardless of its own
-    numerics (measured: at one init this kernel is finite where plain
-    XLA chol is NaN; at the benchmark's init the reverse), and wrapping
-    it in a lax.cond retry costs more than the kernel saves (cond ≈
-    +4.5 ms/step in training backward).  Use where inits are controlled
-    or jitter is generous."""
+    """Dispatch gate (disable via NSGP_PALLAS_SVGP=0).
+
+    History (2026-08-16): the first, retry-free version went NaN on the
+    deepgp benchmark at its INIT — the DeepGP init K_zz (250 z ~ N(0,1)
+    in 2-D, ε = 1e-5) is ill-conditioned enough that even XLA's plain
+    f32 Cholesky NaNs on-chip at some inits, and the XLA path survives
+    only via safe_cholesky's escalating-jitter retry.  The kernel now
+    carries the SAME retry semantics IN-KERNEL (pl.when refactorisation
+    at escalated jitter — a real runtime branch that the custom-VJP
+    boundary hides from autodiff, so it is free on the happy path,
+    unlike a jax-level lax.cond at +4.5 ms/step in backward)."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_SVGP", "0") != "1":
+    if os.environ.get("NSGP_PALLAS_SVGP", "1") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
@@ -168,7 +164,7 @@ def _chol_inv_2level_b(d):
 
 
 def _svgp_kernel(
-    z_ref, ell_ref, s2_ref, packed_ref, l_ref, w_ref, *, t: int, m: int, mm: int
+    z_ref, ell_ref, s2_ref, packed_ref, l_ref, w_ref, k_scr, *, t: int, m: int, mm: int
 ):
     # -- gram: K = s2 * exp(-0.5 (|z|² + |z'|² - 2 z z'ᵀ)) + εI per t,
     # padded rows/cols masked to an identity block (exact, no reliance on
@@ -186,20 +182,36 @@ def _svgp_kernel(
         k = s2 * jnp.exp(-0.5 * quad)
         k = jnp.where(valid, k, 0.0)
         k = jnp.where(rows == cols, s2 + EPSILON, k)
-        l_ref[i] = k  # use l_ref as the K workspace
+        k_scr[i] = k
 
-    # -- batched factor + inverse ------------------------------------------
-    if m == BLOCK:
-        l, linv = _chol_inv_fused_b(l_ref[:])
-    else:
-        l, linv = _chol_inv_2level_b(l_ref[:])
-    l_ref[:] = l
+    # -- batched factor + inverse with IN-KERNEL escalating-jitter retry.
+    # The DeepGP init K_zz is ill-conditioned enough that even XLA's
+    # plain f32 chol NaNs at some inits — the XLA path survives only via
+    # safe_cholesky's retry, so the fused kernel needs the same
+    # semantics.  pl.when is a real runtime branch and the custom-VJP
+    # boundary hides it from autodiff, so (unlike a lax.cond at the jax
+    # level, +4.5 ms/step in backward) retries are free on the happy
+    # path. ------------------------------------------------------------------
+    def factor_and_write(extra_jitter):
+        eye_jit = jnp.where(rows == cols, extra_jitter, 0.0).astype(jnp.float32)
+        k_all = k_scr[:] + eye_jit[None, :, :]
+        if m == BLOCK:
+            l, linv = _chol_inv_fused_b(k_all)
+        else:
+            l, linv = _chol_inv_2level_b(k_all)
+        l_ref[:] = l
+        for i in range(t):
+            w_ref[i] = jnp.dot(
+                linv[i].T, packed_ref[i], preferred_element_type=jnp.float32
+            )
 
-    # -- W = L⁻ᵀ packed per t (MXU) -----------------------------------------
-    for i in range(t):
-        w_ref[i] = jnp.dot(
-            linv[i].T, packed_ref[i], preferred_element_type=jnp.float32
-        )
+    factor_and_write(0.0)
+    for extra in (1e-4, 1e-2):
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(l_ref[:])))
+
+        @pl.when(bad)
+        def _(extra=extra):
+            factor_and_write(extra)
 
 
 def _forward(z_all, ell_all, s2_all, packed_all):
@@ -244,6 +256,7 @@ def _forward(z_all, ell_all, s2_all, packed_all):
             jax.ShapeDtypeStruct((t, m_pad, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((t, m_pad, w_pad), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((t, m_pad, m_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=t * (2 * m_pad**3 + 2 * m_pad * m_pad * p),
             bytes_accessed=4 * t * (2 * m_pad * m_pad + 2 * m_pad * w_pad),
