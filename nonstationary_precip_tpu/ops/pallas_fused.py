@@ -126,33 +126,66 @@ def _fused_kernel(
     noise = sn_ref[0, 1]
     kb = n // PANEL
 
-    # phase 1: build s²K + σ²I strip-wise, straight into the chol buffer
-    for i in range(kb):
-        lo = i * PANEL
-        out_ref[lo : lo + PANEL, :] = _gram_strip(
-            xe_ref, xet_ref, lo, n, d, s2, noise
+    def build_and_factor(extra_jitter):
+        # phase 1: build s²K + (σ²+extra)I strip-wise, straight into the
+        # chol buffer
+        for i in range(kb):
+            lo = i * PANEL
+            out_ref[lo : lo + PANEL, :] = _gram_strip(
+                xe_ref, xet_ref, lo, n, d, s2, noise + extra_jitter
+            )
+
+        # phase 2: in-place blocked right-looking Cholesky (256-wide
+        # panels, each factored by the 2-level 128-block recurrence) with
+        # the forward substitution of y fused into the block recurrence
+        alpha_ref[:] = y_ref[:]
+        for k in range(kb):
+            lo, hi = k * PANEL, (k + 1) * PANEL
+            l_kk, l_inv = _chol_block_2level(out_ref[lo:hi, lo:hi])
+            out_ref[lo:hi, lo:hi] = l_kk
+            a_k = jnp.dot(
+                l_inv, alpha_ref[lo:hi, :], preferred_element_type=jnp.float32
+            )
+            alpha_ref[lo:hi, :] = a_k
+            if k + 1 < kb:
+                p = out_ref[hi:n, lo:hi]
+                p = jnp.dot(p, l_inv.T, preferred_element_type=jnp.float32)
+                out_ref[hi:n, lo:hi] = p
+                t = out_ref[hi:n, hi:n]
+                out_ref[hi:n, hi:n] = t - jnp.dot(
+                    p, p.T, preferred_element_type=jnp.float32
+                )
+                out_ref[lo:hi, hi:n] = jnp.zeros((PANEL, n - hi), jnp.float32)
+                alpha_ref[hi:n, :] = alpha_ref[hi:n, :] - jnp.dot(
+                    p, a_k, preferred_element_type=jnp.float32
+                )
+
+    # first attempt at the model's own noise level, then in-kernel
+    # escalating-jitter retries matching safe_cholesky's semantics.
+    # pl.when is a real runtime branch and the custom-VJP boundary hides
+    # it from autodiff, so (unlike a jax-level lax.cond, measured
+    # +4.5 ms/step in training backward) the retries are free on the
+    # happy path — the same design as ops/pallas_svgp.py.  The attempt
+    # loop is a fori_loop with the jitter as a TRACED scalar so the
+    # build+factor code is instantiated ONCE: a python-unrolled retry
+    # multiplies Mosaic's scoped-VMEM stack peak per copy (the svgp
+    # kernel's unrolled version OOMed at 18.4 MB vs the 16 MB default).
+    def attempt(i, carry):
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(out_ref[:])),
+            jnp.all(jnp.isfinite(alpha_ref[:])),
+        )
+        extra = jnp.where(i == 1, 1e-4, jnp.where(i >= 2, 1e-2, 0.0)).astype(
+            jnp.float32
         )
 
-    # phase 2: in-place blocked right-looking Cholesky (256-wide panels,
-    # each factored by the 2-level 128-block recurrence) with the forward
-    # substitution of y fused into the block recurrence
-    alpha_ref[:] = y_ref[:]
-    for k in range(kb):
-        lo, hi = k * PANEL, (k + 1) * PANEL
-        l_kk, l_inv = _chol_block_2level(out_ref[lo:hi, lo:hi])
-        out_ref[lo:hi, lo:hi] = l_kk
-        a_k = jnp.dot(l_inv, alpha_ref[lo:hi, :], preferred_element_type=jnp.float32)
-        alpha_ref[lo:hi, :] = a_k
-        if k + 1 < kb:
-            p = out_ref[hi:n, lo:hi]
-            p = jnp.dot(p, l_inv.T, preferred_element_type=jnp.float32)
-            out_ref[hi:n, lo:hi] = p
-            t = out_ref[hi:n, hi:n]
-            out_ref[hi:n, hi:n] = t - jnp.dot(p, p.T, preferred_element_type=jnp.float32)
-            out_ref[lo:hi, hi:n] = jnp.zeros((PANEL, n - hi), jnp.float32)
-            alpha_ref[hi:n, :] = alpha_ref[hi:n, :] - jnp.dot(
-                p, a_k, preferred_element_type=jnp.float32
-            )
+        @pl.when(jnp.logical_or(i == 0, jnp.logical_not(finite)))
+        def _():
+            build_and_factor(extra)
+
+        return carry
+
+    jax.lax.fori_loop(0, 3, attempt, 0)
 
 
 def _forward(x, ell, y, s2, noise):
@@ -193,6 +226,11 @@ def _forward(x, ell, y, s2, noise):
             jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ),
+        # headroom over the 16 MB default for the retry's isfinite
+        # reduction temps — the N=1536 budget was already within 44 KB of
+        # the limit (v5e has 128 MB physical VMEM; grid-less kernel, so
+        # occupancy is not a concern)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=n_pad**3 // 3 + 14 * n_pad * n_pad * d,
             bytes_accessed=4 * n_pad * n_pad,
@@ -276,15 +314,17 @@ def gibbs_noisy_chol_alpha(x, ell, y, s2, noise, *, use_fused: bool | None = Non
     """Dispatcher used by GibbsExactGP.loss: (L, α = L⁻¹y) for
     s²K + σ²I, via the fused Pallas kernel when eligible.
 
-    The fused path is single-attempt, deliberately: K carries the model's
-    observation noise (σ² ≈ 1e-2 in every reference config) on a
-    unit-diagonal Gibbs Gram, orders of magnitude above the 1e-5 jitter
-    regime where escalating retries matter, and a ``lax.cond`` NaN-retry
-    measured +4.5 ms/step in the training backward (profile 2026-08-16:
-    6.75 ms with cond vs 2.19 without at N=1024).  A non-finite factor
-    surfaces as a non-finite loss and is caught by ``fit(nan_guard=True)``
-    at the training level.  The XLA path keeps full safe_cholesky
-    escalating-jitter semantics.
+    Both paths carry escalating-jitter retry semantics: the XLA path via
+    ``safe_cholesky``'s primal while_loop, the fused path via IN-KERNEL
+    ``pl.when`` refactorisation (jitter 1e-4 then 1e-2 on a non-finite
+    factor) — a real runtime branch that the custom-VJP boundary hides
+    from autodiff, so it is free on the happy path, unlike a jax-level
+    ``lax.cond`` NaN-retry which measured +4.5 ms/step in the training
+    backward (profile 2026-08-16: 6.75 ms with cond vs 2.19 without at
+    N=1024).  In practice K carries the model's observation noise
+    (σ² ≈ 1e-2 in every reference config) on a unit-diagonal Gibbs Gram,
+    so the retries essentially never fire; ``fit(nan_guard=True)``
+    remains the training-level backstop.
     """
     from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
     from nonstationary_precip_tpu.ops.linalg import safe_cholesky, tri_solve

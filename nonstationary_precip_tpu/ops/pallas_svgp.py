@@ -191,7 +191,10 @@ def _svgp_kernel(
     # semantics.  pl.when is a real runtime branch and the custom-VJP
     # boundary hides it from autodiff, so (unlike a lax.cond at the jax
     # level, +4.5 ms/step in backward) retries are free on the happy
-    # path. ------------------------------------------------------------------
+    # path.  The attempt loop is a fori_loop with the jitter as a TRACED
+    # scalar so the factor code is instantiated ONCE — a python-unrolled
+    # 3-way retry tripled Mosaic's scoped-VMEM stack peak to 18.4 MB and
+    # failed to compile (v5e, 2026-08-16). ------------------------------------
     def factor_and_write(extra_jitter):
         eye_jit = jnp.where(rows == cols, extra_jitter, 0.0).astype(jnp.float32)
         k_all = k_scr[:] + eye_jit[None, :, :]
@@ -205,13 +208,21 @@ def _svgp_kernel(
                 linv[i].T, packed_ref[i], preferred_element_type=jnp.float32
             )
 
-    factor_and_write(0.0)
-    for extra in (1e-4, 1e-2):
-        bad = jnp.logical_not(jnp.all(jnp.isfinite(l_ref[:])))
+    def attempt(i, carry):
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(l_ref[:])), jnp.all(jnp.isfinite(w_ref[:]))
+        )
+        extra = jnp.where(i == 1, 1e-4, jnp.where(i >= 2, 1e-2, 0.0)).astype(
+            jnp.float32
+        )
 
-        @pl.when(bad)
-        def _(extra=extra):
+        @pl.when(jnp.logical_or(i == 0, jnp.logical_not(finite)))
+        def _():
             factor_and_write(extra)
+
+        return carry
+
+    jax.lax.fori_loop(0, 3, attempt, 0)
 
 
 def _forward(z_all, ell_all, s2_all, packed_all):
@@ -257,6 +268,11 @@ def _forward(z_all, ell_all, s2_all, packed_all):
             jax.ShapeDtypeStruct((t, m_pad, w_pad), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((t, m_pad, m_pad), jnp.float32)],
+        # the retry adds one (T, M, M) jittered-K temp over the pre-retry
+        # peak; the default 16 MB scoped limit was already near-full at
+        # T=5, M=256 — raise it (v5e has 128 MB physical VMEM and this
+        # kernel runs grid-less, so occupancy is not a concern)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=t * (2 * m_pad**3 + 2 * m_pad * m_pad * p),
             bytes_accessed=4 * t * (2 * m_pad * m_pad + 2 * m_pad * w_pad),

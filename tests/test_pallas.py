@@ -382,3 +382,93 @@ def test_pallas_svgp_precompute_bwd_exact_in_f64(rng):
         ours = ps._bwd((z, ell, s2, out), (wl, ww))
         for a_, b_ in zip(ours, ref):
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-8, atol=1e-9)
+
+
+def test_pallas_fused_in_kernel_jitter_retry(rng):
+    """A singular K (noise=0, exact duplicate rows) NaNs the plain f32
+    factorisation; the fused kernel's in-kernel pl.when retry must
+    refactorise at escalated jitter and return a finite (L, α) whose
+    L Lᵀ reconstructs K + extra·I for extra ∈ {1e-4, 1e-2}."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+    n, d = 256, 2
+    x_np = rng.normal(size=(n, d))
+    x_np[100] = x_np[50]  # exact duplicate → K exactly singular at noise=0
+    x = jnp.asarray(x_np, jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    ell = ell.at[100].set(ell[50])
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    s2 = jnp.asarray(0.644, jnp.float32)
+    noise = jnp.asarray(0.0, jnp.float32)
+
+    k = s2 * gibbs_gram_reference(x, ell, x, ell)
+    # self-check: the retry-free factorisation really fails on this input
+    assert not bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(k))))
+
+    with pltpu.force_tpu_interpret_mode():
+        chol, alpha = pf._forward(x, ell, y, s2, noise)
+    chol = np.asarray(chol)
+    alpha = np.asarray(alpha)
+    assert np.isfinite(chol).all() and np.isfinite(alpha).all()
+
+    # L Lᵀ must reconstruct K + extra·I for one of the retry levels
+    recon = chol @ chol.T
+    k_np = np.asarray(k, np.float64)
+    errs = {
+        extra: np.max(np.abs(recon - (k_np + extra * np.eye(n))))
+        for extra in (1e-4, 1e-2)
+    }
+    assert min(errs.values()) < 5e-4, errs
+
+
+def test_pallas_svgp_in_kernel_jitter_retry(rng):
+    """Same retry contract for the fused SVGP precompute: a K_zz too
+    ill-conditioned for plain f32 Cholesky (large s², duplicated z)
+    must come back finite via the in-kernel escalating-jitter retry."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+    from nonstationary_precip_tpu.utils.config import EPSILON
+
+    t, mm, d = 2, 128, 2
+    z_np = rng.normal(size=(t, mm, d))
+    z_np[:, 64] = z_np[:, 32]  # duplicates: min eig of K_zz ≈ 2ε ≈ 2e-5
+    ell_np = np.full((t, d), 1.0)
+    s2_np = np.full((t,), 40.0)  # f32 elimination error ≫ the 2ε pivot
+    p_np = rng.normal(size=(t, mm, 2 * mm + 1))
+    z = jnp.asarray(z_np, jnp.float32)
+    ell = jnp.asarray(ell_np, jnp.float32)
+    s2 = jnp.asarray(s2_np, jnp.float32)
+    packed = jnp.asarray(p_np, jnp.float32)
+
+    # self-check: the retry-free XLA composition fails on this input
+    l_plain, _ = ps._reference(z, ell, s2, packed)
+    assert not bool(jnp.all(jnp.isfinite(l_plain)))
+
+    with pltpu.force_tpu_interpret_mode():
+        l, w = ps._forward(z, ell, s2, packed)
+    l = np.asarray(l)
+    w = np.asarray(w)
+    assert np.isfinite(l).all() and np.isfinite(w).all()
+
+    # reconstruction at one of the escalated jitters
+    def k_ref(extra):
+        zs = z_np / ell_np[:, None, :]
+        sq = np.sum(zs * zs, axis=-1)
+        quad = np.maximum(
+            sq[:, :, None] + sq[:, None, :] - 2.0 * np.einsum("tmd,tnd->tmn", zs, zs),
+            0.0,
+        )
+        k = s2_np[:, None, None] * np.exp(-0.5 * quad)
+        return k + (EPSILON + extra) * np.eye(mm)
+
+    errs = {
+        extra: max(
+            np.max(np.abs(l[i] @ l[i].T - k_ref(extra)[i])) for i in range(t)
+        )
+        for extra in (1e-4, 1e-2)
+    }
+    assert min(errs.values()) < 5e-2, errs

@@ -96,25 +96,114 @@ def _chol_twocol(a):
     return jnp.where(rows >= cols, a, 0.0)
 
 
+def _chol_leftlooking_lu(a):
+    """Variant D: LEFT-LOOKING bordered factorisation maintaining both L
+    and U = Lᵀ.  The per-step trailing rank-1 update (the masked
+    variant's dominant full-tile cost) disappears: column j is produced
+    directly as  c = A[j,:] − L[j,:]·Uᵖʳᵉᵛ  via small MXU matvecs against
+    the factor built so far.  Row extraction is an MXU one-hot matvec;
+    the (1,B)→(B,1) transpose needed to write L's column goes through
+    the diag-matrix trick  D = diag(urow), ucol = D·1  (no Mosaic vector
+    transpose required)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    diag_mask = rows == cols
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    ones_col = jnp.ones((B, 1), jnp.float32)
+
+    def step(j, carry):
+        l, u = carry
+        e_row = jnp.where(lane == j, 1.0, 0.0).astype(jnp.float32)  # (1,B)
+        r = jnp.dot(e_row, l, preferred_element_type=jnp.float32)  # L[j,:] (<j)
+        a_row = jnp.dot(e_row, a, preferred_element_type=jnp.float32)
+        corr = jnp.dot(r, u, preferred_element_type=jnp.float32)
+        c_row = a_row - corr
+        d = jnp.sum(jnp.where(lane == j, c_row, 0.0))
+        isq = jax.lax.rsqrt(d)
+        urow = jnp.where(lane >= j, c_row * isq, 0.0)  # (1,B)
+        u = jnp.where(rows == j, urow, u)
+        dmat = jnp.where(diag_mask, urow, 0.0)  # broadcasts over rows
+        ucol = jnp.dot(dmat, ones_col, preferred_element_type=jnp.float32)
+        l = jnp.where(cols == j, ucol, l)
+        return l, u
+
+    zero = jnp.zeros((B, B), jnp.float32)
+    l, _ = jax.lax.fori_loop(0, B, step, (zero, zero))
+    return l
+
+
+def _chol_inv_leftlooking_lu(a):
+    """Variant DI: variant D with the L⁻¹ row recurrence riding along
+    (one extra MXU matvec + one masked row write per step) — the drop-in
+    candidate for ops/pallas_chol.py::_chol_inv_fused."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    diag_mask = rows == cols
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    ones_col = jnp.ones((B, 1), jnp.float32)
+
+    def step(j, carry):
+        l, u, x = carry
+        e_row = jnp.where(lane == j, 1.0, 0.0).astype(jnp.float32)
+        rowmask = rows == j
+        r = jnp.dot(e_row, l, preferred_element_type=jnp.float32)
+        a_row = jnp.dot(e_row, a, preferred_element_type=jnp.float32)
+        corr = jnp.dot(r, u, preferred_element_type=jnp.float32)
+        c_row = a_row - corr
+        d = jnp.sum(jnp.where(lane == j, c_row, 0.0))
+        isq = jax.lax.rsqrt(d)
+        urow = jnp.where(lane >= j, c_row * isq, 0.0)
+        u = jnp.where(rowmask, urow, u)
+        dmat = jnp.where(diag_mask, urow, 0.0)
+        ucol = jnp.dot(dmat, ones_col, preferred_element_type=jnp.float32)
+        l = jnp.where(cols == j, ucol, l)
+        # inverse row j: r holds exactly L[j, <j] (col j unwritten at read)
+        contrib = jnp.dot(r, x, preferred_element_type=jnp.float32)
+        xrow = (e_row - contrib) * isq
+        x = jnp.where(rowmask, xrow, x)
+        return l, u, x
+
+    zero = jnp.zeros((B, B), jnp.float32)
+    l, _, x = jax.lax.fori_loop(0, B, step, (zero, zero, zero))
+    return l, x
+
+
+def _ai_masked(a):
+    from nonstationary_precip_tpu.ops.pallas_chol import _chol_inv_fused
+
+    return _chol_inv_fused(a)
+
+
 VARIANTS = {
     "A_masked": _masked_chol_block,
     # B_dynslice is NOT Mosaic-lowerable: dynamic_slice on VALUES is an
     # unimplemented primitive (only refs support pl.ds indexing) — kept
     # above for the record
     "C_twocol": _chol_twocol,
+    "D_leftlu": _chol_leftlooking_lu,
+}
+
+# (chol, inv) variants — measured separately because the baseline is
+# _chol_inv_fused, the actual diagonal-work primitive of the streaming
+# kernels
+VARIANTS_INV = {
+    "AI_masked": _ai_masked,
+    "DI_leftlu": _chol_inv_leftlooking_lu,
 }
 
 
 def make_kernel(fn, reps):
     def kernel(a_ref, out_ref):
         def body(r, acc):
-            l = fn(acc)
+            out = fn(acc)
+            l = out[0] + 1e-3 * out[1] if isinstance(out, tuple) else out
             # chain: rebuild an SPD-ish input from the factor so reps are
             # sequentially dependent and can't be collapsed
             return acc + 1e-12 * l
 
         acc = jax.lax.fori_loop(0, reps, body, a_ref[:])
-        out_ref[:] = fn(acc)
+        out = fn(acc)
+        out_ref[:] = out[0] + 1e-3 * out[1] if isinstance(out, tuple) else out
 
     return kernel
 
@@ -135,6 +224,9 @@ def main():
     mat = jnp.asarray(a @ a.T / B + 2.0 * np.eye(B, dtype=np.float32))
     ref = np.linalg.cholesky(np.asarray(mat, np.float64))
 
+    refinv = np.linalg.inv(ref)
+    all_variants = {**VARIANTS, **VARIANTS_INV}
+
     # exactness ON CHIP (interpret mode through the axon backend would
     # round-trip every tiny op; CPU-interpret exactness is covered by the
     # standalone check in this file's development notes)
@@ -143,10 +235,16 @@ def main():
         err = np.max(np.abs(l - ref))
         print(f"{name}: on-chip maxdiff {err:.2e}", flush=True)
         assert err < 5e-4, name
+    for name, fn in VARIANTS_INV.items():
+        # the harness emits L + 1e-3·L⁻¹ (single-output probe kernel)
+        l = np.asarray(jax.jit(functools.partial(run_variant, name, fn, reps=0))(mat))
+        err = np.max(np.abs(l - (ref + 1e-3 * refinv)))
+        print(f"{name}: on-chip maxdiff {err:.2e}", flush=True)
+        assert err < 5e-4, name
 
     # differential timing on chip: reps vs 2*reps
     reps = 50
-    for name, fn in VARIANTS.items():
+    for name, fn in all_variants.items():
         f1 = jax.jit(functools.partial(run_variant, name, fn, reps=reps))
         f2 = jax.jit(functools.partial(run_variant, name, fn, reps=2 * reps))
         jax.block_until_ready(f1(mat))
