@@ -9,10 +9,28 @@ The streaming/fused kernels' wall-time floor is n sequential column steps
   B dynslice — row via dynamic sublane slice of the symmetric image +
                column via MXU matvec with a one-hot (B,1) selector
   C twocol   — two columns per iteration, rank-2 MXU trailing update
+  D leftlu   — left-looking bordered steps, MXU one-hot row extraction
+  L leafN    — recursive 2×2 blocking down to a (N,N) recurrence leaf
 
 Each variant factorises a (128,128) tile REPS times inside one kernel
 (sequentially chained through the input so steps can't be elided), timed
 differentially.  Exactness asserted against numpy first.
+
+MEASURED VERDICT (v5e, reps=200 best-of-5, 2026-08-16): the masked
+recurrence is the floor.  Three independent attacks all fail to beat it:
+
+  A_masked   36.4 us / 128-chol      AI_masked (chol+inv)  47.3 us
+  C_twocol   ~= A (rank-2 doubles per-step work, halves steps — wash)
+  D_leftlu   564-905 us — small sequential MXU matvecs carry ~150-200 ns
+             fixed latency each; 4-5 dependent per step kill it
+  AI_leaf64  49.0 us — sub-128-lane tiles do NOT halve op cost; the
+             slice/concat relayouts of the recursion eat the savings
+  AI_leaf32  40.5 us (1.17x) — real but far from the ~1.7x needed to
+             flip the N=4096 streaming-chol window
+
+Conclusion: XLA keeps the 2048-4096 dense-Cholesky window
+(ops/pallas_chol.py dispatch); the Pallas streaming kernel's win starts
+at ~6144 where its GEMM formulation amortises the recurrence.
 """
 
 from __future__ import annotations
@@ -174,6 +192,40 @@ def _ai_masked(a):
     return _chol_inv_fused(a)
 
 
+def _chol_inv_rec_leaf(d, leaf):
+    """Variant L: recursive 2×2 blocking with a SMALLER recurrence leaf.
+    Hypothesis from the D-variant probe: per-step cost is full-tile VPU
+    throughput-bound (16 vregs for a (128,128) tile), so a (64,64) leaf
+    halves per-step cost at the same total step count, trading a handful
+    of extra small MXU matmuls in the block algebra."""
+    from nonstationary_precip_tpu.ops.pallas_chol import _chol_inv_fused
+
+    b = d.shape[0]
+    if b <= leaf:
+        return _chol_inv_fused(d)
+    h = b // 2
+    l11, i11 = _chol_inv_rec_leaf(d[:h, :h], leaf)
+    l21 = jnp.dot(d[h:, :h], i11.T, preferred_element_type=jnp.float32)
+    l22, i22 = _chol_inv_rec_leaf(
+        d[h:, h:] - jnp.dot(l21, l21.T, preferred_element_type=jnp.float32), leaf
+    )
+    zero = jnp.zeros((h, h), jnp.float32)
+    ilow = -jnp.dot(
+        i22,
+        jnp.dot(l21, i11, preferred_element_type=jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    l = jnp.concatenate(
+        [jnp.concatenate([l11, zero], axis=1), jnp.concatenate([l21, l22], axis=1)],
+        axis=0,
+    )
+    linv = jnp.concatenate(
+        [jnp.concatenate([i11, zero], axis=1), jnp.concatenate([ilow, i22], axis=1)],
+        axis=0,
+    )
+    return l, linv
+
+
 VARIANTS = {
     "A_masked": _masked_chol_block,
     # B_dynslice is NOT Mosaic-lowerable: dynamic_slice on VALUES is an
@@ -189,6 +241,9 @@ VARIANTS = {
 VARIANTS_INV = {
     "AI_masked": _ai_masked,
     "DI_leftlu": _chol_inv_leftlooking_lu,
+    "AI_leaf64": functools.partial(_chol_inv_rec_leaf, leaf=64),
+    "AI_leaf32": functools.partial(_chol_inv_rec_leaf, leaf=32),
+    "AI_leaf16": functools.partial(_chol_inv_rec_leaf, leaf=16),
 }
 
 
@@ -242,9 +297,14 @@ def main():
         print(f"{name}: on-chip maxdiff {err:.2e}", flush=True)
         assert err < 5e-4, name
 
-    # differential timing on chip: reps vs 2*reps
-    reps = 50
+    # differential timing on chip: reps vs 2*reps.  reps=200/best-of-5:
+    # the original reps=50/best-of-3 showed inter-run variance larger
+    # than the effects under test (one run measured A_masked NEGATIVE).
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     for name, fn in all_variants.items():
+        if only and name not in only:
+            continue
         f1 = jax.jit(functools.partial(run_variant, name, fn, reps=reps))
         f2 = jax.jit(functools.partial(run_variant, name, fn, reps=2 * reps))
         jax.block_until_ready(f1(mat))
@@ -252,7 +312,7 @@ def main():
 
         def best(f):
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 jax.block_until_ready(f(mat))
                 ts.append(time.perf_counter() - t0)
