@@ -265,9 +265,10 @@ def precompute_layers(layers):
 
     On TPU f32 the whole pipeline further fuses into ONE Pallas launch
     (ops/pallas_svgp.py — gram, batched-inside Cholesky recurrence, and
-    W = L⁻ᵀ[m|S|I]); the per-layer tuple then carries ``None`` for L⁻ᵀ,
-    which ``joint`` recomputes lazily (only the full-covariance path
-    needs it)."""
+    W = L⁻ᵀ[m|S|I]), which also exports the recurrence's L⁻¹ by-product,
+    so the per-layer tuple carries a real L⁻ᵀ on both paths and the
+    kernel's custom VJP runs on MXU GEMMs instead of triangular solves
+    (backward was 0.46 ms of the 0.98 ms DSVI step)."""
     m = layers[0].var_mean.shape[-1]
     assert all(l.var_mean.shape[-1] == m for l in layers)
     packed_all = jnp.concatenate([l.packed_variational() for l in layers], axis=0)
@@ -275,8 +276,8 @@ def precompute_layers(layers):
 
     fused = _try_fused_precompute(layers, packed_all)
     if fused is not None:
-        l_all, w_all = fused
-        linv_t_all = None
+        l_all, w_all, linv_all = fused
+        linv_t_all = jnp.swapaxes(linv_all, -1, -2)
     else:
         eye = jnp.eye(m, dtype=layers[0].var_mean.dtype)
         k_all = jnp.concatenate([l.gram_zz() for l in layers], axis=0)  # (ΣO, M, M)

@@ -164,7 +164,18 @@ def _chol_inv_2level_b(d):
 
 
 def _svgp_kernel(
-    z_ref, ell_ref, s2_ref, packed_ref, l_ref, w_ref, k_scr, *, t: int, m: int, mm: int
+    z_ref,
+    ell_ref,
+    s2_ref,
+    packed_ref,
+    l_ref,
+    w_ref,
+    linv_ref,
+    k_scr,
+    *,
+    t: int,
+    m: int,
+    mm: int,
 ):
     # -- gram: K = s2 * exp(-0.5 (|z|² + |z'|² - 2 z z'ᵀ)) + εI per t,
     # padded rows/cols masked to an identity block (exact, no reliance on
@@ -203,6 +214,10 @@ def _svgp_kernel(
         else:
             l, linv = _chol_inv_2level_b(k_all)
         l_ref[:] = l
+        # L⁻¹ is a by-product of the in-kernel recurrence: exporting it
+        # lets the custom VJP replace all four batched triangular solves
+        # with MXU GEMMs (the solves were ~half the DSVI step's backward)
+        linv_ref[:] = linv
         for i in range(t):
             w_ref[i] = jnp.dot(
                 linv[i].T, packed_ref[i], preferred_element_type=jnp.float32
@@ -227,7 +242,7 @@ def _svgp_kernel(
 
 def _forward(z_all, ell_all, s2_all, packed_all):
     """z_all (T,M,D), ell_all (T,D), s2_all (T,), packed_all (T,M,P) →
-    (L (T,M,M), W (T,M,P))."""
+    (L (T,M,M), W (T,M,P), L⁻¹ (T,M,M))."""
     t, mm, d = z_all.shape
     p = packed_all.shape[-1]
     m_pad = BLOCK if mm <= BLOCK else 2 * BLOCK
@@ -251,7 +266,7 @@ def _forward(z_all, ell_all, s2_all, packed_all):
 
     s2_p = s2_all.astype(jnp.float32)[None, :]  # (1, T) SMEM
 
-    l, w = pl.pallas_call(
+    l, w, linv = pl.pallas_call(
         functools.partial(_svgp_kernel, t=t, m=m_pad, mm=mm),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -262,10 +277,12 @@ def _forward(z_all, ell_all, s2_all, packed_all):
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t, m_pad, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((t, m_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t, m_pad, m_pad), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((t, m_pad, m_pad), jnp.float32)],
         # the retry adds one (T, M, M) jittered-K temp over the pre-retry
@@ -279,7 +296,7 @@ def _forward(z_all, ell_all, s2_all, packed_all):
             transcendentals=t * m_pad * m_pad,
         ),
     )(z_p, ell_b, s2_p, packed_p)
-    return l[:, :mm, :mm], w[:, :mm, :p]
+    return l[:, :mm, :mm], w[:, :mm, :p], linv[:, :mm, :mm]
 
 
 def _reference(z_all, ell_all, s2_all, packed_all):
@@ -298,12 +315,22 @@ def _reference(z_all, ell_all, s2_all, packed_all):
     w = jax.lax.linalg.triangular_solve(
         l, packed_all, left_side=True, lower=True, transpose_a=True
     )
-    return l, w
+    linv = jax.lax.linalg.triangular_solve(
+        l, jnp.broadcast_to(eye, l.shape), left_side=True, lower=True
+    )
+    return l, w, linv
 
 
 @jax.custom_vjp
 def svgp_precompute_fused(z_all, ell_all, s2_all, packed_all):
-    """(L, W = L⁻ᵀ·packed) for T layers' K_zz in one Pallas launch."""
+    """(L, W = L⁻ᵀ·packed, L⁻¹) for T layers' K_zz in one Pallas launch.
+
+    L⁻¹ is a free by-product of the in-kernel recurrence; exporting it
+    (a) gives ``precompute_layers`` a real L⁻ᵀ instead of a lazy
+    recompute, and (b) lets the custom VJP run entirely on MXU GEMMs —
+    the DSVI-step ablation (tools/profile_dsvi.py, v5e 2026-08-16)
+    measured the backward at 0.46 ms of the 0.98 ms step, dominated by
+    the four batched triangular solves this replaces."""
     return _forward(z_all, ell_all, s2_all, packed_all)
 
 
@@ -312,35 +339,31 @@ def _fwd(z_all, ell_all, s2_all, packed_all):
     return out, (z_all, ell_all, s2_all, out)
 
 
-def _solve_t(l, b):
-    return jax.lax.linalg.triangular_solve(
-        l, b, left_side=True, lower=True, transpose_a=True
-    )
-
-
-def _solve(l, b):
-    return jax.lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
-
-
 def _bwd(res, g):
-    z_all, ell_all, s2_all, (l, w) = res
-    lbar, wbar = g
+    z_all, ell_all, s2_all, (l, w, linv) = res
+    lbar, wbar, linvbar = g
     lbar = jnp.zeros_like(l) if lbar is None else lbar
     wbar = jnp.zeros_like(w) if wbar is None else wbar
+    linv_t = jnp.swapaxes(linv, -1, -2)
 
     # W = L⁻ᵀ P:  P̄ = L⁻¹ W̄;  L̄ += −W W̄ᵀ L⁻ᵀ = −(L⁻¹ W̄ Wᵀ)ᵀ,
-    # restricted to the lower triangle (L's structural support)
-    pbar = _solve(l, wbar)
+    # restricted to the lower triangle (L's structural support).
+    # All solves are GEMMs against the kernel-exported L⁻¹.
+    pbar = linv @ wbar
     lbar = jnp.tril(lbar) - jnp.tril(
-        jnp.swapaxes(_solve(l, wbar @ jnp.swapaxes(w, -1, -2)), -1, -2)
+        jnp.swapaxes(linv @ (wbar @ jnp.swapaxes(w, -1, -2)), -1, -2)
     )
+
+    # X = L⁻¹ pullback (only reached from full-cov consumers): L̄ += −Xᵀ X̄ Xᵀ
+    if linvbar is not None:
+        lbar = lbar - jnp.tril(linv_t @ linvbar @ linv_t)
 
     # chol pullback from the saved factor
     lt = jnp.swapaxes(l, -1, -2)
     pmat = lt @ lbar
     eye = jnp.eye(l.shape[-1], dtype=l.dtype)
     phi = jnp.tril(pmat) - 0.5 * pmat * eye
-    kbar_t = _solve_t(l, jnp.swapaxes(_solve_t(l, phi), -1, -2))
+    kbar_t = linv_t @ jnp.swapaxes(linv_t @ phi, -1, -2)
     kbar = 0.5 * (kbar_t + jnp.swapaxes(kbar_t, -1, -2))
 
     # gram VJP (recomputes the cheap O(TM²D) gram only)

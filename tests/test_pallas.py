@@ -342,15 +342,16 @@ def test_pallas_svgp_precompute_matches_reference(rng, t, mm, d):
     packed = jnp.asarray(p_np, jnp.float32)
 
     with pltpu.force_tpu_interpret_mode():
-        l, w = ps._forward(z, ell, s2, packed)
+        l, w, linv = ps._forward(z, ell, s2, packed)
     l = np.asarray(l)
     w = np.asarray(w)
-    assert np.isfinite(l).all() and np.isfinite(w).all()
+    linv = np.asarray(linv)
+    assert np.isfinite(l).all() and np.isfinite(w).all() and np.isfinite(linv).all()
     np.testing.assert_allclose(np.triu(l[0], 1), 0.0)
 
-    l_r, w_r = ps._reference(z, ell, s2, packed)
+    l_r, w_r, linv_r = ps._reference(z, ell, s2, packed)
     with jax.enable_x64(True):
-        l64, w64 = ps._reference(
+        l64, w64, linv64 = ps._reference(
             jnp.asarray(z_np), jnp.asarray(ell_np), jnp.asarray(s2_np), jnp.asarray(p_np)
         )
     l64 = np.asarray(l64)
@@ -361,10 +362,16 @@ def test_pallas_svgp_precompute_matches_reference(rng, t, mm, d):
     err_w_xla = np.max(np.abs(np.asarray(w_r) - w64))
     assert err_l <= 2.0 * err_l_xla + 1e-5, (err_l, err_l_xla)
     assert err_w <= 2.0 * err_w_xla + 1e-3, (err_w, err_w_xla)
+    # the exported inverse: honest criterion vs the XLA composition's own
+    # f32 error (L⁻¹ amplifies by the condition number on these K_zz)
+    err_i = np.max(np.abs(linv - np.asarray(linv64)))
+    err_i_xla = np.max(np.abs(np.asarray(linv_r) - np.asarray(linv64)))
+    assert err_i <= 2.0 * err_i_xla + 1e-3, (err_i, err_i_xla)
 
 
 def test_pallas_svgp_precompute_bwd_exact_in_f64(rng):
-    """Closed-form (L, W) pullback == jax.vjp of the reference (f64)."""
+    """Closed-form (L, W, L⁻¹) pullback == jax.vjp of the reference (f64),
+    including the −Xᵀ X̄ Xᵀ term for the exported inverse."""
     import nonstationary_precip_tpu.ops.pallas_svgp as ps
 
     with jax.enable_x64(True):
@@ -375,13 +382,19 @@ def test_pallas_svgp_precompute_bwd_exact_in_f64(rng):
         packed = jnp.asarray(rng.normal(size=(t, mm, 2 * mm + 1)))
         wl = jnp.asarray(rng.normal(size=(t, mm, mm)))
         ww = jnp.asarray(rng.normal(size=(t, mm, 2 * mm + 1)))
+        wx = jnp.asarray(rng.normal(size=(t, mm, mm)))
 
         out = ps._reference(z, ell, s2, packed)
         _, vjp = jax.vjp(ps._reference, z, ell, s2, packed)
-        ref = vjp((wl, ww))
-        ours = ps._bwd((z, ell, s2, out), (wl, ww))
-        for a_, b_ in zip(ours, ref):
-            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-8, atol=1e-9)
+        for cots in ((wl, ww, jnp.zeros_like(wx)), (wl, ww, wx)):
+            ref = vjp(cots)
+            ours = ps._bwd((z, ell, s2, out), cots)
+            for a_, b_ in zip(ours, ref):
+                # rtol 1e-7: the X̄ pullback's grads reach ~1e4 through the
+                # inverse's conditioning; different op order costs ~1e-8 rel
+                np.testing.assert_allclose(
+                    np.asarray(a_), np.asarray(b_), rtol=1e-7, atol=1e-9
+                )
 
 
 def test_pallas_fused_in_kernel_jitter_retry(rng):
@@ -445,11 +458,11 @@ def test_pallas_svgp_in_kernel_jitter_retry(rng):
     packed = jnp.asarray(p_np, jnp.float32)
 
     # self-check: the retry-free XLA composition fails on this input
-    l_plain, _ = ps._reference(z, ell, s2, packed)
+    l_plain = ps._reference(z, ell, s2, packed)[0]
     assert not bool(jnp.all(jnp.isfinite(l_plain)))
 
     with pltpu.force_tpu_interpret_mode():
-        l, w = ps._forward(z, ell, s2, packed)
+        l, w, _ = ps._forward(z, ell, s2, packed)
     l = np.asarray(l)
     w = np.asarray(w)
     assert np.isfinite(l).all() and np.isfinite(w).all()

@@ -33,8 +33,8 @@ def main():
     ell = jnp.asarray(np.exp(rng.normal(size=(t, d)) * 0.3) + 0.3, jnp.float32)
     s2 = jnp.asarray(np.exp(rng.normal(size=t) * 0.2), jnp.float32)
     packed = jnp.asarray(rng.normal(size=(t, mm, 2 * mm + 1)), jnp.float32)
-    l, w = jax.jit(ps.svgp_precompute_fused)(z, ell, s2, packed)
-    l_r, w_r = ps._reference(z, ell, s2, packed)
+    l, w, _ = jax.jit(ps.svgp_precompute_fused)(z, ell, s2, packed)
+    l_r, w_r, _ = ps._reference(z, ell, s2, packed)
     err_l = float(jnp.max(jnp.abs(l - l_r)))
     err_w = float(jnp.max(jnp.abs(w - w_r)))
     ok_l = bool(jnp.all(jnp.isfinite(l))) and bool(jnp.all(jnp.isfinite(w)))
@@ -45,8 +45,8 @@ def main():
     # chol NaNs on chip) — the kernel must come back finite even when the
     # retry-free reference does not
     z_tight = jnp.asarray(rng.normal(size=(t, mm, d)), jnp.float32)
-    l2, w2 = jax.jit(ps.svgp_precompute_fused)(z_tight, ell, s2, packed)
-    lr2, _ = ps._reference(z_tight, ell, s2, packed)
+    l2, w2, _ = jax.jit(ps.svgp_precompute_fused)(z_tight, ell, s2, packed)
+    lr2 = ps._reference(z_tight, ell, s2, packed)[0]
     ref_finite = bool(jnp.all(jnp.isfinite(lr2)))
     ok_l2 = bool(jnp.all(jnp.isfinite(l2))) and bool(jnp.all(jnp.isfinite(w2)))
     print(f"svgp retry path: kernel finite={ok_l2} (plain reference "
