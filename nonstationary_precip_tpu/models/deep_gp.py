@@ -126,12 +126,25 @@ class DeepGP:
         else:
             pre = pre_uniq[:-1]
 
+        # the FIRST layer's input x is the same for every DSVI sample, so
+        # its marginals are sample-independent — computed once here instead
+        # of S times inside the vmap (measured 2026-08-16: the non-precompute
+        # share of the step is latency-bound at ~0.36 ms fwd+bwd; this cuts
+        # (S−1)/S of layer 1's gram/matmul chain).  RNG semantics unchanged:
+        # the per-sample key split and eps draw are identical to sample().
+        m1 = v1 = None
+        if not full_cov and stack:
+            m1, v1 = stack[0].marginals(x, pre[0])
+
         def one_sample(k):
             h = x
-            for layer, layer_pre in zip(stack, pre):
+            for i, (layer, layer_pre) in enumerate(zip(stack, pre)):
                 k, sub = jax.random.split(k)
                 if full_cov:
                     h = layer.sample_joint(sub, h, layer_pre)  # (B, hidden)
+                elif i == 0:
+                    eps = jax.random.normal(sub, m1.shape, dtype=m1.dtype)
+                    h = (m1 + jnp.sqrt(v1) * eps).T  # (B, hidden)
                 else:
                     h = layer.sample(sub, h, layer_pre)  # (B, hidden)
             mean, var = self.head.marginals(h, pre_head)  # (1, B)

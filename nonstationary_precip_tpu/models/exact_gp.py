@@ -53,17 +53,53 @@ class ExactGP:
 
     # -- training objective --------------------------------------------------
 
-    def mll(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    def mll(
+        self,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        *,
+        solver: str = "chol",
+        key=None,
+        num_probes: int = 16,
+        max_iters: int = 1000,
+        precond_rank: int = 0,
+    ) -> jnp.ndarray:
         """log N(y; m, K + σ²I) / N — GPyTorch's ExactMarginalLogLikelihood
-        scaling (loss = −mll)."""
+        scaling (loss = −mll).
+
+        ``solver='chol'`` (default) is the direct blocked-Cholesky path —
+        fastest on TPU at this workload's N.  ``solver='cg'`` is the BBMM
+        large-N parity path (``ops/bbmm.py``): mBCG solves + stochastic
+        Lanczos-quadrature logdet, the regime the reference trains in under
+        ``gpytorch.settings.max_cg_iterations`` (reference
+        ``experiments/spatial_exp.py:199``); requires ``key``;
+        ``precond_rank > 0`` enables the pivoted-Cholesky preconditioner."""
         n = y.shape[-1]
         k = self.kernel(x)
         k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
+        if solver == "cg":
+            if key is None:
+                raise ValueError("solver='cg' requires a PRNG key")
+            from nonstationary_precip_tpu.ops.bbmm import cg_mll
+
+            resid = y - self.mean(x)
+            return (
+                cg_mll(
+                    k_noisy,
+                    resid,
+                    key,
+                    self.likelihood.noise,
+                    num_probes=num_probes,
+                    max_iters=max_iters,
+                    precond_rank=precond_rank,
+                )
+                / n
+            )
         chol = safe_cholesky(k_noisy)
         return mvn_logpdf_from_chol(y, self.mean(x), chol) / n
 
-    def loss(self, x, y):
-        return -self.mll(x, y)
+    def loss(self, x, y, **solver_kwargs):
+        return -self.mll(x, y, **solver_kwargs)
 
     # -- prediction ------------------------------------------------------------
 

@@ -122,5 +122,96 @@ def main():
     )
 
 
+
+
+def main_bwd():
+    """Backward ablation: vag_xla (XLA-path full step) and pre_vag
+    (value_and_grad of a precompute-only scalar — isolates the fused
+    kernel's forward+VJP cost)."""
+    from nonstationary_precip_tpu.models import DeepGP
+    from nonstationary_precip_tpu.models.svgp import precompute_layers
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, DIN)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), jnp.float32)
+    key = jax.random.PRNGKey(173)
+    model = DeepGP.create(key, input_dims=DIN, num_layers=2, num_inducing=M)
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    def vag_step(carry):
+        m, k, acc = carry
+        k, sub = jax.random.split(k)
+        loss, grads = jax.value_and_grad(
+            lambda mm: mm.loss(sub, x, y, num_data=BATCH, num_samples=S)
+        )(m)
+        m = jax.tree.map(lambda p, g: p - 1e-12 * g, m, grads)
+        return m, k, acc + loss
+
+    def pre_vag_step(carry):
+        m, k, acc = carry
+
+        def scalar(mm):
+            uniq = list(mm.layers) + [mm.head]
+            outs = precompute_layers(uniq)
+            s = 0.0
+            for l_o, lit_o, w_o in outs:
+                s = s + jnp.sum(l_o * 1e-6) + jnp.sum(w_o * 1e-6) + jnp.sum(lit_o * 1e-6)
+            return s
+
+        val, grads = jax.value_and_grad(scalar)(m)
+        m = jax.tree.map(lambda p, g: p - 1e-12 * g, m, grads)
+        return m, k, acc + val
+
+    carry0 = (model, key, jnp.asarray(0.0, jnp.float32))
+    for name, fn, env in (
+        ("pre_vag", pre_vag_step, "1"),
+        ("pre_vag_xla", pre_vag_step, "0"),
+        ("vag", vag_step, "1"),
+        ("vag_xla", vag_step, "0"),
+    ):
+        os.environ["NSGP_PALLAS_SVGP"] = env
+        ms = timeit_scanned(fn, carry0)
+        print(f"{name}: {ms:.3f} ms/step", flush=True)
+    os.environ["NSGP_PALLAS_SVGP"] = "1"
+
+
+
+
+
+def main_scaling():
+    """Scaling ablations locating the non-precompute backward cost:
+    vag at S∈{1,3}, num_layers∈{1,2} (post layer-1-marginal-hoist code)."""
+    import itertools
+
+    from nonstationary_precip_tpu.models import DeepGP
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(BATCH, DIN)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), jnp.float32)
+    key = jax.random.PRNGKey(173)
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    for nl, s in itertools.product((2, 1), (3, 1)):
+        model = DeepGP.create(key, input_dims=DIN, num_layers=nl, num_inducing=M)
+
+        def vag_step(carry, _s=s):
+            m, k, acc = carry
+            k, sub = jax.random.split(k)
+            loss, grads = jax.value_and_grad(
+                lambda mm: mm.loss(sub, x, y, num_data=BATCH, num_samples=_s)
+            )(m)
+            m = jax.tree.map(lambda p, g: p - 1e-12 * g, m, grads)
+            return m, k, acc + loss
+
+        carry0 = (model, key, jnp.asarray(0.0, jnp.float32))
+        ms = timeit_scanned(vag_step, carry0)
+        print(f"vag layers={nl} S={s}: {ms:.3f} ms/step", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--bwd" in sys.argv:
+        main_bwd()
+    elif "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main()
