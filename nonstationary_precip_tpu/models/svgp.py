@@ -37,79 +37,6 @@ _MEAN_CONSTANT = "constant"
 _MEAN_LINEAR = "linear"
 
 
-@jax.custom_vjp
-def _marginals_core(x, z, ell, s2, w):
-    """Posterior marginals for ONE output dim: x (N,D), z (M,D), ell (D,),
-    s2 (), w (M, 2M+1) → (mean (N,), var (N,)).
-
-    A custom-VJP primitive with a closed-form backward (two GEMM pairs +
-    fused elementwise, ~8 ops vs autodiff's ~25 per layer chain).
-    Measured DSVI-step effect (v5e, 2026-08-16): neutral — vag 0.887 ms
-    vs the 0.87–0.90 ms autodiff band, i.e. the step's backward share is
-    NOT op-count-bound in this chain (XLA already fuses it well); kept
-    because the hand-derived pullback is exact (validated to 2e-16 f64 /
-    6e-7 f32 against autodiff), halves the backward HLO graph, and gives
-    prediction-only consumers a cheaper remat story.  vmapped over
-    outputs and DSVI samples by the callers; jax batches the fwd/bwd
-    definitions automatically."""
-    mean, var, _ = _marginals_fwd_impl(x, z, ell, s2, w)
-    return mean, var
-
-
-def _marginals_fwd_impl(x, z, ell, s2, w):
-    m = z.shape[-2]
-    xs = x / ell
-    zs = z / ell
-    x_sq = jnp.sum(xs * xs, axis=-1)
-    z_sq = jnp.sum(zs * zs, axis=-1)
-    raw = x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T
-    q = jnp.maximum(raw, 0.0)
-    k = s2 * jnp.exp(-0.5 * q)
-    out = k @ w  # (N, 2M+1): [A·m | A·S | A]
-    mean = out[:, 0]
-    a_s = out[:, 1 : m + 1]
-    a = out[:, m + 1 :]
-    var_raw = s2 - jnp.sum(a * a, axis=-1) + jnp.sum(a_s * a_s, axis=-1)
-    var = jnp.clip(var_raw, 1e-10, None)
-    return mean, var, (xs, zs, raw, k, out, var_raw)
-
-
-def _marginals_core_fwd(x, z, ell, s2, w):
-    mean, var, res = _marginals_fwd_impl(x, z, ell, s2, w)
-    return (mean, var), (res, ell, s2, w)
-
-
-def _marginals_core_bwd(saved, g):
-    (xs, zs, raw, k, out, var_raw), ell, s2, w = saved
-    meanbar, varbar = g
-    m = zs.shape[-2]
-    a_s = out[:, 1 : m + 1]
-    a = out[:, m + 1 :]
-    # clip(x, 1e-10, None) == maximum(x, 1e-10): jax's max-tie rule
-    vb = jnp.where(
-        var_raw > 1e-10, varbar, jnp.where(var_raw < 1e-10, 0.0, 0.5 * varbar)
-    )
-    outbar = jnp.concatenate(
-        [meanbar[:, None], 2.0 * a_s * vb[:, None], -2.0 * a * vb[:, None]], axis=1
-    )
-    wbar = k.T @ outbar
-    kbar = outbar @ w.T
-    s2bar = jnp.sum(kbar * (k / s2)) + jnp.sum(vb)
-    qbar = -0.5 * kbar * k
-    rawbar = jnp.where(raw > 0.0, qbar, jnp.where(raw < 0.0, 0.0, 0.5 * qbar))
-    x_sqbar = jnp.sum(rawbar, axis=-1)
-    z_sqbar = jnp.sum(rawbar, axis=-2)
-    xsbar = 2.0 * xs * x_sqbar[:, None] - 2.0 * rawbar @ zs
-    zsbar = 2.0 * zs * z_sqbar[:, None] - 2.0 * rawbar.T @ xs
-    xbar = xsbar / ell
-    zbar = zsbar / ell
-    ellbar = -(jnp.sum(xsbar * xs, axis=0) + jnp.sum(zsbar * zs, axis=0)) / ell
-    return xbar, zbar, ellbar, s2bar, wbar
-
-
-_marginals_core.defvjp(_marginals_core_fwd, _marginals_core_bwd)
-
-
 @pytree_dataclass(static=("mean_type",))
 class SVGPLayer:
     """One whitened SVGP layer with O output dims (O = 1 for the scalar head).
@@ -231,9 +158,25 @@ class SVGPLayer:
         if pre is None:
             pre = self.precompute()
         w = pre[2]
-        means, variances = jax.vmap(
-            lambda z_o, ell_o, s2_o, w_o: _marginals_core(x, z_o, ell_o, s2_o, w_o)
-        )(self.z, ell, s2, w)
+        m = self.var_mean.shape[-1]
+
+        def one(z_o, ell_o, s2_o, w_o):
+            xs = x / ell_o
+            zs = z_o / ell_o
+            x_sq = jnp.sum(xs * xs, axis=-1)
+            z_sq = jnp.sum(zs * zs, axis=-1)
+            k_xz = s2_o * jnp.exp(
+                -0.5
+                * jnp.maximum(x_sq[:, None] + z_sq[None, :] - 2.0 * xs @ zs.T, 0.0)
+            )
+            out = k_xz @ w_o  # (N, 2M+1): [A·m | A·S | A] in one matmul
+            mean = out[:, 0]
+            a_s = out[:, 1 : m + 1]
+            a = out[:, m + 1 :]
+            var = s2_o - jnp.sum(a * a, axis=-1) + jnp.sum(a_s * a_s, axis=-1)
+            return mean, jnp.clip(var, 1e-10, None)
+
+        means, variances = jax.vmap(one)(self.z, ell, s2, w)
         return means + self._mean(x), variances
 
     def kl(self) -> jnp.ndarray:
