@@ -75,8 +75,10 @@ def make_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
         args = (x_train, y_train)
     else:
         model = GibbsExactGP.create(x_train, prior, noise=noise, outputscale=scale, dtype=dtype)
-        # the frozen prior's Gram factorisations are loop-invariant: hoist
-        args = (x_train, y_train, prior.gram_chol(x_train))
+        # the frozen prior's Gram algebra is loop-invariant: hoist the
+        # INVERSE + logdet (gram_pre), so the training scan's prior term
+        # is one batched GEMM instead of 2·D triangular solves per step
+        args = (x_train, y_train, prior.gram_pre(x_train))
     mask = model.trainable(train_noise=cfg.noise == 0, train_scale=cfg.scale == 0)
     return model, mask, args, (x_train, y_train, x_test, y_test)
 
@@ -120,17 +122,40 @@ def main(argv=None):
     )
     trained = unstack_pytree(res.model, cfg.num_splits)
 
+    # evaluation is ONE batched jitted program over all K splits (shapes
+    # are identical across splits).  The previous per-split eager loop
+    # paid the ~28 ms axon dispatch on every jnp op — hundreds of
+    # dispatches dominated the whole experiment's wallclock (measured
+    # 2026-08-16: ~115 s of the 130 s benchmark run was this phase).
+    import jax
+
+    eval_stack = [splits[s][3] for s in range(cfg.num_splits)]
+    x_tr = jnp.stack([e[0] for e in eval_stack])
+    y_tr = jnp.stack([e[1] for e in eval_stack])
+    x_te = jnp.stack([e[2] for e in eval_stack])
+    y_te = jnp.stack([e[3] for e in eval_stack])
+
+    @jax.jit
+    def eval_all(ms, x_tr, y_tr, x_te, y_te):
+        def one(m, xtr, ytr, xte, yte):
+            pred = m.predictive(xtr, ytr, xte)
+            return (
+                rmse_rescaled(pred.mean, yte, stdy),
+                nlpd_joint(pred, yte, stdy),
+            )
+
+        return jax.vmap(one)(ms, x_tr, y_tr, x_te, y_te)
+
+    rmses_a, nlpds_a = jax.block_until_ready(
+        eval_all(res.model, x_tr, y_tr, x_te, y_te)
+    )
     rmses, nlpds = [], []
-    last = None
-    for split, model in enumerate(trained):
-        x_train, y_train, x_test, y_test = splits[split][3]
-        pred = model.predictive(x_train, y_train, x_test)
-        r = float(rmse_rescaled(pred.mean, y_test, stdy))
-        nl = float(nlpd_joint(pred, y_test, stdy))
+    for split in range(cfg.num_splits):
+        r, nl = float(rmses_a[split]), float(nlpds_a[split])
         print(f"split {split}: RMSE {r:.4f}  NLPD {nl:.4f}")
         rmses.append(r)
         nlpds.append(nl)
-        last = (model, x_train, y_train)
+    last = (trained[-1], x_tr[-1], y_tr[-1])
 
     k = len(rmses)
     print(f"Final RMSE across splits: {np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")
@@ -146,17 +171,27 @@ def main(argv=None):
     RESULTS_DIR.mkdir(exist_ok=True)
     model, x_train, y_train = last
     x_all = jnp.asarray(x_norm, dtype)
-    field = model.posterior(x_train, y_train, x_all)
+    # single jitted program for the full-field posterior (same eager-
+    # dispatch reasoning as eval_all above)
+    field_mean, field_var = jax.jit(
+        lambda m, xtr, ytr, xa: (lambda p: (p.mean, p.var))(
+            m.posterior(xtr, ytr, xa)
+        )
+    )(model, x_train, y_train, x_all)
     out = pd.DataFrame(
         {
-            "pred": np.asarray(field.mean),
-            "std": np.sqrt(np.asarray(field.var)),
+            "pred": np.asarray(field_mean),
+            "std": np.sqrt(np.asarray(field_var)),
             "lon": x[:, 0],
             "lat": x[:, 1],
         }
     )
     if cfg.inference == "exact":
-        ell_field = np.asarray(model.lengthscale_field(x_train, x_all))
+        ell_field = np.asarray(
+            jax.jit(lambda m, xtr, xa: m.lengthscale_field(xtr, xa))(
+                model, x_train, x_all
+            )
+        )
         out["ell0"] = ell_field[:, 0]
         out["ell1"] = ell_field[:, 1]
         try:

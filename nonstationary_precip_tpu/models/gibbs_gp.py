@@ -90,10 +90,12 @@ class GibbsExactGP:
         (ops/pallas_fused.py — K never exists in HBM), with the XLA +
         safe_cholesky composition as the fallback/oracle path.
 
-        ``prior_chols`` (from ``prior.gram_chol(x)``) hoists the frozen
-        prior's D N×N factorisations out of the training scan — they are
-        loop-invariant whenever the prior hypers are frozen, which every
-        reference experiment does."""
+        ``prior_chols`` hoists the frozen prior's D N×N Gram algebra out
+        of the training scan — loop-invariant whenever the prior hypers
+        are frozen, which every reference experiment does.  Pass
+        ``prior.gram_pre(x)`` (inverse + logdet: the per-step prior term
+        becomes solve-free GEMMs) or ``prior.gram_chol(x)`` (Cholesky
+        stack)."""
         import math
 
         from nonstationary_precip_tpu.ops.pallas_fused import gibbs_noisy_chol_alpha

@@ -145,13 +145,49 @@ class LogNormalProcess:
         refactor D N×N matrices every step."""
         return safe_cholesky(add_jitter(self._gram(x), _COND_JITTER))
 
+    def gram_pre(self, x: jnp.ndarray):
+        """(K⁻¹ (D, N, N), logdet (D,)) of K_d + 1e-4 I — the fully-hoisted
+        form of ``gram_chol`` for a FROZEN prior.
+
+        ``log_prob`` against a hoisted Cholesky still runs 2·D single-RHS
+        triangular solves per training step (forward + their transposed
+        VJP solves in backward) — sequential blocked ops that dominated
+        the 10-split Gibbs benchmark step (tools/profile_gibbs.py).  With
+        the explicit inverse the per-step prior term is one batched GEMM
+        (quad = diffᵀ(K⁻¹diff)) and a constant; autodiff through it is
+        GEMMs too.  The inverse is formed once per fit via the Cholesky
+        (L⁻ᵀL⁻¹), so accuracy matches the solve path at these sizes
+        (jitter 1e-4 keeps cond(K) modest)."""
+        chols = self.gram_chol(x)
+        eye = jnp.eye(chols.shape[-1], dtype=chols.dtype)
+        linv = jax.lax.linalg.triangular_solve(
+            chols, jnp.broadcast_to(eye, chols.shape), left_side=True, lower=True
+        )
+        kinv = jnp.swapaxes(linv, -1, -2) @ linv
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1
+        )
+        return kinv, logdet
+
     def log_prob(
-        self, x: jnp.ndarray, log_ell: jnp.ndarray, chols: jnp.ndarray = None
+        self, x: jnp.ndarray, log_ell: jnp.ndarray, chols=None
     ) -> jnp.ndarray:
         """Σ_d log N(log_ell[:, d]; mean_d, K_d + 1e-4 I) / N  — the
         reference's per-N-normalised prior term (gibbs_kernels.py:102-109),
-        summed over dims the way GPyTorch's MLL sums prior log-probs."""
+        summed over dims the way GPyTorch's MLL sums prior log-probs.
+
+        ``chols`` may be the (D, N, N) Cholesky stack from ``gram_chol``
+        or the (K⁻¹, logdet) pair from ``gram_pre`` (solve-free fast path
+        for frozen priors)."""
+        import math
+
         n = x.shape[-2]
+        if isinstance(chols, tuple):
+            kinv, logdet = chols
+            diff = log_ell.T - self.mean(x).T  # (D, N)
+            quad = jnp.sum(diff * jnp.einsum("dij,dj->di", kinv, diff), axis=-1)
+            lp = -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
+            return jnp.sum(lp) / n
         if chols is None:
             chols = self.gram_chol(x)
         lp = mvn_logpdf_from_chol(log_ell.T, self.mean(x).T, chols)  # (D,)

@@ -51,7 +51,12 @@ def fit_splits(
     losses are (num_steps, K).
     """
     stacked = stack_pytrees(models)
-    stacked_args = tuple(jnp.stack([jnp.asarray(a) for a in seq]) for seq in args_per_split)
+    # each per-split arg may be an array OR a pytree (e.g. the hoisted
+    # (K⁻¹, logdet) prior precompute) — stack leaf-wise either way
+    stacked_args = tuple(
+        stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
+        for seq in args_per_split
+    )
     # trainability flags are structural, identical across splits: one mask
     # with scalar-bool leaves broadcasts over the stacked leaves
     mask = masks[0] if masks is not None else None

@@ -128,3 +128,26 @@ def test_latent_rbf_row_cov(rng):
     x = rng.normal(size=(6, 2))
     ours = np.asarray(latent_rbf_row_cov(jnp.asarray(x), [0.2, 0.2]))
     np.testing.assert_allclose(ours, _rbf_np(x, x, np.array([0.2, 0.2]), 1.0), rtol=1e-7)
+
+
+def test_log_prob_gram_pre_matches_chol_path():
+    """gram_pre (hoisted inverse + logdet) must reproduce the Cholesky-path
+    prior log-density — it is the solve-free fast path for frozen priors."""
+    import numpy as np
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(40, 2)), jnp.float32)
+    prior = LogNormalProcess.create(input_dim=2, mean=0.3, outputscale=0.5, lengthscale=1.2)
+    log_ell = jnp.asarray(rng.normal(size=(40, 2)) * 0.2 + 0.3, jnp.float32)
+
+    lp_chol = prior.log_prob(x, log_ell, prior.gram_chol(x))
+    lp_pre = prior.log_prob(x, log_ell, prior.gram_pre(x))
+    lp_none = prior.log_prob(x, log_ell)
+    assert abs(float(lp_chol - lp_none)) < 1e-6
+    assert abs(float(lp_pre - lp_chol)) < 1e-4
+
+    # gradients w.r.t. the field agree between the two hoisted forms
+    g_chol = jax.grad(lambda f: prior.log_prob(x, f, prior.gram_chol(x)))(log_ell)
+    g_pre = jax.grad(lambda f: prior.log_prob(x, f, prior.gram_pre(x)))(log_ell)
+    assert float(jnp.max(jnp.abs(g_chol - g_pre))) < 1e-4
