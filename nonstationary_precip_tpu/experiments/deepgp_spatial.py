@@ -76,17 +76,39 @@ def run_one_split(data, random_state: int, cfg: ExperimentConfig):
         seed=random_state,
     )
 
-    dist, means, variances = res.model.predict(k_pred, test_x, num_samples=10)
-    # reference metric: rmse over (S, N) sample-expanded means
-    r = float(rmse_rescaled(means, test_y[None, :], stdy))
+    # predict + metrics as ONE jitted program (compiled once, reused by
+    # every split — the eager version paid ~28 ms axon dispatch per op)
+    r, nl = _predict_metrics(
+        res.model, k_pred, test_x, test_y, jnp.asarray(stdy, dtype)
+    )
+    return float(r), float(nl), res
+
+
+def _predict_metrics(model, k_pred, test_x, test_y, stdy):
     import math
 
-    lpd = -0.5 * (
-        (test_y[None, :] - means) ** 2 / variances
-        + jnp.log(2 * math.pi * variances)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(m, kp, xte, yte, sy):
+        dist, means, variances = m.predict(kp, xte, num_samples=10)
+        # reference metric: rmse over (S, N) sample-expanded means
+        r = rmse_rescaled(means, yte[None, :], sy)
+        lpd = -0.5 * (
+            (yte[None, :] - means) ** 2 / variances
+            + jnp.log(2 * math.pi * variances)
+        )
+        nl = -(jnp.mean(lpd)) + jnp.log(sy)
+        return r, nl
+
+    # jax.jit caches on the module-level `go`?  No — `go` is rebuilt per
+    # call; cache the compiled callable on the function object instead
+    if not hasattr(_predict_metrics, "_jitted"):
+        _predict_metrics._jitted = go
+    return jax.block_until_ready(
+        _predict_metrics._jitted(model, k_pred, test_x, test_y, stdy)
     )
-    nl = float(-(jnp.mean(lpd)) + jnp.log(stdy))
-    return r, nl, res
 
 
 def main(argv=None):

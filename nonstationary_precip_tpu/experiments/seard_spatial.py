@@ -47,7 +47,7 @@ def make_split(data: np.ndarray, random_state: int, cfg: ExperimentConfig, dtype
 def main(argv=None):
     import jax.numpy as jnp
 
-    from nonstationary_precip_tpu.train.vmapped import fit_splits, unstack_pytree
+    from nonstationary_precip_tpu.train.vmapped import fit_splits
 
     cfg = ExperimentConfig(model="whitening", lr=0.01, max_iters=400).parse_args(argv)
     data = load_csv(DATASET_DIR / "uib_spatial.csv")
@@ -65,17 +65,39 @@ def main(argv=None):
         lr=cfg.lr,
         num_steps=cfg.max_iters,
     )
-    trained = unstack_pytree(res.model, cfg.num_splits)
+    # one jitted vmapped evaluation over all splits (eager per-split
+    # predicts paid ~28 ms axon dispatch per op; train.vmapped.eval_splits)
+    from nonstationary_precip_tpu.train.vmapped import eval_splits
 
-    rmses, nlpds = [], []
-    for rs, model in enumerate(trained):
-        train_x, train_y = splits[rs][1]
-        test_x, test_y, stdy = splits[rs][2]
-        pred = model.predictive(
-            jnp.asarray(train_x, dtype), jnp.asarray(train_y, dtype), jnp.asarray(test_x, dtype)
+    def to_f(a):
+        return jnp.asarray(a, dtype)
+
+    eval_args = tuple(
+        zip(
+            *[
+                (
+                    to_f(splits[rs][1][0]),
+                    to_f(splits[rs][1][1]),
+                    to_f(splits[rs][2][0]),
+                    to_f(splits[rs][2][1]),
+                    jnp.asarray(splits[rs][2][2], dtype),
+                )
+                for rs in range(cfg.num_splits)
+            ]
         )
-        r = float(rmse_rescaled(pred.mean, jnp.asarray(test_y, dtype), stdy))
-        n = float(nlpd_joint(pred, jnp.asarray(test_y, dtype), stdy))
+    )
+
+    def eval_one(m, xtr, ytr, xte, yte, stdy_s):
+        pred = m.predictive(xtr, ytr, xte)
+        return (
+            rmse_rescaled(pred.mean, yte, stdy_s),
+            nlpd_joint(pred, yte, stdy_s),
+        )
+
+    rmses_a, nlpds_a = eval_splits(res.model, eval_one, *eval_args)
+    rmses, nlpds = [], []
+    for rs in range(cfg.num_splits):
+        r, n = float(rmses_a[rs]), float(nlpds_a[rs])
         print(f"split {rs}: RMSE {r:.4f}  NLPD {n:.4f}")
         rmses.append(r)
         nlpds.append(n)

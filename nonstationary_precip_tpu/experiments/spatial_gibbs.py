@@ -123,31 +123,19 @@ def main(argv=None):
     trained = unstack_pytree(res.model, cfg.num_splits)
 
     # evaluation is ONE batched jitted program over all K splits (shapes
-    # are identical across splits).  The previous per-split eager loop
-    # paid the ~28 ms axon dispatch on every jnp op — hundreds of
-    # dispatches dominated the whole experiment's wallclock (measured
-    # 2026-08-16: ~115 s of the 130 s benchmark run was this phase).
+    # are identical across splits) — see train.vmapped.eval_splits
     import jax
 
+    from nonstationary_precip_tpu.train.vmapped import eval_splits
+
     eval_stack = [splits[s][3] for s in range(cfg.num_splits)]
-    x_tr = jnp.stack([e[0] for e in eval_stack])
-    y_tr = jnp.stack([e[1] for e in eval_stack])
-    x_te = jnp.stack([e[2] for e in eval_stack])
-    y_te = jnp.stack([e[3] for e in eval_stack])
 
-    @jax.jit
-    def eval_all(ms, x_tr, y_tr, x_te, y_te):
-        def one(m, xtr, ytr, xte, yte):
-            pred = m.predictive(xtr, ytr, xte)
-            return (
-                rmse_rescaled(pred.mean, yte, stdy),
-                nlpd_joint(pred, yte, stdy),
-            )
+    def eval_one(m, xtr, ytr, xte, yte):
+        pred = m.predictive(xtr, ytr, xte)
+        return rmse_rescaled(pred.mean, yte, stdy), nlpd_joint(pred, yte, stdy)
 
-        return jax.vmap(one)(ms, x_tr, y_tr, x_te, y_te)
-
-    rmses_a, nlpds_a = jax.block_until_ready(
-        eval_all(res.model, x_tr, y_tr, x_te, y_te)
+    rmses_a, nlpds_a = eval_splits(
+        res.model, eval_one, *tuple(zip(*eval_stack))
     )
     rmses, nlpds = [], []
     for split in range(cfg.num_splits):
@@ -155,7 +143,7 @@ def main(argv=None):
         print(f"split {split}: RMSE {r:.4f}  NLPD {nl:.4f}")
         rmses.append(r)
         nlpds.append(nl)
-    last = (trained[-1], x_tr[-1], y_tr[-1])
+    last = (trained[-1], eval_stack[-1][0], eval_stack[-1][1])
 
     k = len(rmses)
     print(f"Final RMSE across splits: {np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")

@@ -78,9 +78,17 @@ def main(argv=None):
     )
     model = res.model
 
-    pred = model.predictive(x_train, y_train, x_test)
-    r = float(rmse_rescaled(pred.mean, y_test, stdy))
-    nl = float(nlpd_marginal(y_test, pred.mean, pred.var))
+    # predict + metrics as one jitted program (eager ops pay ~28 ms axon
+    # dispatch each; see train.vmapped.eval_splits rationale)
+    r, nl = jax.jit(
+        lambda m, xtr, ytr, xte, yte: (
+            lambda p: (
+                rmse_rescaled(p.mean, yte, stdy),
+                nlpd_marginal(yte, p.mean, p.var),
+            )
+        )(m.predictive(xtr, ytr, xte))
+    )(model, x_train, y_train, x_test, y_test)
+    r, nl = float(r), float(nl)
     print(f"RMSE test = {r:.4f}")
     print(f"NLPD test = {nl:.4f}")
 
@@ -91,11 +99,15 @@ def main(argv=None):
     from nonstationary_precip_tpu.utils.config import RESULTS_DIR
 
     RESULTS_DIR.mkdir(exist_ok=True)
-    pred_f = model.predictive(x_train, y_train, jnp.asarray(x_norm, dtype))
+    pf_mean, pf_var = jax.jit(
+        lambda m, xtr, ytr, xa: (lambda p: (p.mean, p.var))(
+            m.predictive(xtr, ytr, xa)
+        )
+    )(model, x_train, y_train, jnp.asarray(x_norm, dtype))
     pd.DataFrame(
         {
-            "pred": np.asarray(pred_f.mean),
-            "std": np.sqrt(np.asarray(pred_f.var)),
+            "pred": np.asarray(pf_mean),
+            "std": np.sqrt(np.asarray(pf_var)),
             "time": np.asarray(x_norm)[:, 0],
             "lon": np.asarray(x_norm)[:, 1],
             "lat": np.asarray(x_norm)[:, 2],
@@ -107,7 +119,7 @@ def main(argv=None):
         from nonstationary_precip_tpu.utils.plotting import facetgrid_plot
 
         xs = np.asarray(x_norm)
-        mean_f = np.asarray(pred_f.mean) * stdy + meany
+        mean_f = np.asarray(pf_mean) * stdy + meany
         months = sorted(np.unique(xs[:, 0]))
         per_month = [mean_f[xs[:, 0] == t] for t in months]
         lon = xs[xs[:, 0] == months[0], 1]

@@ -70,15 +70,31 @@ def main(argv=None):
         log_every_epochs=max(cfg.num_epochs // 10, 1),
     )
 
-    dist, means, variances = res.model.predict(k_pred, x_test, num_samples=cfg.num_samples)
-    r = float(stdy * jnp.sqrt(jnp.mean((dist.mean - y_test) ** 2)))
-    lpd = -0.5 * ((y_test - dist.mean) ** 2 / dist.var + jnp.log(2 * math.pi * dist.var))
-    nl = float(-jnp.mean(lpd) + jnp.log(stdy))
+    # predict + metrics as one jitted program (eager ops pay ~28 ms axon
+    # dispatch each; see train.vmapped.eval_splits rationale)
+    d_mean, d_var, r, nl = jax.jit(
+        lambda m, kp, xte, yte: (
+            lambda d: (
+                d[0].mean,
+                d[0].var,
+                stdy * jnp.sqrt(jnp.mean((d[0].mean - yte) ** 2)),
+                -jnp.mean(
+                    -0.5
+                    * (
+                        (yte - d[0].mean) ** 2 / d[0].var
+                        + jnp.log(2 * math.pi * d[0].var)
+                    )
+                )
+                + jnp.log(stdy),
+            )
+        )(m.predict(kp, xte, num_samples=cfg.num_samples))
+    )(res.model, k_pred, x_test, y_test)
+    r, nl = float(r), float(nl)
     print(f"RMSE test = {r:.4f}")
     print(f"NLPD test = {nl:.4f}")
 
-    np.save("results_st_dgp_mean.npy", np.asarray(dist.mean))
-    np.save("results_st_dgp_var.npy", np.asarray(dist.var))
+    np.save("results_st_dgp_mean.npy", np.asarray(d_mean))
+    np.save("results_st_dgp_var.npy", np.asarray(d_var))
     return r, nl
 
 

@@ -56,18 +56,33 @@ def main(argv=None):
         log_every=500,
         chunk=500,
     )
-    pred = res.model.predictive(
-        jnp.asarray(train_x, dtype), jnp.asarray(train_y, dtype), jnp.asarray(test_x, dtype)
+    import jax
+
+    # predict + metrics as one jitted program (eager ops pay ~28 ms axon
+    # dispatch each; see train.vmapped.eval_splits rationale)
+    p_mean, r, nl = jax.jit(
+        lambda m, xtr, ytr, xte, yte: (
+            lambda p: (
+                p.mean,
+                rmse_rescaled(p.mean, yte, 1.0),
+                nlpd_joint(p, yte, 1.0),
+            )
+        )(m.predictive(xtr, ytr, xte))
+    )(
+        res.model,
+        jnp.asarray(train_x, dtype),
+        jnp.asarray(train_y, dtype),
+        jnp.asarray(test_x, dtype),
+        jnp.asarray(test_y, dtype),
     )
-    r = float(rmse_rescaled(pred.mean, jnp.asarray(test_y, dtype), 1.0))
-    nl = float(nlpd_joint(pred, jnp.asarray(test_y, dtype), 1.0))
+    r, nl = float(r), float(nl)
     print(f"RMSE test (box-cox space) = {r:.4f}")
     print(f"NLPD test = {nl:.4f}")
 
     # raw-space RMSE via inverse Box-Cox (spatiotemporal_stationary.py:99-101)
     from scipy.special import inv_boxcox
 
-    raw_pred = inv_boxcox(np.asarray(pred.mean), lmbda)
+    raw_pred = inv_boxcox(np.asarray(p_mean), lmbda)
     raw_true = inv_boxcox(test_y, lmbda)
     print(f"RMSE test (raw mm/day)    = {np.sqrt(np.mean((raw_pred - raw_true) ** 2)):.4f}")
     return r, nl

@@ -112,3 +112,22 @@ def fit_restarts(
     best_model = jax.tree_util.tree_map(lambda l: l[best], res.model)
     del k
     return best_model, float(finals[best]), finals
+
+
+def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split):
+    """Evaluate K trained splits as ONE jitted vmapped program.
+
+    ``eval_fn(model, *args)`` returns a pytree of metric arrays for one
+    split; per-split args stack leaf-wise (arrays or pytrees).  The
+    eager per-split loops this replaces paid the ~28 ms axon dispatch on
+    every jnp op — at ~40 ops per predict across 10 splits that phase
+    dominated entire benchmark wallclocks (measured 2026-08-16:
+    ~115 s of the 130 s gibbs_spatial_exact_10split row)."""
+    stacked_args = tuple(
+        stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
+        for seq in args_per_split
+    )
+    fn = jax.jit(
+        lambda ms, *sa: jax.vmap(lambda m, *aa: eval_fn(m, *aa))(ms, *sa)
+    )
+    return jax.block_until_ready(fn(models_stacked, *stacked_args))
