@@ -371,3 +371,40 @@ def test_sharded_mvn_logpdf_matches_dense(rng):
         np.asarray(y, np.float64)
     )
     np.testing.assert_allclose(float(lp), ref, rtol=1e-4)
+
+
+def test_eval_splits_matches_per_split_loop():
+    """eval_splits (one jitted vmapped program) must reproduce the eager
+    per-split evaluation it replaced in the experiment drivers."""
+    import numpy as np
+
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models import ExactGP
+    from nonstationary_precip_tpu.train import nlpd_joint, rmse_rescaled
+    from nonstationary_precip_tpu.train.vmapped import eval_splits, stack_pytrees
+
+    rng = np.random.default_rng(5)
+    k = 3
+    models, args = [], []
+    for _ in range(k):
+        xtr = jnp.asarray(rng.normal(size=(25, 2)), jnp.float32)
+        ytr = jnp.asarray(rng.normal(size=(25,)), jnp.float32)
+        xte = jnp.asarray(rng.normal(size=(10, 2)), jnp.float32)
+        yte = jnp.asarray(rng.normal(size=(10,)), jnp.float32)
+        stdy = jnp.asarray(rng.uniform(0.5, 2.0), jnp.float32)
+        models.append(
+            ExactGP.create(Scale.create(RBF.create(2)), noise=0.1)
+        )
+        args.append((xtr, ytr, xte, yte, stdy))
+
+    def eval_one(m, xtr, ytr, xte, yte, sy):
+        pred = m.predictive(xtr, ytr, xte)
+        return rmse_rescaled(pred.mean, yte, sy), nlpd_joint(pred, yte, sy)
+
+    batched_r, batched_n = eval_splits(
+        stack_pytrees(models), eval_one, *tuple(zip(*args))
+    )
+    for i in range(k):
+        r_i, n_i = eval_one(models[i], *args[i])
+        assert abs(float(batched_r[i] - r_i)) < 1e-5
+        assert abs(float(batched_n[i] - n_i)) < 1e-4
