@@ -67,41 +67,29 @@ def main():
         jax.block_until_ready(out)
     print("trace captured", flush=True)
 
-    # ---- parse the xplane pb: per-op device time ---------------------------
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    # ---- parse the Chrome-trace JSON: per-op device time -----------------
+    import json
+    from collections import defaultdict as dd
 
-    paths = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    print(f"xplane files: {paths}", flush=True)
-    agg = defaultdict(float)
+    paths = glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True)
+    print(f"trace files: {paths}", flush=True)
+    agg = dd(float)
     total = 0.0
     for p in paths:
-        xs = xplane_pb2.XSpace()
-        xs.ParseFromString(open(p, "rb").read())
-        for plane in xs.planes:
-            if "TPU" not in plane.name and "tpu" not in plane.name:
-                continue
-            ev_meta = plane.event_metadata
-            for line in plane.lines:
-                if "XLA Ops" not in line.name and "Ops" not in line.name:
-                    continue
-                for ev in line.events:
-                    name = ev_meta[ev.metadata_id].name
-                    dur = ev.duration_ps / 1e9  # ms
-                    agg[name] += dur
-                    total += dur
-    if not agg:
-        # fall back: dump plane/line names so we can adapt
-        for p in paths:
-            xs = xplane_pb2.XSpace()
-            xs.ParseFromString(open(p, "rb").read())
-            for plane in xs.planes:
-                print(f"plane: {plane.name}")
-                for line in plane.lines:
-                    print(f"  line: {line.name} ({len(line.events)} events)")
-        return
-    print(f"\ntotal device op time: {total:.3f} ms over 100 steps")
+        d = json.load(gzip.open(p))
+        events = d.get("traceEvents", [])
+        pid_names = {
+            e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        for e in events:
+            if e.get("ph") == "X" and "TPU" in pid_names.get(e.get("pid"), ""):
+                agg[e.get("name", "?")] += e.get("dur", 0) / 1e3
+                total += e.get("dur", 0) / 1e3
+    print(f"\ntotal device event time: {total:.3f} ms over 100 steps")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{ms:9.3f} ms  {ms/total*100:5.1f}%  {name[:110]}")
+        print(f"{ms:9.3f} ms  {name[:110]}")
 
 
 if __name__ == "__main__":
