@@ -120,13 +120,22 @@ class SVGPLayer:
         return jax.vmap(gram)(self.z, ell, s2) + EPSILON * eye
 
     def packed_variational(self):
-        """[m | tril(S) | I] per output, (O, M, 2M+1)."""
+        """[m | tril(S) | I] per output, (O, M, 2M+1).
+
+        The lower-triangle restriction is a constant-mask MULTIPLY, not
+        ``jnp.tril``: value- and gradient-identical (zero cotangent above
+        the diagonal either way), but tril lowers to select_n whose
+        backward emitted layout-mismatched (O, M, M) copies inside the
+        training while-loop (device trace 2026-08-17)."""
         m = self.var_mean.shape[-1]
         eye = jnp.eye(m, dtype=self.var_mean.dtype)
+        rows = jnp.arange(m)[:, None]
+        cols = jnp.arange(m)[None, :]
+        tril_mask = (rows >= cols).astype(self.var_mean.dtype)
         return jnp.concatenate(
             [
                 self.var_mean[:, :, None],
-                jnp.tril(self.var_chol),
+                self.var_chol * tril_mask,
                 jnp.broadcast_to(eye, self.var_chol.shape),
             ],
             axis=2,
@@ -180,11 +189,20 @@ class SVGPLayer:
         return means + self._mean(x), variances
 
     def kl(self) -> jnp.ndarray:
-        """Σ_o KL(q(u_o) ‖ N(0, I))."""
-        s = jnp.tril(self.var_chol)
-        diag = jnp.diagonal(s, axis1=-2, axis2=-1)
+        """Σ_o KL(q(u_o) ‖ N(0, I)).
+
+        tril / diagonal are constant-mask reductions (not jnp.tril /
+        jnp.diagonal): identical values and gradients, but diagonal's
+        backward is a scatter-add that materialised full (O, M, M)
+        buffers + layout copies in the training loop (trace 2026-08-17)."""
+        mdim = self.var_mean.shape[-1]
+        rows = jnp.arange(mdim)[:, None]
+        cols = jnp.arange(mdim)[None, :]
+        tril_mask = (rows >= cols).astype(self.var_chol.dtype)
+        eye = (rows == cols).astype(self.var_chol.dtype)
+        s = self.var_chol * tril_mask
+        diag = jnp.sum(self.var_chol * eye, axis=-1)  # (O, M)
         m = self.var_mean
-        mdim = m.shape[-1]
         per_o = 0.5 * (
             jnp.sum(m * m, axis=-1)
             + jnp.sum(s * s, axis=(-2, -1))
