@@ -26,6 +26,7 @@ from nonstationary_precip_tpu.kernels.inducing import nystrom_root
 from nonstationary_precip_tpu.models.distributions import MVN
 from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
 from nonstationary_precip_tpu.ops.linalg import (
+    diag_part,
     cho_solve,
     safe_cholesky,
     tri_solve,
@@ -106,7 +107,7 @@ class GibbsExactGP:
             x, ell, y, self.outputscale, self.likelihood.noise
         )
         quad = jnp.sum(alpha * alpha)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        logdet = 2.0 * jnp.sum(jnp.log(diag_part(chol)))
         logp = -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
         prior_term = self.prior.log_prob(x, self.log_ell, prior_chols)
         return -(logp + prior_term) / n
@@ -245,7 +246,7 @@ class GibbsSparseGP:
         ay = a @ y / jnp.sqrt(noise)  # (M,)
         w = tri_solve(lb, ay)
         quad = (y @ y) / noise - w @ w
-        logdet = n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+        logdet = n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(diag_part(lb)))
         logp = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(y.dtype))
 
         # Titsias trace term; Gibbs diag is identically 1 (unscaled).

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from nonstationary_precip_tpu.kernels.inducing import nystrom_root
 from nonstationary_precip_tpu.models.distributions import MVN
 from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
-from nonstationary_precip_tpu.ops.linalg import cho_solve, safe_cholesky, tri_solve
+from nonstationary_precip_tpu.ops.linalg import cho_solve, safe_cholesky, tri_solve, diag_part
 from nonstationary_precip_tpu.utils.struct import pytree_dataclass, trainable_mask
 
 
@@ -29,7 +29,7 @@ def collapsed_bound_terms(root: jnp.ndarray, y: jnp.ndarray, noise):
     ay = a @ y / jnp.sqrt(noise)
     w = tri_solve(lb, ay)
     quad = (y @ y) / noise - w @ w
-    logdet = n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+    logdet = n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(diag_part(lb)))
     logp = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi).astype(y.dtype))
     return logp, lb, a
 

@@ -198,6 +198,21 @@ def solve_psd(mat: jnp.ndarray, rhs: jnp.ndarray, jitter: float = 0.0) -> jnp.nd
     return cho_solve(cholesky(a), rhs)
 
 
+def diag_part(mat: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal of (…, N, N) via an eye-mask row reduction.
+
+    Value-exact vs ``jnp.diagonal`` (the off-diagonal terms contribute
+    exact f32 zeros to the sum) and gradient-identical — but where
+    jnp.diagonal's BACKWARD is a scatter-add that materialises a full
+    (…, N, N) buffer (plus layout copies inside training while-loops on
+    TPU; device trace 2026-08-17), this form's backward is a fused
+    eye-masked broadcast.  Use in every DIFFERENTIATED logdet; plain
+    jnp.diagonal remains fine (and cheaper) in forward-only paths."""
+    n = mat.shape[-1]
+    eye = jnp.eye(n, dtype=mat.dtype)
+    return jnp.sum(mat * eye, axis=-1)
+
+
 def mvn_logpdf_from_chol(
     y: jnp.ndarray, mean: jnp.ndarray, chol: jnp.ndarray
 ) -> jnp.ndarray:
@@ -206,7 +221,7 @@ def mvn_logpdf_from_chol(
     diff = y - mean
     alpha = tri_solve(chol, diff)
     quad = jnp.sum(alpha**2, axis=-1)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(diag_part(chol)), axis=-1)
     return -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from nonstationary_precip_tpu.ops.linalg import diag_part
 from jax.sharding import PartitionSpec as P
 
 from nonstationary_precip_tpu.parallel.mesh import DATA_AXIS
@@ -63,7 +65,7 @@ def sharded_sgpr_loss(root_fn, trace_fn, mesh):
             lb, ay[:, None], left_side=True, lower=True
         )[:, 0]
         quad = yty / noise - w @ w
-        logdet = n_total * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+        logdet = n_total * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(diag_part(lb)))
         logp = -0.5 * (quad + logdet + n_total * jnp.log(2.0 * jnp.pi).astype(yty.dtype))
 
         residual = trace_fn(model, x_s, root)

@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from nonstationary_precip_tpu.ops.linalg import cho_solve, safe_cholesky, tri_solve
+from nonstationary_precip_tpu.ops.linalg import cho_solve, safe_cholesky, tri_solve, diag_part
 
 _JITTER = 1e-5  # reference: latent_priors.py:14
 
@@ -78,8 +78,8 @@ class MatrixNormalPrior:
         a = tri_solve(lu, diff)  # U^{-1/2} diff : (N, D)
         b = tri_solve(lv, a.T)  # V^{-1/2} (·)ᵀ : (D, N)
         quad = jnp.sum(b * b)
-        logdet_u = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lu)))
-        logdet_v = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lv)))
+        logdet_u = 2.0 * jnp.sum(jnp.log(diag_part(lu)))
+        logdet_v = 2.0 * jnp.sum(jnp.log(diag_part(lv)))
         n, d = self.n, self.d
         return -0.5 * (quad + d * logdet_u + n * logdet_v + n * d * math.log(2 * math.pi))
 
