@@ -141,6 +141,19 @@ def main(argv=None):
     eval_fn = jax.jit(
         lambda m: m.predictive(x_train, y_train, x_test)
     )
+    # metrics ride the same jitted program — eager metric math (incl. the
+    # joint-NLPD Cholesky) paid ~28 ms axon dispatch per op at every
+    # test_interval (train.vmapped.eval_splits rationale)
+    metrics_fn = jax.jit(
+        lambda m: (
+            lambda p: (
+                p,
+                rmse_rescaled(p.mean, y_test, stdy),
+                rmse_raw(p.mean, y_test),
+                nlpd_joint(p, y_test, stdy),
+            )
+        )(m.predictive(x_train, y_train, x_test))
+    )
 
     state = {"model": model}
 
@@ -157,10 +170,10 @@ def main(argv=None):
             for i, v in enumerate(np.asarray(base.lengthscale).ravel()):
                 scalars[f"lengthscale_{i}"] = float(v)
         if steps_done % cfg.test_interval == 0 or steps_done >= cfg.max_iters:
-            pred = eval_fn(m)
-            scalars["rmse"] = float(rmse_rescaled(pred.mean, y_test, stdy))
-            scalars["rmse_raw"] = float(rmse_raw(pred.mean, y_test))
-            scalars["nlpd"] = float(nlpd_joint(pred, y_test, stdy))
+            _, r, rr, nl = metrics_fn(m)
+            scalars["rmse"] = float(r)
+            scalars["rmse_raw"] = float(rr)
+            scalars["nlpd"] = float(nl)
             ckpt.update(steps_done, m, objective=loss, rmse=scalars["rmse"], nlpd=scalars["nlpd"])
         if cfg.plot_interval and (
             steps_done % cfg.plot_interval == 0 or steps_done >= cfg.max_iters
