@@ -78,13 +78,21 @@ def _chol_inv_fused_b(a):
         a, x = carry
         colmask = cols == j
         rowmask = rows == j
-        # per-T scalar diag: Mosaic crashes on (T,1,1) reductions
-        # (layout CHECK, probed 2026-08-16) — extract rank-0 scalars per T
-        # and rebuild (T,B,1)/(T,1,B) uniform broadcast forms
+        # Mosaic crashes on (T,1,1) and (T,) reductions (layout CHECK,
+        # probed 2026-08-16/17), and cumsum has no TPU lowering — so the
+        # per-T diagonal scalar is replicated by BROADCAST-AND-REDUCE:
+        # the (T,1,B)/(T,B,1) one-hot at (j,j) broadcast over the full
+        # tile and summed along the other axis yields the diagonal value
+        # uniformly at every sublane/lane.  Two extra (T,B,B) reductions
+        # replace the previous 22-op per-T scalar-extraction chain
+        # (rank-0 sums + rsqrt + full/stack rebuilds) that serialised
+        # every recurrence step.
         dvec = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=-1, keepdims=True)
-        svals = [jax.lax.rsqrt(jnp.sum(dvec[i])) for i in range(t)]
-        isq_col = jnp.stack([jnp.full((b, 1), s, a.dtype) for s in svals])  # (T,B,1)
-        isq_row = jnp.stack([jnp.full((1, b), s, a.dtype) for s in svals])  # (T,1,B)
+        drow = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=-2, keepdims=True)
+        d_col = jnp.sum(jnp.broadcast_to(drow, (t, b, b)), axis=-1, keepdims=True)
+        d_row = jnp.sum(jnp.broadcast_to(dvec, (t, b, b)), axis=-2, keepdims=True)
+        isq_col = jax.lax.rsqrt(d_col)  # (T,B,1) uniform
+        isq_row = jax.lax.rsqrt(d_row)  # (T,1,B) uniform
         col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True) * isq_col
         col = jnp.where(rows[:, :, :1] >= j, col, 0.0)  # (T,B,1)
         rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True) * isq_row
