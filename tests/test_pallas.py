@@ -485,3 +485,56 @@ def test_pallas_svgp_in_kernel_jitter_retry(rng):
         for extra in (1e-4, 1e-2)
     }
     assert min(errs.values()) < 5e-2, errs
+
+
+@pytest.mark.parametrize("t,n", [(3, 128), (4, 250), (10, 316), (2, 384)])
+def test_chol_inv_batched_v2_matches_dense(rng, t, n):
+    """Leading-dim-batched 3-level (chol, inv): exact vs jnp on SPD stacks
+    (interpret mode on CPU; batch rides inside the recurrence)."""
+    from nonstationary_precip_tpu.ops.pallas_chol import chol_inv_batched_v2
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    base = rng.normal(size=(t, n, n))
+    spd = np.einsum("tij,tkj->tik", base, base) + n * np.eye(n)
+    a = jnp.asarray(spd, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        l, li = chol_inv_batched_v2(a)
+    ref = np.linalg.cholesky(spd)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(l) - ref)) / scale < 5e-6
+    resid = np.einsum("tij,tjk->tik", np.asarray(li), ref) - np.eye(n)
+    assert np.max(np.abs(resid)) < 5e-5
+
+
+def test_chol_inv_batched_v2_grads_match_reference(rng):
+    """Matmul-only VJP vs autodiff through the jnp chol+inverse composition."""
+    from nonstationary_precip_tpu.ops.pallas_chol import chol_inv_batched_v2
+
+    t, n = 3, 200
+    base = rng.normal(size=(t, n, n))
+    spd = np.einsum("tij,tkj->tik", base, base) + n * np.eye(n)
+    a = jnp.asarray(spd, jnp.float64)
+
+    wl = jnp.asarray(rng.normal(size=(t, n, n)), jnp.float64)
+    wi = jnp.asarray(rng.normal(size=(t, n, n)), jnp.float64)
+
+    def ref(mats):
+        l = jnp.linalg.cholesky(mats)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=mats.dtype), l.shape)
+        li = jax.lax.linalg.triangular_solve(l, eye, left_side=True, lower=True)
+        return jnp.sum(l * wl) + jnp.sum(li * wi)
+
+    def ours(mats):
+        l, li = chol_inv_batched_v2(mats.astype(jnp.float32))
+        return jnp.sum(l.astype(jnp.float64) * wl) + jnp.sum(
+            li.astype(jnp.float64) * wi
+        )
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    g_ref = jax.grad(ref)(a)
+    with pltpu.force_tpu_interpret_mode():
+        g_ours = jax.grad(ours)(a)
+    rel = float(jnp.max(jnp.abs(g_ref - g_ours)) / jnp.max(jnp.abs(g_ref)))
+    assert rel < 5e-4, rel
