@@ -7,5 +7,12 @@ from nonstationary_precip_tpu.ops.linalg import (  # noqa: F401
     mvn_logpdf_from_chol,
     robust_logdet,
     add_jitter,
+    diag_part,
+)
+from nonstationary_precip_tpu.ops.bbmm import (  # noqa: F401
+    cg_mll,
+    lanczos_logdet,
+    mbcg,
+    pivoted_cholesky,
 )
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points  # noqa: F401
