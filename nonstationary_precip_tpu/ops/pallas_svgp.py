@@ -81,29 +81,32 @@ def _chol_inv_fused_b(a):
         # Mosaic crashes on (T,1,1) and (T,) reductions (layout CHECK,
         # probed 2026-08-16/17), and cumsum has no TPU lowering — so the
         # per-T diagonal scalar is replicated by BROADCAST-AND-REDUCE:
-        # the (T,1,B)/(T,B,1) one-hot at (j,j) broadcast over the full
-        # tile and summed along the other axis yields the diagonal value
-        # uniformly at every sublane/lane.  Two extra (T,B,B) reductions
-        # replace the previous 22-op per-T scalar-extraction chain
-        # (rank-0 sums + rsqrt + full/stack rebuilds) that serialised
-        # every recurrence step.
-        dvec = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=-1, keepdims=True)
-        drow = jnp.sum(jnp.where(colmask & rowmask, a, 0.0), axis=-2, keepdims=True)
+        # the raw column/row extractions hold d = A[j,j] at sublane/lane
+        # j; masking to a one-hot, broadcasting over the full tile, and
+        # summing along the other axis lands d uniformly at every
+        # sublane/lane.  This replaces the original 22-op per-T
+        # scalar-extraction chain (rank-0 sums + rsqrt + full/stack
+        # rebuilds) that serialised every recurrence step, and the raw
+        # extractions are shared with the column/row updates and the
+        # ride-along inverse (raw_row's lanes < j are final L entries —
+        # written at their own steps, untouched by this step's column
+        # write and rows->j trailing update).
+        raw_col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True)
+        raw_row = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True)
+        dvec = jnp.where(rows[:, :, :1] == j, raw_col, 0.0)  # (T,B,1) one-hot
+        drow = jnp.where(cols[:, :1, :] == j, raw_row, 0.0)  # (T,1,B) one-hot
         d_col = jnp.sum(jnp.broadcast_to(drow, (t, b, b)), axis=-1, keepdims=True)
         d_row = jnp.sum(jnp.broadcast_to(dvec, (t, b, b)), axis=-2, keepdims=True)
         isq_col = jax.lax.rsqrt(d_col)  # (T,B,1) uniform
         isq_row = jax.lax.rsqrt(d_row)  # (T,1,B) uniform
-        col = jnp.sum(jnp.where(colmask, a, 0.0), axis=-1, keepdims=True) * isq_col
-        col = jnp.where(rows[:, :, :1] >= j, col, 0.0)  # (T,B,1)
-        rowv = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True) * isq_row
-        rowv = jnp.where(cols[:, :1, :] >= j, rowv, 0.0)  # (T,1,B)
+        col = jnp.where(rows[:, :, :1] >= j, raw_col * isq_col, 0.0)  # (T,B,1)
+        rowv = jnp.where(cols[:, :1, :] >= j, raw_row * isq_row, 0.0)  # (T,1,B)
         a = jnp.where(colmask, col, a)
         trail = (rows > j) & (cols > j)
         a = a - jnp.where(trail, col * rowv, 0.0)
 
-        # inverse row j rides along (cols < j of row j are final L entries)
-        lrow = jnp.sum(jnp.where(rowmask, a, 0.0), axis=-2, keepdims=True)  # (T,1,B)
-        lrow_lt = jnp.where(cols[:, :1, :] < j, lrow, 0.0)
+        # inverse row j rides along: raw_row's lanes < j are final L entries
+        lrow_lt = jnp.where(cols[:, :1, :] < j, raw_row, 0.0)
         e_j = jnp.where(cols[:, :1, :] == j, 1.0, 0.0).astype(a.dtype)
         # (T,1,B) @ (T,B,B) as a masked-multiply + sublane reduction (no
         # batched MXU dot in Mosaic): Σ_b lrow_lt[t,0,b] · x[t,b,c]
