@@ -104,11 +104,10 @@ def _masked_chol_block(a):
         # column j (rows ≥ j) and its symmetric row image (cols ≥ j)
         col = jnp.where(row_ids[:, :1] >= j, raw_col * inv_sqrt, 0.0)
         row = jnp.where(col_ids[:1, :] >= j, raw_row * inv_sqrt, 0.0)
-        # write scaled column j
-        a = jnp.where(colmask, col, a)
-        # trailing rank-1 update (rows > j, cols > j)
-        trail = (row_ids > j) & (col_ids > j)
-        return a - jnp.where(trail, col * row, 0.0)
+        # mask-free trailing rank-1 update then column write (see
+        # _chol_inv_fused for the read-after-write audit)
+        a = a - col * row
+        return jnp.where(colmask, col, a)
 
     a = jax.lax.fori_loop(0, b, step, a)
     return jnp.where(row_ids >= col_ids, a, 0.0)
@@ -165,9 +164,11 @@ def _chol_inv_fused(a):
         inv_sqrt = jax.lax.rsqrt(diag)
         col = jnp.where(row_ids[:, :1] >= j, raw_col * inv_sqrt, 0.0)
         rowv = jnp.where(col_ids[:1, :] >= j, raw_row * inv_sqrt, 0.0)
+        # mask-free trailing update (see pallas_svgp._chol_inv_fused_b):
+        # col/rowv are zero below/left of j, column j is overwritten just
+        # after, and row j's lanes >= j are never read again
+        a = a - col * rowv
         a = jnp.where(colmask, col, a)
-        trail = (row_ids > j) & (col_ids > j)
-        a = a - jnp.where(trail, col * rowv, 0.0)
 
         # inverse row j: raw_row's lanes < j are final L entries
         lrow_lt = jnp.where(col_ids[:1, :] < j, raw_row, 0.0)

@@ -101,9 +101,16 @@ def _chol_inv_fused_b(a):
         isq_row = jax.lax.rsqrt(d_row)  # (T,1,B) uniform
         col = jnp.where(rows[:, :, :1] >= j, raw_col * isq_col, 0.0)  # (T,B,1)
         rowv = jnp.where(cols[:, :1, :] >= j, raw_row * isq_row, 0.0)  # (T,1,B)
+        # MASK-FREE trailing update: col/rowv are already zero at
+        # rows<j/cols<j, so the subtraction only touches the inclusive
+        # rows≥j, cols≥j region.  Of the cells the old (rows>j & cols>j)
+        # mask excluded, column j is overwritten by the column write just
+        # below, and row j's lanes ≥ j are never read again (raw_col at a
+        # later step k masks to rows ≥ k > j; raw_row reads row k ≠ j;
+        # this step's raw_row was extracted pre-update) — saves the two
+        # iota compares, the and, and the where per step.
+        a = a - col * rowv
         a = jnp.where(colmask, col, a)
-        trail = (rows > j) & (cols > j)
-        a = a - jnp.where(trail, col * rowv, 0.0)
 
         # inverse row j rides along: raw_row's lanes < j are final L entries
         lrow_lt = jnp.where(cols[:, :1, :] < j, raw_row, 0.0)
