@@ -74,6 +74,10 @@ class ExactGP:
         ``gpytorch.settings.max_cg_iterations`` (reference
         ``experiments/spatial_exp.py:199``); requires ``key``;
         ``precond_rank > 0`` enables the pivoted-Cholesky preconditioner."""
+        if solver not in ("chol", "cg"):
+            raise ValueError(
+                f"solver must be 'chol' or 'cg', got {solver!r}"
+            )
         n = y.shape[-1]
         k = self.kernel(x)
         k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)

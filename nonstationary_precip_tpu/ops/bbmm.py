@@ -44,6 +44,7 @@ class CGResult(NamedTuple):
     betas: jnp.ndarray    # (T, R) CG direction updates
     residnorm: jnp.ndarray  # (R,) final residual norms
     iters: jnp.ndarray    # (R,) iterations to convergence (= T if never)
+    broke: jnp.ndarray    # (R,) True where CG hit pᵀKp ≤ 0 before converging
 
 
 def mbcg(
@@ -78,10 +79,16 @@ def mbcg(
     rz0 = jnp.sum(r0 * z0, axis=0)  # (R,)
 
     def step(carry, _):
-        x, res, z, p, rz, done, it = carry
+        x, res, z, p, rz, done, it, broke = carry
         kp = matvec(p)
         pkp = jnp.sum(p * kp, axis=0)
-        # α = rᵀz / pᵀKp, masked on converged / degenerate columns
+        # α = rᵀz / pᵀKp, masked on converged / degenerate columns.
+        # pᵀKp ≤ 0 on an unconverged column means K (or the preconditioned
+        # operator) is not SPD — record it so callers can refuse the
+        # silently-frozen answer instead of treating it as converged.
+        broke = jnp.logical_or(
+            broke, jnp.logical_and(jnp.logical_not(done), pkp <= 0.0)
+        )
         valid = jnp.logical_and(jnp.logical_not(done), pkp > 0.0)
         alpha = jnp.where(valid, rz / jnp.where(pkp > 0.0, pkp, 1.0), 0.0)
         x = x + alpha[None, :] * p
@@ -97,10 +104,13 @@ def mbcg(
         res = jnp.where(valid[None, :], res_new, res)
         z = jnp.where(valid[None, :], z_new, z)
         rz = jnp.where(valid, rz_new, rz)
-        return (x, res, z, p_new, rz, done_next, it), (alpha, beta, resnorm)
+        return (x, res, z, p_new, rz, done_next, it, broke), (alpha, beta, resnorm)
 
-    init = (x0, r0, z0, p0, rz0, jnp.zeros((r,), bool), jnp.zeros((r,), jnp.int32))
-    (x, res, _, _, _, _, iters), (alphas, betas, resnorms) = jax.lax.scan(
+    init = (
+        x0, r0, z0, p0, rz0,
+        jnp.zeros((r,), bool), jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool),
+    )
+    (x, res, _, _, _, _, iters, broke), (alphas, betas, resnorms) = jax.lax.scan(
         step, init, None, length=max_iters
     )
     return CGResult(
@@ -109,6 +119,7 @@ def mbcg(
         betas=betas,
         residnorm=jnp.linalg.norm(res, axis=0) / safe_bnorm,
         iters=iters,
+        broke=broke,
     )
 
 
@@ -161,7 +172,13 @@ def lanczos_logdet(
     w = evecs[:, 0, :] ** 2  # (R, T): first-row weights
     loge = jnp.log(jnp.maximum(evals, 1e-30))
     quad = jnp.sum(w * loge, axis=-1)  # (R,)
-    return jnp.mean(probe_sqnorms * quad)
+    est = jnp.mean(probe_sqnorms * quad)
+    # Ritz values of the (preconditioned) SPD operator are strictly
+    # positive; padded iterations contribute exactly 1 (decoupled identity
+    # block).  A non-positive eigenvalue therefore means CG breakdown or an
+    # indefinite kmat — NaN-poison instead of silently folding log(1e-30)
+    # into the MLL, so nan_guard / callers can detect estimator failure.
+    return jnp.where(jnp.any(evals <= 0.0), jnp.nan, est)
 
 
 def pivoted_cholesky(k: jnp.ndarray, rank: int, jitter: float = 1e-8):
@@ -275,12 +292,19 @@ def _cg_mll_fwd(kmat, y, key, sigma2, num_probes, max_iters, tol, precond_rank):
         logdet_p = precond_logdet(lpc, s2, n)
         # SLQ weight in the P⁻¹ inner product: for z ~ N(0, P),
         # E[zᵀP⁻¹ log(P⁻¹K) z] = tr log(P⁻¹K) = log det K − log det P
-        probe_w = jnp.sum(probes * minv(probes), axis=0)
+        minv_probes = minv(probes)
+        probe_w = jnp.sum(probes * minv_probes, axis=0)
+        # Right vectors for the gradient's trace estimator: with
+        # z ~ N(0, P), E[z (P⁻¹z)ᵀ] = I, so pairing K⁻¹z with P⁻¹z keeps
+        # E[(K⁻¹z)(P⁻¹z)ᵀ] = K⁻¹ — unbiased (pairing with z itself would
+        # give K⁻¹P).
+        probe_rights = minv_probes
     else:
         minv = None
         probes = jax.random.rademacher(key, (n, num_probes), dtype=kmat.dtype)
         logdet_p = jnp.asarray(0.0, kmat.dtype)
         probe_w = jnp.sum(probes * probes, axis=0)  # = n exactly
+        probe_rights = probes  # E[z zᵀ] = I for Rademacher
 
     rhs = jnp.concatenate([y[:, None], probes], axis=1)  # (N, 1+R)
     res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
@@ -290,19 +314,23 @@ def _cg_mll_fwd(kmat, y, key, sigma2, num_probes, max_iters, tol, precond_rank):
         res.alphas[:, 1:], res.betas[:, 1:], probe_w, n
     )
     mll = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
-    return mll, (alpha, probes, probe_solves, y)
+    # CG breakdown on any column (kmat not SPD under the preconditioner)
+    # invalidates both the solve and the quadrature — NaN-poison so
+    # nan_guard / callers see estimator failure, not a plausible number.
+    mll = jnp.where(jnp.any(res.broke), jnp.nan, mll)
+    return mll, (alpha, probe_rights, probe_solves, y)
 
 
 def _cg_mll_bwd(num_probes, max_iters, tol, precond_rank, saved, g):
-    alpha, probes, probe_solves, y = saved
-    # dMLL/dK = ½ ααᵀ − ½ K⁻¹ ≈ ½ ααᵀ − ½ mean_i (K⁻¹zᵢ) zᵢᵀ  (Hutchinson,
-    # unbiased since E[z zᵀ] = I for Rademacher; for N(0,P) probes the
-    # estimator is E[(K⁻¹z) zᵀ] = K⁻¹P — GPyTorch uses the same probes and
-    # corrects nothing: the bias vanishes as P → K and in practice the
-    # solve term dominates training gradients.  Symmetrised for exactness.
+    alpha, probe_rights, probe_solves, y = saved
+    # dMLL/dK = ½ ααᵀ − ½ K⁻¹ ≈ ½ ααᵀ − ½ mean_i (K⁻¹zᵢ) rᵢᵀ  (Hutchinson
+    # trace identity).  The right vectors rᵢ are chosen in the forward so
+    # the estimator stays unbiased for either probe law: rᵢ = zᵢ for
+    # Rademacher (E[z zᵀ] = I) and rᵢ = P⁻¹zᵢ for z ~ N(0, P)
+    # (E[z (P⁻¹z)ᵀ] = I).  Symmetrised for exactness.
     kbar = 0.5 * jnp.outer(alpha, alpha) - 0.5 * (
-        probe_solves @ probes.T
-    ) / probes.shape[-1]
+        probe_solves @ probe_rights.T
+    ) / probe_rights.shape[-1]
     kbar = 0.5 * (kbar + kbar.T)
     ybar = -alpha
     return (g * kbar, g * ybar, None, jnp.zeros(()))

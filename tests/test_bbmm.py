@@ -263,3 +263,76 @@ def test_exact_gp_cg_solver_path(precond_rank):
         )
     )
     assert abs(cg - direct) < 0.02 * abs(direct) + 0.05
+
+
+def test_exact_gp_rejects_unknown_solver():
+    """A typo'd solver must raise, not silently fall back to Cholesky."""
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models.exact_gp import ExactGP
+
+    rng = np.random.default_rng(18)
+    x = jnp.asarray(rng.normal(size=(20, 2)), jnp.float64)
+    y = jnp.asarray(rng.normal(size=(20,)), jnp.float64)
+    model = ExactGP.create(
+        Scale.create(RBF.create(ard_dims=2, dtype=jnp.float64), dtype=jnp.float64),
+        noise=0.2,
+        dtype=jnp.float64,
+    )
+    for bad in ("CG", "bbmm", "cholesky"):
+        with pytest.raises(ValueError, match="solver"):
+            model.mll(x, y, solver=bad)
+
+
+def test_grad_trace_term_unbiased_with_preconditioner():
+    """With N(0, P) probes the K-gradient's trace estimator must pair
+    K⁻¹z with P⁻¹z (E[z (P⁻¹z)ᵀ] = I); pairing with z itself would leave
+    an O(1) K⁻¹(P−K) bias that many probes cannot remove."""
+    k64, noise = _rbf_psd(150, noise=0.3, seed=21)
+    rng = np.random.default_rng(22)
+    y = jnp.asarray(rng.normal(size=(150,)))
+    gk = jax.grad(
+        lambda kk: cg_mll(
+            kk,
+            y,
+            jax.random.PRNGKey(7),
+            jnp.asarray(noise),
+            num_probes=256,
+            max_iters=150,
+            tol=1e-10,
+            precond_rank=12,
+        )
+    )(k64)
+    kinv = jnp.linalg.inv(k64)
+    alpha = kinv @ y
+    gk_exact = 0.5 * jnp.outer(alpha, alpha) - 0.5 * kinv
+    rel = float(jnp.linalg.norm(gk - gk_exact) / jnp.linalg.norm(gk_exact))
+    assert rel < 0.35
+
+
+def test_cg_breakdown_surfaces_not_silently_frozen():
+    """An indefinite kmat must surface (broke flag → NaN mll), not train on
+    a silently corrupted logdet/solve."""
+    k, noise = _rbf_psd(60, noise=0.05, seed=23)
+    k_indef = k - 1.5 * jnp.eye(60)  # definitely indefinite
+    rng = np.random.default_rng(24)
+    probes = jnp.asarray(np.sign(rng.normal(size=(60, 8))))
+    res = mbcg(lambda v: k_indef @ v, probes, max_iters=60, tol=1e-12)
+    assert bool(jnp.any(res.broke))
+
+    y = jnp.asarray(rng.normal(size=(60,)))
+    val = cg_mll(
+        k_indef, y, jax.random.PRNGKey(9), jnp.asarray(noise),
+        num_probes=8, max_iters=60, tol=1e-12,
+    )
+    assert not np.isfinite(float(val))
+
+    # and the SPD case: no breakdown, finite and accurate logdet
+    probes32 = jnp.asarray(np.sign(rng.normal(size=(60, 32))))
+    res_ok = mbcg(lambda v: k @ v, probes32, max_iters=120, tol=1e-12)
+    assert not bool(jnp.any(res_ok.broke))
+    val_ok = lanczos_logdet(
+        res_ok.alphas, res_ok.betas, jnp.sum(probes32 * probes32, axis=0), 60
+    )
+    exact = float(jnp.linalg.slogdet(k)[1])
+    assert np.isfinite(float(val_ok))
+    assert abs(float(val_ok) - exact) < 0.1 * abs(exact) + 1.0
