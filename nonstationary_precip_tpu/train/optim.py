@@ -85,7 +85,11 @@ def fit(
     the model can only stop at a chunk boundary, so the returned state is
     from the end of the chunk containing the triggering step.  For a
     vector (per-split) trace the rule requires every split's |Δ| below
-    threshold at the same step.  chunk=0 runs the whole budget as one scan.
+    threshold at the same step.  chunk=0 runs the whole budget as one
+    scan — unless ``threshold`` is set, in which case it defaults to
+    min(num_steps, 500) so a convergent fit actually stops early instead
+    of burning the whole budget (fixed chunk lengths keep the compiled
+    program count at ≤2: the chunk program plus at most one tail).
     nan_guard: abort at a chunk boundary when the loss goes non-finite —
     minimal failure detection (the reference has none, SURVEY.md §5); the
     last finite-loss model state is NOT recoverable mid-chunk, so pair
@@ -97,7 +101,7 @@ def fit(
     opt_state = optimizer.init(model)
 
     if not chunk:
-        chunk = num_steps
+        chunk = min(num_steps, 500) if threshold is not None else num_steps
     losses_all = []
     steps_done = 0
     prev_last = None  # last step of the previous chunk, for cross-chunk |Δ|

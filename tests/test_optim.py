@@ -42,6 +42,16 @@ def test_fit_early_stop_is_per_step_within_chunk():
     assert res.steps == 2000
 
 
+def test_fit_threshold_defaults_to_moderate_chunk():
+    """With a threshold but no explicit chunk, fit must not run the whole
+    budget as one scan (which could never stop early) — the default chunk
+    becomes min(num_steps, 500)."""
+    model = {"w": jnp.asarray([1.0, 1.0])}
+    target = jnp.asarray([1.0, 1.0])  # already optimal
+    res = fit(model, _quad_loss, target, lr=1e-4, num_steps=5000, threshold=1e-12)
+    assert res.steps == 500
+
+
 def test_fit_mask_freezes_leaves():
     model = {"w": jnp.zeros(2), "frozen": jnp.ones(2)}
 
