@@ -1,6 +1,12 @@
 # Convenience targets (see CLAUDE.md for environment quirks)
 
-.PHONY: test bench benchmarks native clean
+.PHONY: test bench benchmarks native clean check-tpu
+
+# on-chip parity gate for every shipped Pallas kernel vs its XLA oracle
+# (interpret-mode CI cannot catch Mosaic lowering bugs) — run before any
+# BENCH/RESULTS submission
+check-tpu:
+	python tools/check_tpu.py
 
 test:
 	python -m pytest tests/ -q

@@ -74,6 +74,7 @@ def run_one_split(data, random_state: int, cfg: ExperimentConfig):
         batch_size=cfg.batch_size,
         lr=cfg.lr,
         seed=random_state,
+        aot_key="deepgp_spatial",
     )
 
     # predict + metrics as ONE jitted program (compiled once, reused by

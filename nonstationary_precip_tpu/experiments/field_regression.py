@@ -98,6 +98,7 @@ def spatial_field(cfg: ExperimentConfig):
         batch_size=min(cfg.batch_size, n),
         lr=cfg.lr,
         seed=0,
+        aot_key="field_reg",
     )
 
     # full field at ALL sites, in the original (unshuffled) row order
@@ -143,6 +144,7 @@ def st_field_pattern(cfg: ExperimentConfig):
     res = fit_minibatched(
         model, loss_fn, x_train, y_train, key=k_train,
         num_epochs=cfg.num_epochs, batch_size=min(1024, n), lr=cfg.lr, seed=BASE_SEED,
+        aot_key="field_reg_dgp2",
     )
     dist, _, _ = jax.jit(
         lambda m, kp, xa: m.predict(kp, xa, num_samples=cfg.num_samples)

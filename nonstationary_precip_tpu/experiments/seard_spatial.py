@@ -58,12 +58,17 @@ def main(argv=None):
     args_per_split = tuple(zip(*[s[1] for s in splits]))
 
     # identical shapes across splits → one batched training program
+    # aot_key pins the compiled fit executable to disk: this row is the
+    # one the axon compile service pathologically fresh-compiles per
+    # process (8.8-881 s measured) — loading the pinned executable
+    # bypasses the service entirely (train/aot_cache.py)
     res = fit_splits(
         models,
         lambda m, xx, yy: m.loss(xx, yy),
         *args_per_split,
         lr=cfg.lr,
         num_steps=cfg.max_iters,
+        aot_key="seard10",
     )
     # one jitted vmapped evaluation over all splits (eager per-split
     # predicts paid ~28 ms axon dispatch per op; train.vmapped.eval_splits)

@@ -69,6 +69,7 @@ def main(argv=None):
         num_steps=cfg.max_iters,
         log_every=10,
         chunk=10,
+        aot_key="sgpr",
     )
     import jax
 

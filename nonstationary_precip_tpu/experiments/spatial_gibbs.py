@@ -119,6 +119,7 @@ def main(argv=None):
         num_steps=cfg.max_iters,
         masks=masks,
         chunk=min(500, cfg.max_iters),
+        aot_key=f"gibbs_{cfg.inference}",
     )
     trained = unstack_pytree(res.model, cfg.num_splits)
 

@@ -75,6 +75,7 @@ def main(argv=None):
         mask=mask,
         log_every=50,
         chunk=50,
+        aot_key="st_nonstat" if nonstationary else "st_stat",
     )
     model = res.model
 

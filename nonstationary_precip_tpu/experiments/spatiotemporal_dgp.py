@@ -67,6 +67,7 @@ def main(argv=None):
         batch_size=batch,
         lr=cfg.lr,
         seed=BASE_SEED,
+        aot_key="st_dgp",
         log_every_epochs=max(cfg.num_epochs // 10, 1),
     )
 

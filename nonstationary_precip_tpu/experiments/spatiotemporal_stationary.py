@@ -65,6 +65,7 @@ def main(argv=None):
         num_steps=cfg.max_iters,
         log_every=50,
         chunk=50,
+        aot_key="st_stat_exact",
     )
     import jax
 

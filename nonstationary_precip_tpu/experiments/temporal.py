@@ -55,6 +55,7 @@ def main(argv=None):
         num_steps=cfg.max_iters,
         log_every=500,
         chunk=500,
+        aot_key="temporal",
     )
     import jax
 

@@ -15,6 +15,7 @@ between compiled segments, keeping shapes static.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
@@ -76,6 +77,7 @@ def fit(
     callback: Optional[Callable] = None,
     nan_guard: bool = True,
     has_aux: bool = False,
+    aot_key: Optional[str] = None,
 ) -> TrainResult:
     """Adam-optimise ``model`` under loss_fn(model, *args).
 
@@ -96,20 +98,36 @@ def fit(
     with smaller chunks when chasing instabilities.
     has_aux: loss_fn returns (scalar, trace); trace (e.g. a per-split loss
     vector) is recorded in TrainResult.losses instead of the scalar.
+    aot_key: pin/load this fit's compiled chunk programs under
+    ``$NSGP_AOT_DIR/<aot_key>-s<chunk>-*.jaxexec`` (train/aot_cache.py) —
+    bypasses the axon compile service on every warm run; a no-op when
+    NSGP_AOT_DIR is unset.
     """
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(model)
 
     if not chunk:
         chunk = min(num_steps, 500) if threshold is not None else num_steps
+    use_aot = aot_key is not None and os.environ.get("NSGP_AOT_DIR")
+    aot_programs: dict = {}
     losses_all = []
     steps_done = 0
     prev_last = None  # last step of the previous chunk, for cross-chunk |Δ|
     while steps_done < num_steps:
         n = min(chunk, num_steps - steps_done)
-        model, opt_state, losses = adam_scan(
-            model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args
-        )
+        if use_aot:
+            if n not in aot_programs:
+                from nonstationary_precip_tpu.train.aot_cache import cached_compile
+
+                aot_programs[n] = cached_compile(
+                    f"{aot_key}-s{n}", adam_scan,
+                    model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args,
+                )
+            model, opt_state, losses = aot_programs[n](model, opt_state, mask, *args)
+        else:
+            model, opt_state, losses = adam_scan(
+                model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args
+            )
         losses = np.asarray(jax.device_get(losses))
         losses_all.append(losses)
         steps_done += n
@@ -168,10 +186,12 @@ def fit_minibatched(
     lr: float = 0.01,
     seed: int = 0,
     log_every_epochs: int = 0,
+    aot_key: Optional[str] = None,
 ) -> TrainResult:
     """Epoch-shuffled minibatch Adam (the reference's DSVI loop,
     deepgp_spatial_bench.py:78-92) compiled as one scan over the full
-    epoch×batch schedule."""
+    epoch×batch schedule.  ``aot_key``: pin/load the compiled scan via
+    train/aot_cache.py (active only when NSGP_AOT_DIR is set)."""
 
     n = x.shape[0]
     steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
@@ -190,9 +210,18 @@ def fit_minibatched(
 
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(model)
-    model, opt_state, losses = minibatch_scan(
-        model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y
-    )
+    if aot_key is not None and os.environ.get("NSGP_AOT_DIR"):
+        from nonstationary_precip_tpu.train.aot_cache import cached_compile
+
+        prog = cached_compile(
+            f"{aot_key}-t{total_steps}", minibatch_scan,
+            model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y,
+        )
+        model, opt_state, losses = prog(model, opt_state, keys, batch_idx, x, y)
+    else:
+        model, opt_state, losses = minibatch_scan(
+            model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y
+        )
     if log_every_epochs:
         host_losses = jax.device_get(losses)
         for e in range(0, num_epochs, log_every_epochs):

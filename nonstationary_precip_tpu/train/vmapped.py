@@ -42,6 +42,7 @@ def fit_splits(
     masks: Sequence[Any] = None,
     log_every: int = 0,
     chunk: int = 0,
+    aot_key: str = None,
 ) -> TrainResult:
     """Train K models on K datasets simultaneously.
 
@@ -78,6 +79,7 @@ def fit_splits(
         log_every=log_every,
         has_aux=True,
         chunk=chunk,
+        aot_key=aot_key,
     )
     return TrainResult(model=res.model, losses=res.losses, steps=res.steps)
 

@@ -5,6 +5,7 @@ RMSE/NLPD to RESULTS.json — the parity evidence for BASELINE.md."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -16,6 +17,13 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+# Pin each benchmark's compiled fit executable to disk (train/aot_cache.py):
+# warm suite runs deserialize instead of calling the axon compile service,
+# whose latency is pathologically variable for some programs (the seard
+# row fresh-compiled in 8.8-881 s across processes).  Opt out with
+# NSGP_AOT_DIR="".
+os.environ.setdefault("NSGP_AOT_DIR", str(Path(__file__).parent / "exports" / "aot"))
 
 RESULTS = Path("RESULTS.json")
 

@@ -52,6 +52,27 @@ def test_fit_threshold_defaults_to_moderate_chunk():
     assert res.steps == 500
 
 
+def test_fit_aot_cache_pins_and_reloads(tmp_path, monkeypatch):
+    """aot_key + NSGP_AOT_DIR pins the compiled chunk executable to disk;
+    a second fit loads the pin and produces identical trajectories."""
+    monkeypatch.setenv("NSGP_AOT_DIR", str(tmp_path))
+    model = {"w": jnp.zeros(2)}
+    target = jnp.asarray([1.0, -1.0])
+    res1 = fit(model, _quad_loss, target, lr=0.1, num_steps=40, chunk=20,
+               aot_key="quad")
+    pins = list(tmp_path.glob("quad-s20-*.jaxexec"))
+    assert len(pins) == 1
+    res2 = fit(model, _quad_loss, target, lr=0.1, num_steps=40, chunk=20,
+               aot_key="quad")
+    np.testing.assert_array_equal(np.asarray(res1.losses), np.asarray(res2.losses))
+    np.testing.assert_array_equal(
+        np.asarray(res1.model["w"]), np.asarray(res2.model["w"])
+    )
+    # and still exactly matches the non-AOT path
+    res3 = fit(model, _quad_loss, target, lr=0.1, num_steps=40, chunk=20)
+    np.testing.assert_array_equal(np.asarray(res1.losses), np.asarray(res3.losses))
+
+
 def test_fit_mask_freezes_leaves():
     model = {"w": jnp.zeros(2), "frozen": jnp.ones(2)}
 

@@ -1,0 +1,225 @@
+#!/usr/bin/env python3
+"""Gated ON-CHIP parity check for every shipped Pallas kernel.
+
+CI runs the Pallas suite in interpret mode (tests/test_pallas.py), and
+this repo's history proves interpret-green ≠ chip-correct (Mosaic +
+input_output_aliases NaN'd on chip while interpret passed,
+ops/pallas_chol.py:37-40).  This tool is the chip-side gate: one small
+program per shipped kernel, each asserting tolerance parity against the
+XLA oracle ON THE TPU, plus the in-kernel jitter-retry paths.  Run it
+(``make check-tpu``) before any BENCH/RESULTS submission.
+
+Exit code 0 = all kernels parity-green on chip; 1 = any failure.
+Programs are tiny and land in the persistent bench cache, so a warm run
+is seconds; a cold run pays a few axon compiles.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+FAILURES: list[str] = []
+
+
+def report(name: str, ok: bool, detail: str):
+    status = "ok  " if ok else "FAIL"
+    print(f"[{status}] {name}: {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def _maxdiff(a, b):
+    return float(jnp.max(jnp.abs(a - b)))
+
+
+def _finite(*arrs):
+    return all(bool(jnp.all(jnp.isfinite(a))) for a in arrs)
+
+
+def check_gram():
+    """Tiled Gibbs Gram kernel vs the XLA einsum formulation."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+    from nonstationary_precip_tpu.ops.pallas_gram import gibbs_gram_pallas
+
+    rng = np.random.default_rng(11)
+    n, m, d = 1024, 512, 2
+    x1 = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(m, d)), jnp.float32)
+    e1 = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    e2 = jnp.asarray(np.exp(rng.normal(size=(m, d)) * 0.3) + 0.2, jnp.float32)
+    ours = jax.jit(gibbs_gram_pallas)(x1, e1, x2, e2)
+    ref = jax.jit(gibbs_gram)(x1, e1, x2, e2)
+    err = _maxdiff(ours, ref)
+    report("gram 1024x512", _finite(ours) and err < 1e-4, f"maxdiff {err:.2e}")
+
+
+def check_fused_gibbs():
+    """Fused Gram→chol→solve MAP-loss kernel at its dispatch size, value +
+    gradient parity, plus the singular-K in-kernel retry."""
+    import nonstationary_precip_tpu.ops.pallas_fused as pf
+
+    rng = np.random.default_rng(12)
+    n, d = 1024, 2
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    s2 = jnp.asarray(0.644, jnp.float32)
+    noise = jnp.asarray(0.011, jnp.float32)
+
+    chol, alpha = jax.jit(pf.gibbs_chol_solve_fused)(x, ell, y, s2, noise)
+    chol_r, alpha_r = pf._reference(x, ell, y, s2, noise)
+    errc, erra = _maxdiff(chol, chol_r), _maxdiff(alpha, alpha_r)
+    report(
+        "fused gibbs N=1024 fwd",
+        _finite(chol, alpha) and errc < 1e-3 and erra < 5e-2,
+        f"maxdiff L {errc:.2e} alpha {erra:.2e}",
+    )
+
+    # custom-VJP path on chip: d(sum alpha)/d(ell) vs the XLA oracle
+    def loss_k(e):
+        return jnp.sum(jax.jit(pf.gibbs_chol_solve_fused)(x, e, y, s2, noise)[1])
+
+    def loss_r(e):
+        return jnp.sum(pf._reference(x, e, y, s2, noise)[1])
+
+    g_k = jax.jit(jax.grad(loss_k))(ell)
+    g_r = jax.jit(jax.grad(loss_r))(ell)
+    scale = float(jnp.max(jnp.abs(g_r))) + 1e-12
+    gerr = _maxdiff(g_k, g_r) / scale
+    report(
+        "fused gibbs N=1024 bwd",
+        _finite(g_k) and gerr < 5e-2,
+        f"rel maxdiff grad {gerr:.2e}",
+    )
+
+    # singular K (duplicate rows, zero noise): in-kernel jitter escalation
+    x_dup = np.array(x); x_dup[100] = x_dup[50]
+    e_dup = np.array(ell); e_dup[100] = e_dup[50]
+    chol2, alpha2 = jax.jit(pf.gibbs_chol_solve_fused)(
+        jnp.asarray(x_dup), jnp.asarray(e_dup), y, s2, jnp.asarray(0.0, jnp.float32)
+    )
+    report("fused gibbs retry (singular K)", _finite(chol2, alpha2), "finite")
+
+
+def check_svgp():
+    """SVGP precompute kernel at the production shape + tight-z retry."""
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+
+    rng = np.random.default_rng(13)
+    t, m, d = 5, 250, 2
+    ell = jnp.asarray(np.exp(rng.normal(size=(t, d)) * 0.3) + 0.3, jnp.float32)
+    s2 = jnp.asarray(np.exp(rng.normal(size=t) * 0.2), jnp.float32)
+    packed = jnp.asarray(rng.normal(size=(t, m, 2 * m + 1)), jnp.float32)
+
+    z = jnp.asarray(30.0 * rng.normal(size=(t, m, d)), jnp.float32)
+    l, w, _ = jax.jit(ps.svgp_precompute_fused)(z, ell, s2, packed)
+    l_r, w_r, _ = ps._reference(z, ell, s2, packed)
+    errl, errw = _maxdiff(l, l_r), _maxdiff(w, w_r)
+    report(
+        "svgp precompute T=5 M=250",
+        _finite(l, w) and errl < 1e-2 and errw < 1e-1,
+        f"maxdiff L {errl:.2e} W {errw:.2e}",
+    )
+
+    z_tight = jnp.asarray(rng.normal(size=(t, m, d)), jnp.float32)
+    l2, w2, _ = jax.jit(ps.svgp_precompute_fused)(z_tight, ell, s2, packed)
+    ref_finite = _finite(ps._reference(z_tight, ell, s2, packed)[0])
+    report(
+        "svgp retry (tight z)",
+        _finite(l2, w2),
+        f"kernel finite (plain XLA chol finite={ref_finite})",
+    )
+
+
+def check_streaming2():
+    """Streaming GEMM-formulation Cholesky v2 at its dispatch size."""
+    from nonstationary_precip_tpu.ops.pallas_chol import _forward_streaming2
+
+    rng = np.random.default_rng(14)
+    n = 8192
+    a = rng.normal(size=(n, 64)).astype(np.float32)
+    k = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+    ours = jax.jit(_forward_streaming2)(k)
+    ref = jax.jit(jnp.linalg.cholesky)(k)
+    err = _maxdiff(ours, ref)
+    rel = err / (float(jnp.max(jnp.abs(ref))) + 1e-12)
+    report(
+        "streaming chol v2 N=8192",
+        _finite(ours) and rel < 1e-4,
+        f"rel maxdiff {rel:.2e}",
+    )
+
+
+def check_cholinv_b():
+    """Leading-dim-batched 3-level (chol, inv) kernel at (10, 384)."""
+    from nonstationary_precip_tpu.ops.pallas_chol import _chol_inv_b_forward
+
+    rng = np.random.default_rng(15)
+    t, n = 10, 384
+    a = rng.normal(size=(t, n, 48)).astype(np.float32)
+    k = jnp.asarray(np.einsum("tij,tkj->tik", a, a) + n * np.eye(n, dtype=np.float32))
+    l, li = jax.jit(_chol_inv_b_forward)(k)
+    l_r = jax.jit(jnp.linalg.cholesky)(k)
+    li_r = jax.jit(
+        lambda kk: jax.scipy.linalg.solve_triangular(
+            jnp.linalg.cholesky(kk), jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), kk.shape), lower=True
+        )
+    )(k)
+    errl = _maxdiff(l, l_r) / (float(jnp.max(jnp.abs(l_r))) + 1e-12)
+    errli = _maxdiff(jnp.tril(li), jnp.tril(li_r)) / (float(jnp.max(jnp.abs(li_r))) + 1e-12)
+    report(
+        "batched chol+inv v2 (10,384)",
+        _finite(l, li) and errl < 1e-4 and errli < 1e-3,
+        f"rel maxdiff L {errl:.2e} Linv {errli:.2e}",
+    )
+
+
+def check_vmem_chol():
+    """Opt-in VMEM blocked Cholesky (building block of the fused kernel)."""
+    from nonstationary_precip_tpu.ops.pallas_chol import _forward
+
+    rng = np.random.default_rng(16)
+    n = 1024
+    a = rng.normal(size=(n, 48)).astype(np.float32)
+    k = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+    ours = jax.jit(_forward)(k)
+    ref = jax.jit(jnp.linalg.cholesky)(k)
+    rel = _maxdiff(ours, ref) / (float(jnp.max(jnp.abs(ref))) + 1e-12)
+    report("vmem chol N=1024", _finite(ours) and rel < 1e-4, f"rel maxdiff {rel:.2e}")
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"backend: {backend}", flush=True)
+    if backend != "tpu":
+        print("check_tpu must run on the TPU backend", flush=True)
+        sys.exit(2)
+    t0 = time.time()
+    check_gram()
+    check_fused_gibbs()
+    check_svgp()
+    check_cholinv_b()
+    check_vmem_chol()
+    check_streaming2()
+    dt = time.time() - t0
+    if FAILURES:
+        print(f"CHECK-TPU FAILED ({len(FAILURES)}): {', '.join(FAILURES)}  [{dt:.0f}s]",
+              flush=True)
+        sys.exit(1)
+    print(f"CHECK-TPU OK — all shipped Pallas kernels parity-green on chip [{dt:.0f}s]",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
