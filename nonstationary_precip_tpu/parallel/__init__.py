@@ -1,4 +1,8 @@
-from nonstationary_precip_tpu.parallel.mesh import make_mesh, data_sharding  # noqa: F401
+from nonstationary_precip_tpu.parallel.mesh import (  # noqa: F401
+    data_sharding,
+    make_mesh,
+    make_mesh_2d,
+)
 from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
     dp_value_and_grad,
     pad_to_multiple,
@@ -6,6 +10,7 @@ from nonstationary_precip_tpu.parallel.dp import (  # noqa: F401
 )
 from nonstationary_precip_tpu.parallel.distributed_chol import (  # noqa: F401
     sharded_cholesky,
+    sharded_cholesky_2d,
     sharded_mvn_logpdf,
 )
 from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401

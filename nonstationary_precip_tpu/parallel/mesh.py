@@ -15,12 +15,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+ROW_AXIS = "rows"
+COL_AXIS = "cols"
+
+
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first n devices (all by default)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_mesh_2d(
+    n_rows: int,
+    n_cols: int,
+    row_axis: str = ROW_AXIS,
+    col_axis: str = COL_AXIS,
+) -> Mesh:
+    """2-D (n_rows × n_cols) mesh over the first n_rows·n_cols devices —
+    for tensor-sharded linear algebra (parallel/distributed_chol.py's 2-D
+    variant).  On real hardware pick the factorisation matching the
+    physical torus so both axes ride ICI."""
+    devs = jax.devices()
+    need = n_rows * n_cols
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(
+        np.asarray(devs[:need]).reshape(n_rows, n_cols), (row_axis, col_axis)
+    )
 
 
 def data_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:

@@ -354,6 +354,24 @@ def test_sharded_cholesky_matches_single_device(rng):
     np.testing.assert_allclose(np.triu(np.asarray(l_sh), 1), 0.0)
 
 
+@pytest.mark.parametrize("grid", [(4, 2), (2, 4)])
+def test_sharded_cholesky_2d_matches_single_device(rng, grid):
+    """2-D-mesh (SUMMA-style) distributed Cholesky == XLA factorisation,
+    both mesh orientations."""
+    from nonstationary_precip_tpu.parallel import make_mesh_2d, sharded_cholesky_2d
+
+    if len(jax.devices()) < grid[0] * grid[1]:
+        pytest.skip("needs 8 devices")
+    n = 1024
+    r = rng.normal(size=(n, 64)).astype(np.float32)
+    a = jnp.asarray(r @ r.T / 64 + 2.0 * np.eye(n, dtype=np.float32))
+    mesh = make_mesh_2d(*grid)
+    l_sh = jax.jit(sharded_cholesky_2d(mesh, block=128))(a)
+    l_ref = jnp.linalg.cholesky(a)
+    np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref), rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.triu(np.asarray(l_sh), 1), 0.0)
+
+
 def test_sharded_mvn_logpdf_matches_dense(rng):
     from nonstationary_precip_tpu.parallel import make_mesh
     from nonstationary_precip_tpu.parallel.distributed_chol import sharded_mvn_logpdf
