@@ -99,7 +99,7 @@ def main(argv=None):
             nlpd_joint(pred, yte, stdy_s),
         )
 
-    rmses_a, nlpds_a = eval_splits(res.model, eval_one, *eval_args)
+    rmses_a, nlpds_a = eval_splits(res.model, eval_one, *eval_args, aot_key="seard10")
     rmses, nlpds = [], []
     for rs in range(cfg.num_splits):
         r, n = float(rmses_a[rs]), float(nlpds_a[rs])

@@ -104,8 +104,15 @@ def main(argv=None):
 
     if cfg.inference == "sparse":
         loss_fn = lambda m, xx, yy: m.loss(xx, yy)  # noqa: E731 — z trains, no hoist
+        batched_loss = None
     else:
         loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
+        # hand-batched MAP loss: one 3-level Pallas (chol, inv) launch for
+        # all K splits, alpha + MLL pullback as batched GEMMs against the
+        # exported L⁻¹ (falls back to vmap(loss) off-TPU)
+        from nonstationary_precip_tpu.models.gibbs_gp import gibbs_map_loss_batched
+
+        batched_loss = gibbs_map_loss_batched
 
     # all splits train simultaneously as one batched program; chunk=500
     # keys the compiled scan to a fixed length so changing --max_iters
@@ -120,6 +127,7 @@ def main(argv=None):
         masks=masks,
         chunk=min(500, cfg.max_iters),
         aot_key=f"gibbs_{cfg.inference}",
+        batched_loss=batched_loss,
     )
     trained = unstack_pytree(res.model, cfg.num_splits)
 
@@ -136,7 +144,8 @@ def main(argv=None):
         return rmse_rescaled(pred.mean, yte, stdy), nlpd_joint(pred, yte, stdy)
 
     rmses_a, nlpds_a = eval_splits(
-        res.model, eval_one, *tuple(zip(*eval_stack))
+        res.model, eval_one, *tuple(zip(*eval_stack)),
+        aot_key=f"gibbs_{cfg.inference}",
     )
     rmses, nlpds = [], []
     for split in range(cfg.num_splits):

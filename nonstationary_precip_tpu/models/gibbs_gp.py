@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
@@ -146,6 +147,58 @@ class GibbsExactGP:
         if x_new is None:
             return ell
         return self.prior.conditional_mean(x_new, (x_train, ell))
+
+
+def gibbs_map_loss_batched(models, x, y, prior_pre):
+    """Per-split MAP losses for a STACKED (leading T axis) GibbsExactGP
+    pytree — the hand-batched form of ``jax.vmap(lambda m: m.loss(...))``
+    used by the 10-split spatial benchmark
+    (/root/reference/experiments/spatial_exp.py:197-210 at 10-split
+    scale).
+
+    On TPU for eligible stacks the (chol, inv) pair comes from the ONE
+    3-level batched Pallas launch (``chol_inv_batched_safe``), and its
+    exported L⁻¹ turns every surrounding solve into batched GEMMs:
+    α = L⁻¹y is one (T,N,N)×(T,N,1) matmul, and the MLL pullback
+    (½(ααᵀ − K⁻¹), K⁻¹ = L⁻ᵀL⁻¹) runs through the kernel's matmul-only
+    custom VJP — no triangular solves, no refactorisation.  A vmapped
+    ``jax.vmap`` of a single-matrix Pallas kernel would instead serialise
+    the batch over a grid (measured 332 vs 874 steps/s, DESIGN.md §10).
+
+    Ineligible shapes/backends fall back to exactly the per-split
+    ``GibbsExactGP.loss`` under vmap (same numbers as today).
+
+    Returns the per-split loss vector (T,).
+    """
+    import math
+
+    from nonstationary_precip_tpu.ops.pallas_chol import (
+        chol_inv_batched_safe,
+        gibbs_b_eligible,
+    )
+
+    n = y.shape[-1]
+    ell = jnp.exp(models.log_ell)  # (T, N, D)
+    s2 = positive(models.raw_outputscale)  # (T,)
+    noise = models.likelihood.noise  # (T,)
+    gram_b = jax.vmap(lambda xx, ee: gibbs_gram(xx, ee, xx, ee))
+    eye = jnp.eye(n, dtype=y.dtype)
+    k = s2[:, None, None] * gram_b(x, ell) + noise[:, None, None] * eye
+
+    if gibbs_b_eligible(k):
+        l, li = chol_inv_batched_safe(k)
+        alpha = jnp.einsum("tij,tj->ti", li, y)
+        quad = jnp.sum(alpha * alpha, axis=-1)
+        logdet = 2.0 * jnp.sum(jnp.log(diag_part(l)), axis=-1)
+        logp = -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
+        prior_term = jax.vmap(
+            lambda m, xx, pc: m.prior.log_prob(xx, m.log_ell, pc)
+        )(models, x, prior_pre)
+        return -(logp + prior_term) / n
+
+    return jax.vmap(lambda m, xx, yy, pc: m.loss(xx, yy, pc))(
+        models, x, y, prior_pre
+    )
 
 
 def gibbs_sparse_sharded_loss(mesh):

@@ -1009,3 +1009,75 @@ def _civ2_bwd(res, g):
 
 
 chol_inv_batched_v2.defvjp(_civ2_fwd, _civ2_bwd)
+
+
+def gibbs_b_eligible(mats) -> bool:
+    """Dispatch gate for the batched-(chol, inv) MAP-loss path
+    (``chol_inv_batched_safe``, consumed by
+    ``models.gibbs_gp.gibbs_map_loss_batched``): f32 (T ≤ 16, N ≤ 384)
+    stacks on TPU, default ON (disable via NSGP_PALLAS_GIBBS_B=0).
+
+    Unlike the standalone opt-in ``cholinv_b_eligible`` gate, this path
+    is where the kernel's exported L⁻¹ pays: alpha and the whole MLL
+    pullback become batched GEMMs with no triangular solves and no
+    second factorisation."""
+    import os
+
+    if os.environ.get("NSGP_PALLAS_GIBBS_B", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    if mats.dtype != jnp.float32 or mats.ndim != 3:
+        return False
+    t, n, _ = mats.shape
+    return t <= 16 and BLOCK <= n <= MAX_N_CHOLINV_B
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def chol_inv_batched_safe(mats: jnp.ndarray, jitter: float = 1e-5, max_tries: int = 6):
+    """(L, L⁻¹) for (T, N, N) SPD stacks with escalating-jitter retry —
+    the batched analogue of ``ops.linalg.safe_cholesky`` (GPyTorch
+    ``psd_safe_cholesky`` semantics, reference
+    ``experiments/spatial_exp.py:31``) built on the 3-level in-kernel
+    batch.  Primal while_loop carries the (L, L⁻¹) pair (happy path =
+    exactly one kernel launch); pullback is the matmul-only
+    ``chol_inv_batched_v2`` form against the saved L⁻¹."""
+    return _chol_inv_b_safe_impl(mats, jitter, max_tries)
+
+
+def _chol_inv_b_safe_impl(mats, jitter, max_tries):
+    n = mats.shape[-1]
+    eye = jnp.eye(n, dtype=mats.dtype)
+    base = jitter if jitter > 0 else 1e-5
+
+    out0 = _chol_inv_b_forward(mats)
+
+    def cond_fn(state):
+        i, _, (l, _) = state
+        return jnp.logical_and(
+            i < max_tries, jnp.logical_not(jnp.all(jnp.isfinite(l)))
+        )
+
+    def body(state):
+        i, j, _ = state
+        j_next = jnp.where(i == 0, base, j * 10.0)
+        return i + 1, j_next, _chol_inv_b_forward(mats + j_next * eye)
+
+    zero = jnp.asarray(0.0, dtype=mats.dtype)
+    _, _, out = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zero, out0))
+    return out
+
+
+def _cib_safe_fwd(mats, jitter, max_tries):
+    out = _chol_inv_b_safe_impl(mats, jitter, max_tries)
+    return out, out
+
+
+def _cib_safe_bwd(jitter, max_tries, res, g):
+    return _civ2_bwd(res, g)
+
+
+chol_inv_batched_safe.defvjp(_cib_safe_fwd, _cib_safe_bwd)

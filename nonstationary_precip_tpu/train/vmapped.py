@@ -43,11 +43,15 @@ def fit_splits(
     log_every: int = 0,
     chunk: int = 0,
     aot_key: str = None,
+    batched_loss: Callable = None,
 ) -> TrainResult:
     """Train K models on K datasets simultaneously.
 
     loss_fn(model, *args) is the per-split loss; ``args_per_split`` are
     sequences of per-split arrays (stacked on a leading axis here).
+    ``batched_loss(stacked_model, *stacked_args) -> (K,)`` overrides the
+    default ``jax.vmap`` of loss_fn with a hand-batched form (e.g. the
+    Pallas in-kernel-batch MAP loss, models.gibbs_gp.gibbs_map_loss_batched).
     Returns a TrainResult whose model is the stacked pytree and whose
     losses are (num_steps, K).
     """
@@ -66,7 +70,10 @@ def fit_splits(
         # sum couples nothing: Adam is elementwise per leaf, so the summed
         # loss's gradient w.r.t. split k's parameters is exactly split k's
         # gradient; the per-split vector rides along as the recorded trace
-        per = jax.vmap(lambda mm, *aa: loss_fn(mm, *aa))(m, *sa)
+        if batched_loss is not None:
+            per = batched_loss(m, *sa)
+        else:
+            per = jax.vmap(lambda mm, *aa: loss_fn(mm, *aa))(m, *sa)
         return jnp.sum(per), per
 
     res = fit(
@@ -116,7 +123,7 @@ def fit_restarts(
     return best_model, float(finals[best]), finals
 
 
-def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split):
+def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split, aot_key: str = None):
     """Evaluate K trained splits as ONE jitted vmapped program.
 
     ``eval_fn(model, *args)`` returns a pytree of metric arrays for one
@@ -124,7 +131,13 @@ def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split):
     eager per-split loops this replaces paid the ~28 ms axon dispatch on
     every jnp op — at ~40 ops per predict across 10 splits that phase
     dominated entire benchmark wallclocks (measured 2026-08-16:
-    ~115 s of the 130 s gibbs_spatial_exact_10split row)."""
+    ~115 s of the 130 s gibbs_spatial_exact_10split row).
+
+    ``aot_key`` pins the compiled eval executable to ``$NSGP_AOT_DIR``
+    (train/aot_cache.py) — the eval program was the remaining per-process
+    compile after the fit programs were pinned."""
+    import os
+
     stacked_args = tuple(
         stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
         for seq in args_per_split
@@ -132,4 +145,9 @@ def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split):
     fn = jax.jit(
         lambda ms, *sa: jax.vmap(lambda m, *aa: eval_fn(m, *aa))(ms, *sa)
     )
+    if aot_key is not None and os.environ.get("NSGP_AOT_DIR"):
+        from nonstationary_precip_tpu.train.aot_cache import cached_compile
+
+        prog = cached_compile(f"{aot_key}-eval", fn, models_stacked, *stacked_args)
+        return jax.block_until_ready(prog(models_stacked, *stacked_args))
     return jax.block_until_ready(fn(models_stacked, *stacked_args))

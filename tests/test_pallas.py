@@ -538,3 +538,88 @@ def test_chol_inv_batched_v2_grads_match_reference(rng):
         g_ours = jax.grad(ours)(a)
     rel = float(jnp.max(jnp.abs(g_ref - g_ours)) / jnp.max(jnp.abs(g_ref)))
     assert rel < 5e-4, rel
+
+
+def _gibbs_stack(rng, t=3, n=140, d=2):
+    """T stacked GibbsExactGP models + (x, y, prior_pre) stacks."""
+    from nonstationary_precip_tpu.models.gibbs_gp import GibbsExactGP
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+    from nonstationary_precip_tpu.train.vmapped import stack_pytrees
+
+    models, xs, ys, pres = [], [], [], []
+    for s in range(t):
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), jnp.float32)
+        prior = LogNormalProcess.create(
+            d, mean=float(np.log(0.3)), outputscale=1.0, lengthscale=1.3
+        )
+        m = GibbsExactGP.create(x, prior, noise=0.011, outputscale=0.644)
+        m = m.replace(
+            log_ell=jnp.asarray(
+                rng.normal(size=(n, d)) * 0.2 + np.log(0.4), jnp.float32
+            )
+        )
+        models.append(m)
+        xs.append(x)
+        ys.append(y)
+        pres.append(prior.gram_pre(x))
+    return (
+        stack_pytrees(models),
+        jnp.stack(xs),
+        jnp.stack(ys),
+        stack_pytrees(pres),
+    )
+
+
+def test_gibbs_map_loss_batched_matches_vmap(rng, monkeypatch):
+    """Hand-batched MAP loss through the 3-level Pallas (chol, inv) kernel
+    == vmapped per-split GibbsExactGP.loss, values AND gradients."""
+    from nonstationary_precip_tpu.models.gibbs_gp import gibbs_map_loss_batched
+    from nonstationary_precip_tpu.ops import pallas_chol
+
+    models, x, y, pre = _gibbs_stack(rng)
+
+    # reference: the vmapped per-split loss (the fallback path itself)
+    ref = jax.vmap(lambda m, xx, yy, pc: m.loss(xx, yy, pc))(models, x, y, pre)
+    g_ref = jax.grad(
+        lambda mm: jnp.sum(
+            jax.vmap(lambda m, xx, yy, pc: m.loss(xx, yy, pc))(mm, x, y, pre)
+        )
+    )(models)
+
+    monkeypatch.setattr(pallas_chol, "gibbs_b_eligible", lambda k: True)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        ours = gibbs_map_loss_batched(models, x, y, pre)
+        g_ours = jax.grad(
+            lambda mm: jnp.sum(gibbs_map_loss_batched(mm, x, y, pre))
+        )(models)
+
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ours), jax.tree_util.tree_leaves(g_ref)
+    ):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
+
+
+def test_chol_inv_batched_safe_retry(rng):
+    """Escalating-jitter retry: a singular stack (plain factorisation goes
+    non-finite) must come back finite with L L^T ~ A + jitter I."""
+    from nonstationary_precip_tpu.ops.pallas_chol import chol_inv_batched_safe
+
+    t, n = 2, 140
+    base = rng.normal(size=(t, n, 30))
+    spd = np.einsum("tij,tkj->tik", base, base)  # rank 30 < n: singular
+    a = jnp.asarray(spd, jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        l, li = chol_inv_batched_safe(a)
+    assert bool(jnp.all(jnp.isfinite(l))) and bool(jnp.all(jnp.isfinite(li)))
+    rec = np.einsum("tij,tkj->tik", np.asarray(l), np.asarray(l))
+    # reconstruction matches A away from the (jittered) diagonal
+    off = ~np.eye(n, dtype=bool)
+    scale = np.abs(spd).max()
+    assert np.max(np.abs((rec - spd)[:, off])) / scale < 5e-2
