@@ -96,6 +96,36 @@ def lengthscale_map(lon, lat, ell, dim: int = 1, savepath: Optional[str] = None)
     )
 
 
+def temporal_series_plot(t, y_obs, f_mean, f_sigma, test_start=None,
+                         title: str = "", savepath: Optional[str] = None,
+                         test_mean=None):
+    """1-D temporal GP fit figure (reference ``temporal_exp.py:130-137``):
+    observations as green '+', posterior mean with a ±2σ band, an
+    optional red test-region mean and a dashed line at the train/test
+    boundary."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t, y_obs, f_mean, f_sigma = map(np.asarray, (t, y_obs, f_mean, f_sigma))
+    fig = plt.figure(figsize=(9, 3))
+    plt.scatter(t, y_obs, marker="+", c="green", label="Observations")
+    plt.plot(t, f_mean, color="orange")
+    plt.fill_between(t, f_mean - 2 * f_sigma, f_mean + 2 * f_sigma,
+                     color="orange", alpha=0.5)
+    if test_start is not None:
+        if test_mean is not None:
+            plt.plot(t[test_start:], np.asarray(test_mean), color="r",
+                     label="Posterior test mean")
+        plt.axvline(t[test_start], color="k", linestyle="--")
+    plt.legend(fontsize="x-small")
+    plt.title(title, fontsize="small")
+    if savepath:
+        fig.savefig(savepath, dpi=150, bbox_inches="tight")
+    return fig
+
+
 def etopo_relief_map(lon, lat, values=None, dem=None, title: str = "",
                      savepath: Optional[str] = None, extent=UIB_EXTENT,
                      cmap: str = "gist_earth"):
