@@ -155,9 +155,82 @@ class DeepGP:
 
     # -- objective ---------------------------------------------------------------
 
-    def loss(self, key: jax.Array, x, y, num_data: int, num_samples: int = 3, *, full_cov: bool = False):
+    def _fused_loss(self, key, x, y, num_data, num_samples):
+        """Fused-data-term path (ops/pallas_elbo.py): the whole per-sample
+        layer chain + likelihood runs as ONE Pallas launch with a
+        hand-derived one-launch backward, eliminating the ~30 diffuse
+        small fusions of the composed step (DESIGN.md §12).  Bit-identical
+        sampling (same key schedule as ``propagate``).  Returns None when
+        the topology/backend is ineligible."""
+        from nonstationary_precip_tpu.models.svgp import precompute_layers
+        from nonstationary_precip_tpu.ops.pallas_elbo import (
+            _elbo_eligible,
+            fused_data_term,
+        )
+        from nonstationary_precip_tpu.utils.transforms import positive
+
+        if (
+            self.share_hidden
+            or self.num_layers != 2
+            or len(self.layers) != 2
+            or self.layers[0].mean_type != "linear"
+            or self.head.mean_type != "constant"
+        ):
+            return None
+        l1, l2, hd = self.layers[0], self.layers[1], self.head
+        if not (
+            l1.z.shape[0] == 2
+            and l2.z.shape[0] == 2
+            and hd.z.shape[0] == 1
+            and l2.z.shape[-1] == 2
+            and hd.z.shape[-1] == 2
+            and l1.z.shape[1] == l2.z.shape[1] == hd.z.shape[1]
+        ):
+            return None
+
+        pre = precompute_layers([l1, l2, hd])
+        params = dict(
+            z1=l1.z, ell1=positive(l1.raw_lengthscale),
+            s21=positive(l1.raw_outputscale), w1=pre[0][2],
+            mw1=l1.mean_w, mb1=l1.mean_b,
+            z2=l2.z, ell2=positive(l2.raw_lengthscale),
+            s22=positive(l2.raw_outputscale), w2=pre[1][2],
+            mw2=l2.mean_w, mb2=l2.mean_b,
+            zh=hd.z, ellh=positive(hd.raw_lengthscale),
+            s2h=positive(hd.raw_outputscale), wh=pre[2][2],
+            mbh=hd.mean_b,
+        )
+        if not _elbo_eligible(x, params):
+            return None
+
+        b = x.shape[0]
+
+        def eps_for(k):
+            k1, sub1 = jax.random.split(k)
+            e1 = jax.random.normal(sub1, (2, b), dtype=x.dtype)
+            _, sub2 = jax.random.split(k1)
+            e2 = jax.random.normal(sub2, (2, b), dtype=x.dtype)
+            return e1, e2
+
+        eps1, eps2 = jax.vmap(eps_for)(jax.random.split(key, num_samples))
+        data_term = fused_data_term(
+            x, y, eps1, eps2, params, self.likelihood.noise, True
+        )
+        kl = self.head.kl() + self.layers[0].kl() + self.layers[1].kl()
+        return -(data_term - kl / num_data)
+
+    def loss(self, key: jax.Array, x, y, num_data: int, num_samples: int = 3, *, full_cov: bool = False, fused_elbo=None):
         """−ELBO per datum; num_data is the full-train-set N for the KL and
-        minibatch β-scaling."""
+        minibatch β-scaling.
+
+        ``fused_elbo``: None (default) auto-dispatches the Pallas fused
+        data term on TPU for the flagship topology; False forces the
+        composed path (pass False under ``shard_map`` — custom-VJP
+        outputs can break sharding inference there, DESIGN.md §11)."""
+        if not full_cov and fused_elbo is not False:
+            fused = self._fused_loss(key, x, y, num_data, num_samples)
+            if fused is not None:
+                return fused
         means, variances = self.propagate(key, x, num_samples, full_cov=full_cov)
         noise = self.likelihood.noise
         ell = -0.5 * (

@@ -623,3 +623,100 @@ def test_chol_inv_batched_safe_retry(rng):
     off = ~np.eye(n, dtype=bool)
     scale = np.abs(spd).max()
     assert np.max(np.abs((rec - spd)[:, off])) / scale < 5e-2
+
+
+def test_fused_elbo_loss_matches_composed(rng, monkeypatch):
+    """DeepGP.loss through the fused Pallas ELBO data term == the composed
+    propagate path: same key → same value (bit-level sampling parity) and
+    matching gradients for every parameter."""
+    from nonstationary_precip_tpu.models import DeepGP
+    from nonstationary_precip_tpu.ops import pallas_elbo
+
+    key = jax.random.PRNGKey(3)
+    ki, kd, kl = jax.random.split(key, 3)
+    b, m, s = 70, 130, 3
+    model = DeepGP.create(ki, input_dims=2, num_layers=2, num_inducing=m)
+    # perturb away from the symmetric init so gradients are well-scaled
+    leaves, treedef = jax.tree_util.tree_flatten(model)
+    leaves = [
+        jnp.asarray(l)
+        + 0.05 * jnp.asarray(rng.normal(size=np.shape(l)).astype(np.float32))
+        for l in leaves
+    ]
+    model = jax.tree_util.tree_unflatten(treedef, leaves)
+    x = jax.random.normal(kd, (b, 2), jnp.float32)
+    y = jnp.sin(x[:, 0])
+
+    loss_ref = float(model.loss(kl, x, y, num_data=b, num_samples=s, fused_elbo=False))
+    g_ref = jax.grad(
+        lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s, fused_elbo=False)
+    )(model)
+
+    monkeypatch.setattr(pallas_elbo, "_elbo_eligible", lambda xx, pp: True)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        loss_f = float(model.loss(kl, x, y, num_data=b, num_samples=s))
+        g_f = jax.grad(
+            lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s)
+        )(model)
+
+    assert abs(loss_f - loss_ref) < 5e-5, (loss_f, loss_ref)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_ref)):
+        scale = float(jnp.max(jnp.abs(bb))) + 1e-4
+        assert float(jnp.max(jnp.abs(a - bb))) / scale < 5e-3
+
+
+def test_fused_elbo_reference_bwd_matches_autodiff(rng):
+    """The hand-derived backward (shared by the XLA fallback and the
+    Pallas kernel) == autodiff of the reference forward, f64."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        from nonstationary_precip_tpu.ops.pallas_elbo import (
+            _reference_bwd,
+            _reference_fwd,
+        )
+
+        b, m, s = 24, 16, 2
+        f64 = jnp.float64
+        params = {}
+        params.update(
+            z1=jnp.asarray(rng.normal(size=(2, m, 2)), f64),
+            ell1=jnp.asarray(np.exp(rng.normal(size=(2, 2)) * 0.2), f64),
+            s21=jnp.asarray(np.exp(rng.normal(size=2) * 0.2), f64),
+            w1=jnp.asarray(rng.normal(size=(2, m, 2 * m + 1)) * 0.2, f64),
+            mw1=jnp.asarray(rng.normal(size=(2, 2)) * 0.2, f64),
+            mb1=jnp.asarray(rng.normal(size=2) * 0.2, f64),
+            z2=jnp.asarray(rng.normal(size=(2, m, 2)), f64),
+            ell2=jnp.asarray(np.exp(rng.normal(size=(2, 2)) * 0.2), f64),
+            s22=jnp.asarray(np.exp(rng.normal(size=2) * 0.2), f64),
+            w2=jnp.asarray(rng.normal(size=(2, m, 2 * m + 1)) * 0.2, f64),
+            mw2=jnp.asarray(rng.normal(size=(2, 2)) * 0.2, f64),
+            mb2=jnp.asarray(rng.normal(size=2) * 0.2, f64),
+            zh=jnp.asarray(rng.normal(size=(1, m, 2)), f64),
+            ellh=jnp.asarray(np.exp(rng.normal(size=(1, 2)) * 0.2), f64),
+            s2h=jnp.asarray(np.exp(rng.normal(size=1) * 0.2), f64),
+            wh=jnp.asarray(rng.normal(size=(1, m, 2 * m + 1)) * 0.2, f64),
+            mbh=jnp.asarray(rng.normal(size=1) * 0.2, f64),
+        )
+        x = jnp.asarray(rng.normal(size=(b, 2)), f64)
+        y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), f64)
+        eps1 = jnp.asarray(rng.normal(size=(s, 2, b)), f64)
+        eps2 = jnp.asarray(rng.normal(size=(s, 2, b)), f64)
+        noise = jnp.asarray(0.1, f64)
+
+        dt, res = _reference_fwd(x, y, eps1, eps2, params, noise)
+        bars, nb, yb = _reference_bwd(x, y, eps1, eps2, params, noise, res, 1.0)
+        g_auto = jax.grad(
+            lambda pp, nn, yy: _reference_fwd(x, yy, eps1, eps2, pp, nn)[0],
+            argnums=(0, 1, 2),
+        )(params, noise, y)
+        for k in params:
+            scale = float(jnp.max(jnp.abs(g_auto[0][k]))) + 1e-12
+            assert float(jnp.max(jnp.abs(bars[k] - g_auto[0][k]))) / scale < 1e-10, k
+        assert abs(float(nb) - float(g_auto[1])) < 1e-10
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(g_auto[2]), rtol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

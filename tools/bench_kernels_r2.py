@@ -155,7 +155,10 @@ def bench_streaming():
     import nonstationary_precip_tpu.ops.pallas_chol as pc
 
     rng = np.random.default_rng(1)
-    for n in (2048, 4096, 8192):
+    # r3 window re-measurement (VERDICT #2): 3072 and 6144 added — the
+    # calm-session 2048-parity signal said the gates were tuned during
+    # the volatile 2026-08-17 service and leave wins on the table
+    for n in (2048, 3072, 4096, 6144, 8192):
         a = rng.normal(size=(n, 256)).astype(np.float32)
         mat0 = jnp.asarray(a @ a.T / 256 + 4.0 * np.eye(n, dtype=np.float32))
 
