@@ -224,6 +224,9 @@ def _pack_inputs(x, y, eps1, eps2, params, noise):
     b = x.shape[0]
     m = params["z1"].shape[1]
     s_num = eps1.shape[0]
+    # rows pad to the full 128 block: an 8-multiple pad (320) was probed
+    # on chip 2026-08-17 and measured SLOWER (fwd 0.612 vs 0.586 ms) —
+    # ragged 2.5-tile rows beat the 22% flop saving
     bp = -(-b // BLOCK) * BLOCK
     mp = -(-m // BLOCK) * BLOCK
     pp = -(-(2 * m + 1) // BLOCK) * BLOCK
@@ -404,12 +407,20 @@ def _pallas_bwd(packed, dims, params, y, h1_p, h2_p, gbar):
 
 
 def _elbo_eligible(x, params) -> bool:
-    """Dispatch gate for the fused data term (disable via
-    NSGP_PALLAS_ELBO=0): TPU f32, the flagship 2-hidden-layer topology
-    (hidden width 2), M ≤ 256, B ≤ 1024, D ≤ 2."""
+    """Dispatch gate for the fused data term: TPU f32, the flagship
+    2-hidden-layer topology (hidden width 2), M ≤ 256, B ≤ 1024, D ≤ 2.
+
+    OPT-IN (NSGP_PALLAS_ELBO=1): on-chip measurement (2026-08-17,
+    tools/bench_elbo.py) put the fused step at 0.93–0.97× the composed
+    path — the ~30 diffuse backward fusions were NOT launch-bound; XLA's
+    fused backward at these shapes is already near its floor and the
+    kernel's mandatory lane padding (501→512, 250→256) plus in-kernel
+    serialization offsets the launch savings.  Parity is exact (loss
+    |Δ| 1e-7, grads 4e-3 worst rel on chip), so the path stays available
+    for re-measurement on calmer service or future Mosaic versions."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_ELBO", "1") != "1":
+    if os.environ.get("NSGP_PALLAS_ELBO", "0") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
