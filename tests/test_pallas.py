@@ -672,6 +672,9 @@ def test_fused_elbo_reference_bwd_matches_autodiff(rng):
     Pallas kernel) == autodiff of the reference forward, f64."""
     import jax as _jax
 
+    # conftest already enables x64 globally — restore to THAT state, not
+    # False (a hardcoded False broke every later f64 test in the suite)
+    prev_x64 = _jax.config.jax_enable_x64
     _jax.config.update("jax_enable_x64", True)
     try:
         from nonstationary_precip_tpu.ops.pallas_elbo import (
@@ -719,4 +722,4 @@ def test_fused_elbo_reference_bwd_matches_autodiff(rng):
         assert abs(float(nb) - float(g_auto[1])) < 1e-10
         np.testing.assert_allclose(np.asarray(yb), np.asarray(g_auto[2]), rtol=1e-10)
     finally:
-        _jax.config.update("jax_enable_x64", False)
+        _jax.config.update("jax_enable_x64", prev_x64)
