@@ -16,3 +16,7 @@ from nonstationary_precip_tpu.ops.bbmm import (  # noqa: F401
     pivoted_cholesky,
 )
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points  # noqa: F401
+from nonstationary_precip_tpu.ops.pallas_chol import (  # noqa: F401
+    chol_inv_batched_safe,
+)
+from nonstationary_precip_tpu.ops.pallas_elbo import fused_data_term  # noqa: F401

@@ -837,8 +837,17 @@ MAX_N_CHOLINV_B = 3 * BLOCK  # 3-level block algebra over 128-wide panels
 
 
 def _bmm(x, y):
-    """(T, p, q) @ (T, q, r) as per-T 2-D MXU dots (Mosaic has no batched
-    dot; the static python loop is over T ≤ 16)."""
+    """(T, p, q) @ (T, q, r).  Mosaic lowers a batched dot_general (probed
+    on chip 2026-08-17, tools/probe_batched_dot.py), so the default is one
+    batched op; NSGP_BATCHED_DOT=0 restores the per-T python-loop stack
+    of 2-D dots (T sequential MXU latencies)."""
+    import os
+
+    if os.environ.get("NSGP_BATCHED_DOT", "0") == "1":
+        return jax.lax.dot_general(
+            x, y, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     t = x.shape[0]
     return jnp.stack(
         [jnp.dot(x[i], y[i], preferred_element_type=jnp.float32) for i in range(t)]

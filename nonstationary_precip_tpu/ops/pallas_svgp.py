@@ -147,7 +147,17 @@ def _chol_inv_2level_b(d):
     eye = jnp.eye(b, dtype=d.dtype)
 
     def bmm(x, y):
-        # (T, p, q) @ (T, q, r) via static per-T 2-D dots
+        # (T, p, q) @ (T, q, r).  Mosaic DOES lower a batched dot_general
+        # (probed on chip 2026-08-17, tools/probe_batched_dot.py) — one op
+        # replaces T sequential 2-D dots and their fixed latencies;
+        # NSGP_BATCHED_DOT=0 restores the per-T python-loop stack.
+        import os
+
+        if os.environ.get("NSGP_BATCHED_DOT", "0") == "1":
+            return jax.lax.dot_general(
+                x, y, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         return jnp.stack(
             [jnp.dot(x[i], y[i], preferred_element_type=jnp.float32) for i in range(t)]
         )
