@@ -73,6 +73,20 @@ def test_fit_aot_cache_pins_and_reloads(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(res1.losses), np.asarray(res3.losses))
 
 
+def test_fit_aot_cache_corrupt_pin_falls_back(tmp_path, monkeypatch):
+    """A corrupted/stale pin must fall back to a fresh compile (and
+    overwrite the pin), never crash or return wrong results."""
+    monkeypatch.setenv("NSGP_AOT_DIR", str(tmp_path))
+    model = {"w": jnp.zeros(2)}
+    target = jnp.asarray([1.0, -1.0])
+    res1 = fit(model, _quad_loss, target, lr=0.1, num_steps=20, aot_key="q2")
+    pin = next(tmp_path.glob("q2-*.jaxexec"))
+    pin.write_bytes(b"garbage not a pickle")
+    res2 = fit(model, _quad_loss, target, lr=0.1, num_steps=20, aot_key="q2")
+    np.testing.assert_array_equal(np.asarray(res1.losses), np.asarray(res2.losses))
+    assert pin.stat().st_size > 100  # re-pinned over the garbage
+
+
 def test_fit_mask_freezes_leaves():
     model = {"w": jnp.zeros(2), "frozen": jnp.ones(2)}
 
