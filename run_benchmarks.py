@@ -32,23 +32,29 @@ RESULTS = Path("RESULTS.json")
 # benchmark exceeding its band is a quality REGRESSION and exits nonzero.
 # NLPD bands are looser (it is the noisier metric on these splits).
 EXPECTED_BANDS = {
-    "seard_spatial_10split": {"rmse": 0.42, "nlpd": 0.55},
-    "temporal": {"rmse": 0.82, "nlpd": 1.35},
-    "spatio_temporal_stationary_exact": {"rmse": 2.25, "nlpd": 3.9},
-    "spatio_temporal_stationary": {"rmse": 2.55, "nlpd": 4.3},
-    "spatio_temporal_nonstationary": {"rmse": 2.45, "nlpd": 5.6},
-    "gibbs_spatial_exact_10split": {"rmse": 0.38, "nlpd": 1.45},
-    "gibbs_spatial_sparse_10split": {"rmse": 0.31, "nlpd": 0.15},
-    "deepgp_spatial_10split": {"rmse": 0.48, "nlpd": 0.70},
-    "spatiotemporal_dgp": {"rmse": 1.80, "nlpd": 2.40},
-    "sgpr_bench_100iter": {"rmse": 1.70, "nlpd": 2.10},
-    "sgpr_bench_converged": {"rmse": 1.70, "nlpd": 2.10},
+    "seard_spatial_10split": {"rmse": 0.42, "nlpd": 0.55, "calm_s": 20},
+    "temporal": {"rmse": 0.82, "nlpd": 1.35, "calm_s": 5},
+    "spatio_temporal_stationary_exact": {"rmse": 2.25, "nlpd": 3.9, "calm_s": 15},
+    "spatio_temporal_stationary": {"rmse": 2.55, "nlpd": 4.3, "calm_s": 15},
+    "spatio_temporal_nonstationary": {"rmse": 2.45, "nlpd": 5.6, "calm_s": 25},
+    "gibbs_spatial_exact_10split": {"rmse": 0.38, "nlpd": 1.45, "calm_s": 40},
+    "gibbs_spatial_sparse_10split": {"rmse": 0.31, "nlpd": 0.15, "calm_s": 30},
+    "deepgp_spatial_10split": {"rmse": 0.48, "nlpd": 0.70, "calm_s": 45},
+    "spatiotemporal_dgp": {"rmse": 1.80, "nlpd": 2.40, "calm_s": 30},
+    "sgpr_bench_100iter": {"rmse": 1.70, "nlpd": 2.10, "calm_s": 15},
+    "sgpr_bench_converged": {"rmse": 1.70, "nlpd": 2.10, "calm_s": 60},
     # field drift vs the reference's shipped dgp2 artifact: RMSE between
     # the two predicted fields (mm/day) and 1 − pattern correlation.
     # Measured (v5e, 400 epochs, 2026-08-16): rmse 0.433, corr 0.9506
     # (our field's ground-truth corr 0.9732 vs the reference's own 0.9200)
-    "dgp_field_regression": {"rmse": 0.60, "nlpd": 0.10},
+    "dgp_field_regression": {"rmse": 0.60, "nlpd": 0.10, "calm_s": 45},
 }
+# "calm_s" is the calm-session warm wallclock (2026-08-17 retune of the
+# 2026-08-16 188-s suite).  The axon service's latency is pathologically
+# variable (CLAUDE.md quirks: 8.8–881 s fresh compiles, execution crawl
+# in bad windows) — a row exceeding PATHOLOGY_FACTOR × calm_s is flagged
+# as service pathology (rerun it; metrics are unaffected), NOT failed.
+PATHOLOGY_FACTOR = 4.0
 
 
 def check_drift(data=None) -> list[str]:
@@ -73,14 +79,24 @@ def check_drift(data=None) -> list[str]:
 
 def record(name, rmse, nlpd, seconds):
     data = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}
-    data[name] = {
+    entry = {
         "rmse": float(rmse),
         "nlpd": float(nlpd),
         "wallclock_s": round(seconds, 1),
         "backend": jax.default_backend(),
     }
+    calm = EXPECTED_BANDS.get(name, {}).get("calm_s")
+    note = ""
+    if calm and seconds > PATHOLOGY_FACTOR * calm:
+        entry["wallclock_note"] = (
+            f"service pathology suspected: {seconds:.0f}s vs calm-session "
+            f"~{calm}s (axon compile/execution latency is wildly variable, "
+            f"CLAUDE.md quirks); rerun the row — metrics are unaffected"
+        )
+        note = "  [SLOW: service pathology suspected — rerun]"
+    data[name] = entry
     RESULTS.write_text(json.dumps(data, indent=2))
-    print(f"[{name}] RMSE={rmse:.4f} NLPD={nlpd:.4f} ({seconds:.0f}s)", flush=True)
+    print(f"[{name}] RMSE={rmse:.4f} NLPD={nlpd:.4f} ({seconds:.0f}s){note}", flush=True)
 
 
 def run(name, fn, argv):
