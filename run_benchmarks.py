@@ -121,6 +121,20 @@ def main():
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
 
+    # absorb the per-process first-program service cost OUTSIDE any row's
+    # timing: the first device program of a fresh process can pay an
+    # arbitrary service warm-up (measured 100-700 s in bad windows while
+    # later rows in the same process run at calm speed), which previously
+    # landed on whichever row ran first (always seard)
+    import jax.numpy as jnp
+    import time as _time
+
+    t0 = _time.time()
+    jax.block_until_ready(
+        jax.jit(lambda a: a @ a.T)(jnp.ones((128, 128), jnp.float32))
+    )
+    print(f"[warmup] first device program: {_time.time() - t0:.1f}s", flush=True)
+
     from nonstationary_precip_tpu.experiments import (
         deepgp_spatial,
         field_regression,
