@@ -227,4 +227,15 @@ def fit_minibatched(
         for e in range(0, num_epochs, log_every_epochs):
             sl = host_losses[e * steps_per_epoch : (e + 1) * steps_per_epoch]
             print(f"epoch {e}: mean loss {float(sl.mean()):.4f}")
+    # failure detection (the whole schedule runs as one scan, so this is
+    # post-hoc): surface a non-finite ELBO trace loudly instead of letting
+    # a silently-NaN model flow into prediction
+    last = losses[-1]
+    if not bool(jnp.all(jnp.isfinite(last))):
+        first_bad = int(jnp.argmax(~jnp.isfinite(losses)))
+        print(
+            f"fit_minibatched: NON-FINITE loss from step {first_bad}/{total_steps} "
+            f"— model state is unreliable; reduce lr or batch size",
+            flush=True,
+        )
     return TrainResult(model=model, losses=losses, steps=total_steps)

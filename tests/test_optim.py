@@ -183,3 +183,21 @@ def test_fit_minibatched_covers_epochs(key):
     assert res.steps == 9
     assert res.losses.shape == (9,)
     del seen
+
+
+def test_fit_minibatched_warns_on_nonfinite(capsys):
+    """A diverging minibatched run must print the non-finite warning
+    (post-hoc failure detection — the schedule is one compiled scan)."""
+    import jax
+
+    def bad_loss(m, k, xb, yb):
+        return jnp.sum((m["w"] - yb.sum()) ** 2) * jnp.inf
+
+    model = {"w": jnp.zeros(2)}
+    x = jnp.ones((16, 2))
+    y = jnp.ones(16)
+    fit_minibatched(
+        model, bad_loss, x, y, key=jax.random.PRNGKey(0),
+        num_epochs=2, batch_size=8, lr=0.1,
+    )
+    assert "NON-FINITE" in capsys.readouterr().out
