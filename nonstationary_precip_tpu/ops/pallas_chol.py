@@ -392,10 +392,13 @@ chol_inv_batched.defvjp(_ci_fwd, _ci_bwd)
 PANEL = 128
 SPANEL = 256  # streaming-kernel panel width (two-level diagonal factor)
 MAX_N_STREAM = 8192
-# v2 (GEMM formulation) dispatch threshold: measured (differential scan
-# timing, v5e, 2026-08-16) v2 6.78 ms vs XLA 13.06 at n=8192 (1.93×);
-# XLA still ahead at 4096 (2.16 vs 2.79) and 2048 (0.66 vs 0.88)
-MIN_N_STREAM2 = 6144
+# v2 (GEMM formulation) dispatch threshold: the r3 re-measurement sweep
+# (2026-08-17, differential scan timing incl. the new 3072/6144 sizes)
+# confirms the r2 shape of the window and moves its FLOOR to include
+# 6144 itself: v2 5.99 vs XLA 6.79 ms at 6144 (1.13×) and 11.59 vs
+# 13.03 at 8192 (1.12×); XLA still ahead at 2048 (0.51 vs 0.69),
+# 3072 (1.21 vs 1.30) and 4096 (2.28 vs 2.38).  Gate: N ≥ 6144.
+MIN_N_STREAM2 = 6143
 
 
 def _chol_block_2level(d):

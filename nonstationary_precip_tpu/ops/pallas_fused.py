@@ -52,11 +52,25 @@ MAX_N_FUSED = 1536  # N² out + (N,128)×4 factor inputs + strip planes ≤ 16 M
 
 
 def eligible(x, ell) -> bool:
-    """Auto-dispatch gate for the fused MAP-loss path (disable via
-    NSGP_PALLAS_FUSED=0)."""
+    """Auto-dispatch gate for the fused MAP-loss path.
+
+    RETIRED as a default in round 3 (set NSGP_PALLAS_FUSED=1 to re-enable
+    the r2 window): three consecutive r3 sweeps (2026-08-17, differential
+    scan timing) show the composed XLA path — which got ~1.8× faster
+    during r2 via the safe_cholesky custom-VJP and constant-mask backward
+    forms — now wins the training step at every size, including the old
+    window's center:
+        n=512:  fused 0.28/0.25/0.37 vs XLA 0.26/0.29/0.25 ms
+        n=1024: fused 0.88/0.90/0.89 vs XLA 0.75/0.80/0.78 ms  (was
+                0.945 vs 1.413 when the window was tuned in r2)
+        n=1536: fused 1.65/1.60/1.61 vs XLA 1.61/1.62/1.59 ms
+    Forward-only the kernel still wins ~n=512/1536 — the loss path is a
+    train step, so the step number governs.  The kernel remains fully
+    tested (tests/test_pallas.py, check-tpu) as the in-VMEM fusion
+    building block."""
     import os
 
-    if os.environ.get("NSGP_PALLAS_FUSED", "1") != "1":
+    if os.environ.get("NSGP_PALLAS_FUSED", "0") != "1":
         return False
     try:
         if jax.default_backend() == "cpu":
@@ -68,12 +82,9 @@ def eligible(x, ell) -> bool:
     if x.shape[-1] > _MAX_D:
         return False
     n = x.shape[0]
-    # measured window (differential scan timing, v5e, 2026-08-16):
-    #   n=512:  step 0.439 fused vs 0.320 XLA  → XLA
-    #   n=1024: step 0.945 fused vs 1.413 XLA  → fused (1.49×)
-    #   n=1536: step 1.972 fused vs 1.838 XLA  → XLA (sequential diag work
-    #           grows faster than XLA's blocked While at this size)
-    # also keeps the vmapped 10-split trainer (N=315/split) pure-XLA
+    # the r2 window, kept for the opt-in path (see docstring for why the
+    # default is now off); also keeps the vmapped 10-split trainer
+    # (N=315/split) pure-XLA
     return 768 <= n <= 1280
 
 
