@@ -28,6 +28,23 @@ def stack_pytrees(trees: Sequence[Any]) -> Any:
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
 
 
+class Stacked:
+    """Marks a ``fit_splits``/``eval_splits`` argument as ALREADY stacked
+    on the leading split axis.
+
+    Per-split sequences are stacked leaf-wise with one eager ``jnp.stack``
+    per leaf — fine for a handful of leaves, but an argument produced by a
+    batched jitted program (e.g. the vmapped frozen-prior ``gram_pre``
+    hoist in experiments/spatial_gibbs.py) is already device-resident in
+    stacked form; wrapping it skips the redundant unstack/restack round
+    trip and its per-op axon dispatches."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
 def unstack_pytree(tree: Any, k: int) -> list:
     """Inverse of stack_pytrees."""
     return [jax.tree_util.tree_map(lambda l: l[i], tree) for i in range(k)]
@@ -57,9 +74,12 @@ def fit_splits(
     """
     stacked = stack_pytrees(models)
     # each per-split arg may be an array OR a pytree (e.g. the hoisted
-    # (K⁻¹, logdet) prior precompute) — stack leaf-wise either way
+    # (K⁻¹, logdet) prior precompute) — stack leaf-wise either way; a
+    # ``Stacked``-wrapped arg is passed through as-is
     stacked_args = tuple(
-        stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
+        seq.value
+        if isinstance(seq, Stacked)
+        else stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
         for seq in args_per_split
     )
     # trainability flags are structural, identical across splits: one mask
@@ -139,7 +159,9 @@ def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split, aot_key
     import os
 
     stacked_args = tuple(
-        stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
+        seq.value
+        if isinstance(seq, Stacked)
+        else stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
         for seq in args_per_split
     )
     fn = jax.jit(

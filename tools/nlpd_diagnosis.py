@@ -152,6 +152,8 @@ def run_spatial():
         if inference == "sparse":
             loss_fn = lambda m, xx, yy: m.loss(xx, yy)  # noqa: E731
         else:
+            # frozen-prior hoist (done batched in the experiment's main())
+            args = args + (model.prior.gram_pre(args[0]),)
             loss_fn = lambda m, xx, yy, pc: m.loss(xx, yy, pc)  # noqa: E731
         res = fit_splits([model], loss_fn, *[(a,) for a in args], lr=cfg.lr, num_steps=cfg.max_iters, masks=[mask])
         trained = unstack_pytree(res.model, 1)[0]

@@ -74,10 +74,9 @@ def main():
     yn = (y - y.mean()) / y.std(ddof=1)
     splits = [make_split(xn, yn, s, cfg, jnp.float32) for s in range(cfg.num_splits)]
     models = stack_pytrees([s[0] for s in splits])
-    args = tuple(
-        jnp.stack(a) if isinstance(a[0], jnp.ndarray) else stack_pytrees(list(a))
-        for a in zip(*[s[2] for s in splits])
-    )
+    xs, ys = (jnp.stack(list(a)) for a in zip(*[s[2] for s in splits]))
+    pcs = jax.jit(jax.vmap(splits[0][0].prior.gram_pre))(xs)
+    args = (xs, ys, pcs)
     print(
         f"backend: {jax.default_backend()}  n_train: {args[0].shape}",
         flush=True,
