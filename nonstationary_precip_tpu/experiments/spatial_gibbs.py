@@ -117,7 +117,15 @@ def main(argv=None):
 
         prior = build_prior(cfg, dtype)
         xs_stacked = jnp.stack(list(args_per_split[0]))
-        pre = jax.jit(jax.vmap(prior.gram_pre))(xs_stacked)
+        # pinned executable: the axon compile service's persistent cache
+        # refuses this program (fresh 60-500 s compile EVERY process,
+        # measured via tools/probe_gibbs_phases.py while fit/eval pins
+        # loaded fine) — same pathology as the seard row, same fix
+        from nonstationary_precip_tpu.train.aot_cache import cached_compile
+
+        pre = cached_compile(
+            "gibbs_grampre", jax.jit(jax.vmap(prior.gram_pre)), xs_stacked
+        )(xs_stacked)
         args_per_split = (args_per_split[0], args_per_split[1], Stacked(pre))
         # hand-batched MAP loss: one 3-level Pallas (chol, inv) launch for
         # all K splits, alpha + MLL pullback as batched GEMMs against the
