@@ -122,6 +122,38 @@ def test_fit_splits_matches_sequential(rng):
         )
 
 
+def test_fit_splits_stacked_passthrough(rng):
+    """A ``Stacked``-wrapped arg (already stacked on the split axis, e.g.
+    the batched gram_pre hoist in experiments/spatial_gibbs.py) must give
+    bit-identical results to the per-split sequence form."""
+    from nonstationary_precip_tpu.train.vmapped import (
+        Stacked,
+        eval_splits,
+        fit_splits,
+        stack_pytrees,
+    )
+
+    k = 3
+    models = [{"w": jnp.zeros(2)} for _ in range(k)]
+    targets = [jnp.asarray(rng.normal(size=2), jnp.float32) for _ in range(k)]
+
+    res_seq = fit_splits(models, _quad_loss, targets, lr=0.1, num_steps=50)
+    res_stk = fit_splits(
+        models, _quad_loss, Stacked(stack_pytrees(targets)), lr=0.1, num_steps=50
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_seq.model["w"]), np.asarray(res_stk.model["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_seq.losses), np.asarray(res_stk.losses)
+    )
+
+    ev = lambda m, t: jnp.sum((m["w"] - t) ** 2)  # noqa: E731
+    e_seq = eval_splits(res_seq.model, ev, targets)
+    e_stk = eval_splits(res_seq.model, ev, Stacked(stack_pytrees(targets)))
+    np.testing.assert_array_equal(np.asarray(e_seq), np.asarray(e_stk))
+
+
 def test_fit_restarts_picks_best(rng):
     from nonstationary_precip_tpu.train.vmapped import fit_restarts
 
