@@ -32,7 +32,10 @@ from nonstationary_precip_tpu.train.config import ExperimentConfig
 from nonstationary_precip_tpu.utils.config import BASE_SEED, DATASET_DIR
 
 
-def run_one_split(data, random_state: int, cfg: ExperimentConfig):
+def prep_split(data, random_state: int, cfg: ExperimentConfig):
+    """Host-side per-split prep: shuffle/whiten/split (numpy), model init,
+    per-phase PRNG keys.  Shapes are identical across splits, so the K
+    prepped splits batch into one training and one eval program."""
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +62,18 @@ def run_one_split(data, random_state: int, cfg: ExperimentConfig):
         num_inducing=cfg.num_inducing,
         share_hidden=False,
     )
+    return model, (train_x, train_y, test_x, test_y), jnp.asarray(stdy, dtype), k_train, k_pred
+
+
+def run_one_split(data, random_state: int, cfg: ExperimentConfig):
+    """Sequential single-split fit — the parity oracle for the batched
+    ``main`` path (tests/test_dgp.py) and ad-hoc single-split runs."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    model, (train_x, train_y, test_x, test_y), stdy, k_train, k_pred = prep_split(
+        data, random_state, cfg
+    )
     n = train_x.shape[0]
 
     def loss_fn(m, kk, xb, yb):
@@ -79,34 +94,35 @@ def run_one_split(data, random_state: int, cfg: ExperimentConfig):
 
     # predict + metrics as ONE jitted program (compiled once, reused by
     # every split — the eager version paid ~28 ms axon dispatch per op)
-    r, nl = _predict_metrics(
-        res.model, k_pred, test_x, test_y, jnp.asarray(stdy, dtype)
-    )
+    r, nl = _predict_metrics(res.model, k_pred, test_x, test_y, stdy)
     return float(r), float(nl), res
 
 
-def _predict_metrics(model, k_pred, test_x, test_y, stdy):
+def _metrics_fn(m, kp, xte, yte, sy):
+    """RMSE/NLPD with the reference's metric semantics
+    (deepgp_spatial_bench.py:113: RMSE over (S, N) sample-expanded means;
+    NLPD as the mean per-point Gaussian density over the S mixture)."""
     import math
 
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def go(m, kp, xte, yte, sy):
-        dist, means, variances = m.predict(kp, xte, num_samples=10)
-        # reference metric: rmse over (S, N) sample-expanded means
-        r = rmse_rescaled(means, yte[None, :], sy)
-        lpd = -0.5 * (
-            (yte[None, :] - means) ** 2 / variances
-            + jnp.log(2 * math.pi * variances)
-        )
-        nl = -(jnp.mean(lpd)) + jnp.log(sy)
-        return r, nl
+    dist, means, variances = m.predict(kp, xte, num_samples=10)
+    r = rmse_rescaled(means, yte[None, :], sy)
+    lpd = -0.5 * (
+        (yte[None, :] - means) ** 2 / variances
+        + jnp.log(2 * math.pi * variances)
+    )
+    nl = -(jnp.mean(lpd)) + jnp.log(sy)
+    return r, nl
 
-    # jax.jit caches on the module-level `go`?  No — `go` is rebuilt per
-    # call; cache the compiled callable on the function object instead
+
+def _predict_metrics(model, k_pred, test_x, test_y, stdy):
+    import jax
+
+    # jax.jit caches on the callable identity — keep ONE jitted wrapper on
+    # the function object so every split reuses the compiled program
     if not hasattr(_predict_metrics, "_jitted"):
-        _predict_metrics._jitted = go
+        _predict_metrics._jitted = jax.jit(_metrics_fn)
     return jax.block_until_ready(
         _predict_metrics._jitted(model, k_pred, test_x, test_y, stdy)
     )
@@ -124,12 +140,56 @@ def main(argv=None):
     ).parse_args(argv)
     data = load_csv(DATASET_DIR / "uib_spatial.csv")
 
+    import jax
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.train.optim import fit_minibatched_splits
+
+    # all K splits prepped host-side (identical shapes), then trained in
+    # lockstep as ONE compiled scan and evaluated as ONE batched program —
+    # the sequential per-split loop paid pin-load/lower/dispatch overhead
+    # ~10× around ~0.25 s of real DSVI compute each
+    preps = [prep_split(data, rs, cfg) for rs in range(cfg.num_splits)]
+    models = [p[0] for p in preps]
+    xs = [p[1][0] for p in preps]
+    ys = [p[1][1] for p in preps]
+    n = xs[0].shape[0]
+
+    def loss_fn(m, kk, xb, yb):
+        return m.loss(kk, xb, yb, num_data=n, num_samples=cfg.num_samples)
+
+    res = fit_minibatched_splits(
+        models,
+        loss_fn,
+        xs,
+        ys,
+        keys=[p[3] for p in preps],
+        num_epochs=cfg.num_epochs,
+        batch_size=cfg.batch_size,
+        lr=cfg.lr,
+        seeds=list(range(cfg.num_splits)),
+        aot_key="deepgp_spatial",
+    )
+
+    # batched predict+metrics: one program over all K trained models
+    from nonstationary_precip_tpu.train.vmapped import Stacked, eval_splits
+
+    rmses_a, nlpds_a = eval_splits(
+        res.model,
+        _metrics_fn,
+        [p[4] for p in preps],                      # k_pred
+        Stacked(jnp.stack([p[1][2] for p in preps])),  # test_x
+        Stacked(jnp.stack([p[1][3] for p in preps])),  # test_y
+        Stacked(jnp.stack([p[2] for p in preps])),     # stdy
+        aot_key="deepgp_spatial",
+    )
+    last = np.asarray(res.losses[-1])
     rmses, nlpds = [], []
     for rs in range(cfg.num_splits):
-        r, n, res = run_one_split(data, rs, cfg)
-        print(f"split {rs}: final loss {float(res.losses[-1]):.4f}  RMSE {r:.4f}  NLPD {n:.4f}")
+        r, nl = float(rmses_a[rs]), float(nlpds_a[rs])
+        print(f"split {rs}: final loss {last[rs]:.4f}  RMSE {r:.4f}  NLPD {nl:.4f}")
         rmses.append(r)
-        nlpds.append(n)
+        nlpds.append(nl)
 
     k = len(rmses)
     print(f"{np.mean(rmses):.4f} ± {np.std(rmses)/np.sqrt(k):.4f}")

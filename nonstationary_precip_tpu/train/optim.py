@@ -174,6 +174,111 @@ def minibatch_scan(model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y):
     return model, opt_state, losses
 
 
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer"), donate_argnums=(1,))
+def minibatch_scan_splits(models, opt_state, loss_fn, optimizer, keys, batch_idx, x, y):
+    """K-split batched variant of ``minibatch_scan``: the K independent
+    DSVI fits advance in lockstep inside ONE scan (the 10-split deepgp
+    benchmark ran them sequentially, paying per-split pin-load/lower/
+    dispatch overhead around ~0.25 s of real compute each).
+
+    ``models``/``opt_state`` are stacked on a leading K axis; ``keys``
+    (T, K, 2), ``batch_idx`` (T, K, B), ``x`` (K, N, D), ``y`` (K, N).
+    Because the per-split losses are independent and Adam is elementwise,
+    grad of the summed loss gives each split exactly its own gradient —
+    trajectories match the sequential runs (same argument as
+    vmapped.fit_splits).  Returns per-split loss traces (T, K)."""
+
+    def step(carry, inp):
+        m, s = carry
+        key, idx = inp  # (K, 2), (K, B)
+
+        def total(mm):
+            per = jax.vmap(
+                lambda m1, k1, i1, x1, y1: loss_fn(m1, k1, x1[i1], y1[i1])
+            )(mm, key, idx, x, y)
+            return jnp.sum(per), per
+
+        (_, per), grads = jax.value_and_grad(total, has_aux=True)(m)
+        updates, s = optimizer.update(grads, s, m)
+        m = optax.apply_updates(m, updates)
+        return (m, s), per
+
+    (models, opt_state), losses = jax.lax.scan(step, (models, opt_state), (keys, batch_idx))
+    return models, opt_state, losses
+
+
+def fit_minibatched_splits(
+    models: list,
+    loss_fn: Callable,
+    xs,
+    ys,
+    *,
+    keys: list,
+    num_epochs: int,
+    batch_size: int,
+    lr: float = 0.01,
+    seeds: Optional[list] = None,
+    aot_key: Optional[str] = None,
+) -> TrainResult:
+    """Epoch-shuffled minibatch Adam for K independent splits as ONE
+    compiled scan (hand-batched form of K ``fit_minibatched`` calls —
+    same per-split schedules, same trajectories).
+
+    ``models``: K per-split model pytrees (identical treedef/shapes);
+    ``xs``/``ys``: K per-split arrays (identical shapes); ``keys``: K
+    PRNG keys; ``seeds``: K schedule seeds (defaults to range(K)).
+    Returns stacked models and a (T, K) per-split loss trace."""
+    from nonstationary_precip_tpu.train.vmapped import stack_pytrees
+
+    k = len(models)
+    if seeds is None:
+        seeds = list(range(k))
+    n = np.asarray(xs[0]).shape[0]
+    steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
+
+    def schedule(seed):
+        rng = np.random.default_rng(seed)
+        sched = []
+        for _ in range(num_epochs):
+            perm = rng.permutation(n)
+            pad = (-len(perm)) % (steps_per_epoch * batch_size)
+            if pad:
+                perm = np.concatenate([perm, perm[:pad]])
+            sched.append(perm.reshape(steps_per_epoch, batch_size))
+        return np.concatenate(sched, axis=0)  # (T, B)
+
+    batch_idx = jnp.asarray(np.stack([schedule(s) for s in seeds], axis=1))  # (T, K, B)
+    total_steps = batch_idx.shape[0]
+    keys_tk = jnp.stack([jax.random.split(kk, total_steps) for kk in keys], axis=1)
+
+    stacked = stack_pytrees(models)
+    x_stk = jnp.stack([jnp.asarray(a) for a in xs])
+    y_stk = jnp.stack([jnp.asarray(a) for a in ys])
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(stacked)
+    if aot_key is not None and os.environ.get("NSGP_AOT_DIR"):
+        from nonstationary_precip_tpu.train.aot_cache import cached_compile
+
+        prog = cached_compile(
+            f"{aot_key}-bt{total_steps}x{k}", minibatch_scan_splits,
+            stacked, opt_state, loss_fn, optimizer, keys_tk, batch_idx, x_stk, y_stk,
+        )
+        stacked, opt_state, losses = prog(stacked, opt_state, keys_tk, batch_idx, x_stk, y_stk)
+    else:
+        stacked, opt_state, losses = minibatch_scan_splits(
+            stacked, opt_state, loss_fn, optimizer, keys_tk, batch_idx, x_stk, y_stk
+        )
+    last = losses[-1]
+    if not bool(jnp.all(jnp.isfinite(last))):
+        bad = np.where(~np.isfinite(np.asarray(last)))[0]
+        print(
+            f"fit_minibatched_splits: NON-FINITE final loss in splits {bad.tolist()} "
+            f"— those models are unreliable; reduce lr or batch size",
+            flush=True,
+        )
+    return TrainResult(model=stacked, losses=losses, steps=total_steps)
+
+
 def fit_minibatched(
     model,
     loss_fn: Callable,

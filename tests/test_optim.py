@@ -154,6 +154,48 @@ def test_fit_splits_stacked_passthrough(rng):
     np.testing.assert_array_equal(np.asarray(e_seq), np.asarray(e_stk))
 
 
+def test_fit_minibatched_splits_matches_sequential(rng):
+    """K-split lockstep minibatch training must reproduce the per-split
+    sequential ``fit_minibatched`` runs (same schedules, same keys; Adam
+    is elementwise so the summed-loss gradient is each split's own)."""
+    import jax
+
+    from nonstationary_precip_tpu.train.optim import (
+        fit_minibatched,
+        fit_minibatched_splits,
+    )
+    from nonstationary_precip_tpu.train.vmapped import unstack_pytree
+
+    k, n, d = 3, 20, 2
+    xs = [jnp.asarray(rng.normal(size=(n, d)), jnp.float32) for _ in range(k)]
+    ys = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(k)]
+    models = [{"w": jnp.zeros(d)} for _ in range(k)]
+    keys = [jax.random.PRNGKey(100 + i) for i in range(k)]
+
+    def loss_fn(m, kk, xb, yb):
+        # key-dependent so the per-step DSVI-key plumbing is exercised
+        noise = jax.random.normal(kk, ()) * 1e-3
+        return jnp.mean((xb @ m["w"] - yb) ** 2) + noise
+
+    res_b = fit_minibatched_splits(
+        models, loss_fn, xs, ys, keys=keys, num_epochs=4, batch_size=8,
+        lr=0.05, seeds=list(range(k)),
+    )
+    assert res_b.losses.shape == (res_b.steps, k)
+    parts = unstack_pytree(res_b.model, k)
+    for i in range(k):
+        seq = fit_minibatched(
+            models[i], loss_fn, xs[i], ys[i], key=keys[i], num_epochs=4,
+            batch_size=8, lr=0.05, seed=i,
+        )
+        np.testing.assert_allclose(
+            np.asarray(parts[i]["w"]), np.asarray(seq.model["w"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_b.losses[:, i]), np.asarray(seq.losses), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_fit_restarts_picks_best(rng):
     from nonstationary_precip_tpu.train.vmapped import fit_restarts
 
