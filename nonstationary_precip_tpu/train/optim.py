@@ -219,6 +219,7 @@ def fit_minibatched_splits(
     lr: float = 0.01,
     seeds: Optional[list] = None,
     aot_key: Optional[str] = None,
+    mesh=None,
 ) -> TrainResult:
     """Epoch-shuffled minibatch Adam for K independent splits as ONE
     compiled scan (hand-batched form of K ``fit_minibatched`` calls —
@@ -227,7 +228,14 @@ def fit_minibatched_splits(
     ``models``: K per-split model pytrees (identical treedef/shapes);
     ``xs``/``ys``: K per-split arrays (identical shapes); ``keys``: K
     PRNG keys; ``seeds``: K schedule seeds (defaults to range(K)).
-    Returns stacked models and a (T, K) per-split loss trace."""
+    Returns stacked models and a (T, K) per-split loss trace.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the K-split axis
+    over its first axis (split parallelism).  The splits are independent
+    and Adam is elementwise, so every gradient stays device-local; the
+    only collective is the scalar loss-sum each step.  Requires
+    K % mesh.size == 0.  AOT pinning is skipped under a mesh (pins are
+    single-device executables)."""
     from nonstationary_precip_tpu.train.vmapped import stack_pytrees
 
     k = len(models)
@@ -255,8 +263,26 @@ def fit_minibatched_splits(
     x_stk = jnp.stack([jnp.asarray(a) for a in xs])
     y_stk = jnp.stack([jnp.asarray(a) for a in ys])
     optimizer = optax.adam(lr)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if k % mesh.size:
+            raise ValueError(
+                f"fit_minibatched_splits: {k} splits do not divide over a "
+                f"{mesh.size}-device mesh"
+            )
+        axis = mesh.axis_names[0]
+        by_k0 = NamedSharding(mesh, PartitionSpec(axis))
+        by_k1 = NamedSharding(mesh, PartitionSpec(None, axis))
+        stacked = jax.device_put(stacked, by_k0)
+        keys_tk = jax.device_put(keys_tk, by_k1)
+        batch_idx = jax.device_put(batch_idx, by_k1)
+        x_stk = jax.device_put(x_stk, by_k0)
+        y_stk = jax.device_put(y_stk, by_k0)
+    # init AFTER placement: Adam moments mirror the (sharded) params,
+    # while the scalar step count stays replicated.
     opt_state = optimizer.init(stacked)
-    if aot_key is not None and os.environ.get("NSGP_AOT_DIR"):
+    if mesh is None and aot_key is not None and os.environ.get("NSGP_AOT_DIR"):
         from nonstationary_precip_tpu.train.aot_cache import cached_compile
 
         prog = cached_compile(

@@ -196,6 +196,45 @@ def test_fit_minibatched_splits_matches_sequential(rng):
         )
 
 
+def test_fit_minibatched_splits_mesh_parity(rng):
+    """Split-parallel lockstep training (K sharded over the mesh) must
+    reproduce the single-device lockstep run — splits are independent, so
+    sharding the K axis changes placement, not arithmetic."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nonstationary_precip_tpu.train.optim import fit_minibatched_splits
+
+    k, n, d = 8, 16, 2
+    xs = [jnp.asarray(rng.normal(size=(n, d)), jnp.float32) for _ in range(k)]
+    ys = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(k)]
+    models = [{"w": jnp.full(d, 0.1 * i)} for i in range(k)]
+    keys = [jax.random.PRNGKey(7 + i) for i in range(k)]
+
+    def loss_fn(m, kk, xb, yb):
+        noise = jax.random.normal(kk, ()) * 1e-3
+        return jnp.mean((xb @ m["w"] - yb) ** 2) + noise
+
+    kw = dict(keys=keys, num_epochs=3, batch_size=8, lr=0.05, seeds=list(range(k)))
+    res_1 = fit_minibatched_splits(models, loss_fn, xs, ys, **kw)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("split",))
+    res_m = fit_minibatched_splits(models, loss_fn, xs, ys, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(res_m.model["w"]), np.asarray(res_1.model["w"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_m.losses), np.asarray(res_1.losses), rtol=1e-6, atol=1e-7
+    )
+    # K not divisible over the mesh is an explicit error, not silent truncation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        fit_minibatched_splits(
+            models[:3], loss_fn, xs[:3], ys[:3], mesh=mesh,
+            keys=keys[:3], num_epochs=1, batch_size=8, seeds=[0, 1, 2],
+        )
+
+
 def test_fit_restarts_picks_best(rng):
     from nonstationary_precip_tpu.train.vmapped import fit_restarts
 
