@@ -50,6 +50,21 @@ def unstack_pytree(tree: Any, k: int) -> list:
     return [jax.tree_util.tree_map(lambda l: l[i], tree) for i in range(k)]
 
 
+def _shard_splits(mesh, stacked, stacked_args):
+    """Place a stacked-split pytree + args with the leading K axis sharded
+    over the mesh's first axis.  Every leaf must carry the K axis first."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    k = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if k % mesh.size:
+        raise ValueError(
+            f"{k} splits do not divide over a {mesh.size}-device mesh"
+        )
+    by_k = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    put = lambda t: jax.tree_util.tree_map(lambda l: jax.device_put(l, by_k), t)  # noqa: E731
+    return put(stacked), tuple(put(a) for a in stacked_args)
+
+
 def fit_splits(
     models: Sequence[Any],
     loss_fn: Callable,
@@ -61,6 +76,7 @@ def fit_splits(
     chunk: int = 0,
     aot_key: str = None,
     batched_loss: Callable = None,
+    mesh=None,
 ) -> TrainResult:
     """Train K models on K datasets simultaneously.
 
@@ -69,6 +85,11 @@ def fit_splits(
     ``batched_loss(stacked_model, *stacked_args) -> (K,)`` overrides the
     default ``jax.vmap`` of loss_fn with a hand-batched form (e.g. the
     Pallas in-kernel-batch MAP loss, models.gibbs_gp.gibbs_map_loss_batched).
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the K-split axis over
+    its first axis (split parallelism; splits are independent, so gradients
+    stay device-local).  Requires K % mesh.size == 0 and the default
+    vmapped loss (a hand-batched Pallas loss is one custom call GSPMD
+    cannot partition over K).  AOT pinning is skipped under a mesh.
     Returns a TrainResult whose model is the stacked pytree and whose
     losses are (num_steps, K).
     """
@@ -82,6 +103,15 @@ def fit_splits(
         else stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
         for seq in args_per_split
     )
+    if mesh is not None:
+        if batched_loss is not None:
+            raise ValueError(
+                "fit_splits: mesh sharding requires the vmapped loss — a "
+                "hand-batched Pallas loss is a single custom call that "
+                "GSPMD cannot partition over the split axis"
+            )
+        stacked, stacked_args = _shard_splits(mesh, stacked, stacked_args)
+        aot_key = None  # pins are single-device executables
     # trainability flags are structural, identical across splits: one mask
     # with scalar-bool leaves broadcasts over the stacked leaves
     mask = masks[0] if masks is not None else None
@@ -143,8 +173,17 @@ def fit_restarts(
     return best_model, float(finals[best]), finals
 
 
-def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split, aot_key: str = None):
+def eval_splits(
+    models_stacked: Any,
+    eval_fn: Callable,
+    *args_per_split,
+    aot_key: str = None,
+    mesh=None,
+):
     """Evaluate K trained splits as ONE jitted vmapped program.
+
+    ``mesh`` shards the K-split axis over the mesh (split parallelism);
+    requires K % mesh.size == 0, skips AOT pinning.
 
     ``eval_fn(model, *args)`` returns a pytree of metric arrays for one
     split; per-split args stack leaf-wise (arrays or pytrees).  The
@@ -164,6 +203,9 @@ def eval_splits(models_stacked: Any, eval_fn: Callable, *args_per_split, aot_key
         else stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
         for seq in args_per_split
     )
+    if mesh is not None:
+        models_stacked, stacked_args = _shard_splits(mesh, models_stacked, stacked_args)
+        aot_key = None  # pins are single-device executables
     fn = jax.jit(
         lambda ms, *sa: jax.vmap(lambda m, *aa: eval_fn(m, *aa))(ms, *sa)
     )

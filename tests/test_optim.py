@@ -196,6 +196,42 @@ def test_fit_minibatched_splits_matches_sequential(rng):
         )
 
 
+def test_fit_splits_mesh_parity():
+    """fit_splits/eval_splits with the K axis sharded over the mesh must
+    match the single-device stacked run, and reject a hand-batched loss
+    (one custom call GSPMD cannot partition)."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from nonstationary_precip_tpu.train.vmapped import eval_splits, fit_splits
+
+    k = 8
+    targets = [jnp.asarray([0.5 * i, -0.25 * i]) for i in range(k)]
+    models = [{"w": jnp.zeros(2)} for _ in range(k)]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("split",))
+
+    res_1 = fit_splits(models, _quad_loss, targets, lr=0.1, num_steps=40)
+    res_m = fit_splits(models, _quad_loss, targets, lr=0.1, num_steps=40, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_m.model["w"]), np.asarray(res_1.model["w"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_m.losses), np.asarray(res_1.losses), rtol=1e-6, atol=1e-7
+    )
+
+    ev = lambda m, t: jnp.sum((m["w"] - t) ** 2)  # noqa: E731
+    e_1 = eval_splits(res_1.model, ev, targets)
+    e_m = eval_splits(res_1.model, ev, targets, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_1), rtol=1e-6, atol=1e-7)
+
+    with pytest.raises(ValueError, match="vmapped loss"):
+        fit_splits(
+            models, _quad_loss, targets, num_steps=1, mesh=mesh,
+            batched_loss=lambda m, t: jnp.zeros(k),
+        )
+
+
 def test_fit_minibatched_splits_mesh_parity(rng):
     """Split-parallel lockstep training (K sharded over the mesh) must
     reproduce the single-device lockstep run — splits are independent, so
