@@ -83,26 +83,31 @@ def bench_jax() -> float:
 
     # differential timing — programs of STEPS and 2×STEPS, report
     # (T₂ − T₁)/STEPS: cancels the ~28 ms per-program axon-tunnel dispatch,
-    # which real training amortises over ≥500-step chunks anyway.  Median
-    # of 3 per program (shared-host noise ±10%), and best of 3 differential
-    # passes: the axon service has pathological windows where EXECUTION of
-    # an already-compiled program crawls 10–40× (CLAUDE.md quirks) — slowness
-    # only ever inflates wallclock, so the fastest pass is the honest
-    # calm-service estimate.
+    # which real training amortises over ≥500-step chunks anyway.  The axon
+    # service has pathological windows where EXECUTION of an already-compiled
+    # program crawls 10–40× (CLAUDE.md quirks); slowness only ever inflates a
+    # single program's wallclock, so take the min over 9 interleaved samples
+    # PER PROGRAM and difference those calm estimates.  (Never min() over the
+    # differences themselves — a slow window hitting only the short program
+    # deflates a difference, even below zero.)  Fall back to medians if the
+    # whole session is so unstable the calm estimates still cross.
     c1, c2 = make_chunk(STEPS), make_chunk(2 * STEPS)
     jax.block_until_ready(c1(model, opt_state, key)[3])
     jax.block_until_ready(c2(model, opt_state, key)[3])
 
-    def med3(chunk):
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = chunk(model, opt_state, key)
-            jax.block_until_ready(out[3])
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[1]
+    def sample(chunk):
+        t0 = time.perf_counter()
+        out = chunk(model, opt_state, key)
+        jax.block_until_ready(out[3])
+        return time.perf_counter() - t0
 
-    per_step = min((med3(c2) - med3(c1)) / STEPS for _ in range(3))
+    t1s, t2s = [], []
+    for _ in range(9):
+        t1s.append(sample(c1))
+        t2s.append(sample(c2))
+    per_step = (min(t2s) - min(t1s)) / STEPS
+    if per_step <= 0:
+        per_step = (sorted(t2s)[4] - sorted(t1s)[4]) / STEPS
     return 1.0 / per_step
 
 

@@ -167,8 +167,15 @@ class DeepGP:
             _elbo_eligible,
             fused_data_term,
         )
+        from nonstationary_precip_tpu.ops.pallas_elbo import elbo_enabled
         from nonstationary_precip_tpu.utils.transforms import positive
 
+        # the cheap env/backend/trace-context gate FIRST: with the fused
+        # path off (default) nothing below may run — precompute_layers is
+        # three M×M Cholesky pipelines that eager callers would execute
+        # and discard
+        if not elbo_enabled():
+            return None
         if (
             self.share_hidden
             or self.num_layers != 2
@@ -224,9 +231,10 @@ class DeepGP:
         minibatch β-scaling.
 
         ``fused_elbo``: None (default) auto-dispatches the Pallas fused
-        data term on TPU for the flagship topology; False forces the
-        composed path (pass False under ``shard_map`` — custom-VJP
-        outputs can break sharding inference there, DESIGN.md §11)."""
+        data term on TPU for the flagship topology when NSGP_PALLAS_ELBO=1;
+        False forces the composed path.  shard_map/pmap traces are
+        auto-detected and take the composed path regardless (custom-VJP
+        outputs break replication inference there, DESIGN.md §11)."""
         if not full_cov and fused_elbo is not False:
             fused = self._fused_loss(key, x, y, num_data, num_samples)
             if fused is not None:

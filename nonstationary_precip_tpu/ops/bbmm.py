@@ -83,11 +83,23 @@ def mbcg(
         kp = matvec(p)
         pkp = jnp.sum(p * kp, axis=0)
         # α = rᵀz / pᵀKp, masked on converged / degenerate columns.
-        # pᵀKp ≤ 0 on an unconverged column means K (or the preconditioned
-        # operator) is not SPD — record it so callers can refuse the
-        # silently-frozen answer instead of treating it as converged.
+        # pᵀKp ≤ 0 on a column whose residual is still LARGE means K (or
+        # the preconditioned operator) is not SPD — record it so callers
+        # can refuse the silently-frozen answer.  Near the dtype's
+        # convergence floor, a non-positive pᵀKp from cancellation on an
+        # ill-conditioned SPD K is benign stagnation (the column freezes
+        # at rounding-level accuracy; GPyTorch tolerates this), not
+        # breakdown — don't NaN-poison those.  Floor: max(10·tol,
+        # 1000·eps) ≈ 1e-4 f32 / 2e-13 f64; a genuinely indefinite
+        # operator trips pᵀKp ≤ 0 while the residual is still O(1).
+        stall = jnp.maximum(10.0 * tol, 1e3 * float(jnp.finfo(b.dtype).eps))
+        relres = jnp.linalg.norm(res, axis=0) / safe_bnorm
         broke = jnp.logical_or(
-            broke, jnp.logical_and(jnp.logical_not(done), pkp <= 0.0)
+            broke,
+            jnp.logical_and(
+                jnp.logical_not(done),
+                jnp.logical_and(pkp <= 0.0, relres > stall),
+            ),
         )
         valid = jnp.logical_and(jnp.logical_not(done), pkp > 0.0)
         alpha = jnp.where(valid, rz / jnp.where(pkp > 0.0, pkp, 1.0), 0.0)

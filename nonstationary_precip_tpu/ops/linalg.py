@@ -51,7 +51,8 @@ def cholesky(mat: jnp.ndarray, *, use_pallas: bool | None = None) -> jnp.ndarray
 
     Dispatches on TPU for float32 operands: the single-launch VMEM kernel
     for 768 ≤ N ≤ 1280, the GEMM-formulation HBM-streaming kernel (v2,
-    1.93× XLA at 8192) above MIN_N_STREAM2; otherwise XLA.
+    1.12–1.13× XLA at 6144–8192 per the r3 calm re-sweep; r2's 1.93× was
+    a favourable-window artifact) from MIN_N_STREAM2 up; otherwise XLA.
     """
     auto = use_pallas is None
     if auto:

@@ -68,7 +68,7 @@ def eligible(mat) -> bool:
 
 def stream2_eligible(mat) -> bool:
     """Dispatch gate for the GEMM-formulation streaming kernel (v2):
-    f32, MIN_N_STREAM2 < N ≤ MAX_N_STREAM, TPU backend
+    f32, MIN_N_STREAM2 ≤ N ≤ MAX_N_STREAM, TPU backend
     (disable via NSGP_PALLAS_CHOL=0)."""
     import os
 
@@ -82,7 +82,7 @@ def stream2_eligible(mat) -> bool:
     if mat.dtype != jnp.float32 or mat.ndim != 2:
         return False
     n = mat.shape[-1]
-    return MIN_N_STREAM2 < n <= MAX_N_STREAM
+    return MIN_N_STREAM2 <= n <= MAX_N_STREAM
 
 
 def _masked_chol_block(a):
@@ -398,7 +398,7 @@ MAX_N_STREAM = 8192
 # 6144 itself: v2 5.99 vs XLA 6.79 ms at 6144 (1.13×) and 11.59 vs
 # 13.03 at 8192 (1.12×); XLA still ahead at 2048 (0.51 vs 0.69),
 # 3072 (1.21 vs 1.30) and 4096 (2.28 vs 2.38).  Gate: N ≥ 6144.
-MIN_N_STREAM2 = 6143
+MIN_N_STREAM2 = 6144
 
 
 def _chol_block_2level(d):
@@ -840,10 +840,12 @@ MAX_N_CHOLINV_B = 3 * BLOCK  # 3-level block algebra over 128-wide panels
 
 
 def _bmm(x, y):
-    """(T, p, q) @ (T, q, r).  Mosaic lowers a batched dot_general (probed
-    on chip 2026-08-17, tools/probe_batched_dot.py), so the default is one
-    batched op; NSGP_BATCHED_DOT=0 restores the per-T python-loop stack
-    of 2-D dots (T sequential MXU latencies)."""
+    """(T, p, q) @ (T, q, r).  Mosaic DOES lower a batched dot_general
+    (probed on chip 2026-08-17, tools/probe_batched_dot.py) but the real
+    precompute kernel built on it compiled pathologically (>30 min) while
+    runtime measured a wash (0.274 vs 0.267 ms) — so the per-T python-loop
+    stack of 2-D dots SHIPS as the default and NSGP_BATCHED_DOT=1 opts in
+    to the batched op for re-probing (DESIGN.md §13)."""
     import os
 
     if os.environ.get("NSGP_BATCHED_DOT", "0") == "1":

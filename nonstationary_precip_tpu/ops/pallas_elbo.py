@@ -406,6 +406,35 @@ def _pallas_bwd(packed, dims, params, y, h1_p, h2_p, gbar):
     return bars, noisebar, ybar
 
 
+def elbo_enabled() -> bool:
+    """Cheap pre-gate for the fused data term: the env opt-in, the
+    backend, and the tracing context — check this BEFORE doing any
+    precompute work for the fused path (DeepGP._fused_loss builds three
+    M×M Cholesky pipelines to populate ``params``; with the gate off,
+    default, that work would be traced and discarded — and eager callers
+    would actually execute it, ~28 ms/op through the axon tunnel).
+
+    Also refuses manual-axes traces (shard_map/pmap): the kernel's
+    custom-VJP outputs break replication inference there (DESIGN.md
+    §11) — forcing the composed path automatically instead of relying on
+    every DP call site remembering ``fused_elbo=False``."""
+    import os
+
+    if os.environ.get("NSGP_PALLAS_ELBO", "0") != "1":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    try:
+        if jax.core.nonempty_axis_env_DO_NOT_USE():  # inside shard_map/pmap
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def _elbo_eligible(x, params) -> bool:
     """Dispatch gate for the fused data term: TPU f32, the flagship
     2-hidden-layer topology (hidden width 2), M ≤ 256, B ≤ 1024, D ≤ 2.
@@ -418,14 +447,7 @@ def _elbo_eligible(x, params) -> bool:
     serialization offsets the launch savings.  Parity is exact (loss
     |Δ| 1e-7, grads 4e-3 worst rel on chip), so the path stays available
     for re-measurement on calmer service or future Mosaic versions."""
-    import os
-
-    if os.environ.get("NSGP_PALLAS_ELBO", "0") != "1":
-        return False
-    try:
-        if jax.default_backend() == "cpu":
-            return False
-    except Exception:
+    if not elbo_enabled():
         return False
     if x.dtype != jnp.float32:
         return False

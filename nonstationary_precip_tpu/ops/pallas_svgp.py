@@ -148,9 +148,10 @@ def _chol_inv_2level_b(d):
 
     def bmm(x, y):
         # (T, p, q) @ (T, q, r).  Mosaic DOES lower a batched dot_general
-        # (probed on chip 2026-08-17, tools/probe_batched_dot.py) — one op
-        # replaces T sequential 2-D dots and their fixed latencies;
-        # NSGP_BATCHED_DOT=0 restores the per-T python-loop stack.
+        # (probed on chip 2026-08-17, tools/probe_batched_dot.py), but the
+        # kernel built on it compiled pathologically and runtime was a
+        # wash — the per-T loop ships as default; NSGP_BATCHED_DOT=1 opts
+        # in to the batched op for re-probing (DESIGN.md §13).
         import os
 
         if os.environ.get("NSGP_BATCHED_DOT", "0") == "1":

@@ -207,6 +207,25 @@ def minibatch_scan_splits(models, opt_state, loss_fn, optimizer, keys, batch_idx
     return models, opt_state, losses
 
 
+def _epoch_schedule(seed: int, n: int, num_epochs: int, batch_size: int) -> np.ndarray:
+    """Epoch-shuffled batch-index schedule, (T, B): per-epoch permutations,
+    wrap-around padded so every step has a full batch (mirrors
+    DataLoader(shuffle=True) in the reference's DSVI loop,
+    deepgp_spatial_bench.py:70).  Shared by ``fit_minibatched`` and
+    ``fit_minibatched_splits`` — their bit-identity is load-bearing for
+    the lockstep-equals-sequential trajectory guarantee."""
+    steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
+    rng = np.random.default_rng(seed)
+    sched = []
+    for _ in range(num_epochs):
+        perm = rng.permutation(n)
+        pad = (-len(perm)) % (steps_per_epoch * batch_size)
+        if pad:
+            perm = np.concatenate([perm, perm[:pad]])
+        sched.append(perm.reshape(steps_per_epoch, batch_size))
+    return np.concatenate(sched, axis=0)
+
+
 def fit_minibatched_splits(
     models: list,
     loss_fn: Callable,
@@ -242,20 +261,11 @@ def fit_minibatched_splits(
     if seeds is None:
         seeds = list(range(k))
     n = np.asarray(xs[0]).shape[0]
-    steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
-
-    def schedule(seed):
-        rng = np.random.default_rng(seed)
-        sched = []
-        for _ in range(num_epochs):
-            perm = rng.permutation(n)
-            pad = (-len(perm)) % (steps_per_epoch * batch_size)
-            if pad:
-                perm = np.concatenate([perm, perm[:pad]])
-            sched.append(perm.reshape(steps_per_epoch, batch_size))
-        return np.concatenate(sched, axis=0)  # (T, B)
-
-    batch_idx = jnp.asarray(np.stack([schedule(s) for s in seeds], axis=1))  # (T, K, B)
+    batch_idx = jnp.asarray(
+        np.stack(
+            [_epoch_schedule(s, n, num_epochs, batch_size) for s in seeds], axis=1
+        )
+    )  # (T, K, B)
     total_steps = batch_idx.shape[0]
     keys_tk = jnp.stack([jax.random.split(kk, total_steps) for kk in keys], axis=1)
 
@@ -326,16 +336,7 @@ def fit_minibatched(
 
     n = x.shape[0]
     steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
-    # pad the permutation so every step has a full batch (wrap-around)
-    rng = np.random.default_rng(seed)
-    sched = []
-    for _ in range(num_epochs):
-        perm = rng.permutation(n)
-        pad = (-len(perm)) % (steps_per_epoch * batch_size)
-        if pad:
-            perm = np.concatenate([perm, perm[:pad]])
-        sched.append(perm.reshape(steps_per_epoch, batch_size))
-    batch_idx = jnp.asarray(np.concatenate(sched, axis=0))
+    batch_idx = jnp.asarray(_epoch_schedule(seed, n, num_epochs, batch_size))
     total_steps = batch_idx.shape[0]
     keys = jax.random.split(key, total_steps)
 

@@ -199,6 +199,54 @@ def check_vmem_chol():
     report("vmem chol N=1024", _finite(ours) and rel < 1e-4, f"rel maxdiff {rel:.2e}")
 
 
+def check_elbo():
+    """Fused full-ELBO data term (forward + hand-derived backward, opt-in
+    via NSGP_PALLAS_ELBO=1) vs the composed XLA path, on chip — the
+    documented re-measurement path must stay chip-correct even while the
+    kernel ships opt-in."""
+    import os
+
+    from nonstationary_precip_tpu.models import DeepGP
+
+    saved = os.environ.get("NSGP_PALLAS_ELBO")
+    os.environ["NSGP_PALLAS_ELBO"] = "1"
+    try:
+        key = jax.random.PRNGKey(173)
+        ki, kd, kl = jax.random.split(key, 3)
+        b, m, s = 315, 250, 3
+        model = DeepGP.create(ki, input_dims=2, num_layers=2, num_inducing=m)
+        x = jax.random.normal(kd, (b, 2), jnp.float32)
+        y = jnp.sin(x[:, 0]) + 0.1 * x[:, 1]
+        vf = float(jax.jit(lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s))(model))
+        vc = float(
+            jax.jit(
+                lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s, fused_elbo=False)
+            )(model)
+        )
+        gf = jax.jit(
+            jax.grad(lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s))
+        )(model)
+        gc = jax.jit(
+            jax.grad(
+                lambda mm: mm.loss(kl, x, y, num_data=b, num_samples=s, fused_elbo=False)
+            )
+        )(model)
+        worst = 0.0
+        for a, bb in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gc)):
+            scale = float(jnp.max(jnp.abs(bb))) + 1e-4
+            worst = max(worst, float(jnp.max(jnp.abs(a - bb))) / scale)
+        report(
+            "fused ELBO fwd+bwd (B=315 M=250)",
+            np.isfinite(vf) and abs(vf - vc) < 5e-4 and worst < 2e-2,
+            f"loss |Δ| {abs(vf - vc):.2e}  grad worst rel {worst:.2e}",
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("NSGP_PALLAS_ELBO", None)
+        else:
+            os.environ["NSGP_PALLAS_ELBO"] = saved
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}", flush=True)
@@ -212,6 +260,7 @@ def main():
     check_cholinv_b()
     check_vmem_chol()
     check_streaming2()
+    check_elbo()
     dt = time.time() - t0
     if FAILURES:
         print(f"CHECK-TPU FAILED ({len(FAILURES)}): {', '.join(FAILURES)}  [{dt:.0f}s]",
