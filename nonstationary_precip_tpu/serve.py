@@ -1,0 +1,195 @@
+"""Batch-inference CLI — the deployment/serving half of the production
+workflow whose training half is ``experiments/precipitation_baselines.py``.
+
+The reference stops at training + in-process evaluation (its checkpoints
+are write-only, /root/reference/experiments/precipitation_baselines.py:380-397);
+this module closes the loop: fit (or restore a fitted checkpoint of) any
+of the four headline model families, then predict mean/σ at arbitrary
+query points and write them as a CSV in raw data units.  Everything
+device-side runs as ONE jitted program per phase (fit scan + predict), so
+a warm serve pays two dispatches, not thousands of eager ops.
+
+    # fit on the bundled UIB data and predict at its own sites
+    python -m nonstationary_precip_tpu.serve --model gibbs_exact \
+        --output preds.csv
+
+    # fit once, save, then serve repeatedly from the checkpoint
+    python -m nonstationary_precip_tpu.serve --model seard \
+        --save_checkpoint ckpt/seard --output /dev/null
+    python -m nonstationary_precip_tpu.serve --model seard \
+        --checkpoint ckpt/seard --points_csv new_sites.csv --output preds.csv
+
+``--points_csv`` wants a headered CSV (like the bundled datasets) whose
+first columns are the input coordinates (lon, lat for the spatial
+models); with no ``--points_csv`` the training sites themselves are
+served (a full-field hindcast, the reference's spatial_exp.py:243-253
+usage).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from nonstationary_precip_tpu.train.config import ExperimentConfig
+from nonstationary_precip_tpu.utils.config import BASE_SEED, DATASET_DIR
+
+MODELS = ("seard", "gibbs_exact", "gibbs_sparse", "deepgp")
+
+
+@dataclass
+class ServeConfig(ExperimentConfig):
+    train_csv: str = str(DATASET_DIR / "uib_spatial.csv")
+    points_csv: str = ""  # default: serve the training sites
+    output: str = "predictions.csv"
+    checkpoint: str = ""  # restore fitted params instead of fitting
+    save_checkpoint: str = ""  # save fitted params after fitting
+
+
+def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
+    """Create an unfitted model + its loss/trainability for ``fit``."""
+    import math
+
+    import jax
+
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models import (
+        DeepGP,
+        ExactGP,
+        GibbsExactGP,
+        GibbsSparseGP,
+    )
+    from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
+    from nonstationary_precip_tpu.priors import LogNormalProcess
+
+    d = train_x.shape[-1]
+    if name == "seard":
+        model = ExactGP.create(Scale.create(RBF.create(d)), mean_type="constant")
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+    prior = LogNormalProcess.create(
+        input_dim=d,
+        mean=math.log(cfg.prior_mean),
+        outputscale=cfg.prior_scale,
+        lengthscale=cfg.prior_ell,
+    )
+    if name == "gibbs_exact":
+        model = GibbsExactGP.create(train_x, prior, noise=cfg.noise, outputscale=cfg.scale)
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+    if name == "gibbs_sparse":
+        z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
+        model = GibbsSparseGP.create(z, prior, noise=cfg.noise, outputscale=cfg.scale)
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+    if name == "deepgp":
+        model = DeepGP.create(
+            key, input_dims=d, num_layers=cfg.num_layers, num_inducing=cfg.num_inducing
+        )
+        return model, None, None  # trained via fit_minibatched
+    raise SystemExit(f"unknown --model {name!r}; choose from {MODELS}")
+
+
+def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, key):
+    from nonstationary_precip_tpu.train import fit
+    from nonstationary_precip_tpu.train.optim import fit_minibatched
+
+    if name == "deepgp":
+        n = train_x.shape[0]
+        return fit_minibatched(
+            model,
+            lambda m, kk, xb, yb: m.loss(
+                kk, xb, yb, num_data=n, num_samples=cfg.num_samples
+            ),
+            train_x,
+            train_y,
+            key=key,
+            num_epochs=cfg.num_epochs,
+            batch_size=min(cfg.batch_size, n),
+            lr=cfg.lr,
+        ).model
+    return fit(
+        model,
+        loss_fn,
+        train_x,
+        train_y,
+        lr=cfg.lr,
+        num_steps=cfg.max_iters,
+        mask=mask,
+        log_every=cfg.log_interval * 10,
+    ).model
+
+
+def _predict(name: str, model, train_x, train_y, pts, key):
+    """Jitted predictive marginals (mean, var) at ``pts``."""
+    import jax
+
+    if name == "deepgp":
+        return jax.jit(lambda m, p: (lambda mix: (mix.mean, mix.var))(
+            m.predict(key, p, num_samples=10)[0]
+        ))(model, pts)
+    return jax.jit(lambda m, p: (lambda d: (d.mean, d.var))(
+        m.predictive(train_x, train_y, p)
+    ))(model, pts)
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.data.dataprep import load_csv, whitening_transform
+    from nonstationary_precip_tpu.train.checkpoint import restore_pytree, save_pytree
+
+    cfg = ServeConfig(model="gibbs_exact", max_iters=1000).parse_args(argv)
+    if cfg.model not in MODELS:
+        raise SystemExit(f"unknown --model {cfg.model!r}; choose from {MODELS}")
+
+    data = load_csv(Path(cfg.train_csv))
+    w = whitening_transform(data)
+    train_x = jnp.asarray(w.x, jnp.float32)
+    train_y = jnp.asarray(w.y, jnp.float32)
+
+    import jax
+
+    key = jax.random.PRNGKey(cfg.seed if cfg.seed else BASE_SEED)
+    k_init, k_fit, k_pred = jax.random.split(key, 3)
+
+    model, loss_fn, mask = _build(cfg.model, train_x, train_y, cfg, k_init)
+    if cfg.checkpoint:
+        model = restore_pytree(cfg.checkpoint, model)
+        print(f"restored {cfg.model} checkpoint from {cfg.checkpoint}")
+    else:
+        t0 = time.time()
+        model = _fit(cfg.model, model, loss_fn, mask, train_x, train_y, cfg, k_fit)
+        print(f"fitted {cfg.model} in {time.time() - t0:.1f}s")
+        if cfg.save_checkpoint:
+            save_pytree(cfg.save_checkpoint, model)
+            print(f"saved checkpoint to {cfg.save_checkpoint}")
+
+    # query points: raw lon/lat → the training whitening frame
+    if cfg.points_csv:
+        raw_pts = load_csv(Path(cfg.points_csv))[:, : train_x.shape[-1]]
+    else:
+        raw_pts = np.asarray(data[:, : train_x.shape[-1]])
+    pts = jnp.asarray((raw_pts - w.meanx) / w.stdx, jnp.float32)
+
+    t0 = time.time()
+    mean, var = _predict(cfg.model, model, train_x, train_y, pts, k_pred)
+    mean = np.asarray(mean) * w.stdy + w.meany  # back to raw data units
+    std = np.sqrt(np.maximum(np.asarray(var), 0.0)) * w.stdy
+    print(f"served {len(pts)} points in {time.time() - t0:.1f}s")
+
+    if cfg.output and cfg.output != "/dev/null":
+        out = Path(cfg.output)
+        cols = [raw_pts[:, i] for i in range(raw_pts.shape[1])] + [mean, std]
+        header = (
+            ",".join(f"x{i}" for i in range(raw_pts.shape[1])) + ",pred_mean,pred_std"
+        )
+        np.savetxt(out, np.stack(cols, axis=1), delimiter=",", header=header, comments="")
+        print(f"wrote {out} ({len(mean)} rows)")
+    return mean, std
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

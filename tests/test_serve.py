@@ -1,0 +1,65 @@
+"""Batch-inference CLI (nonstationary_precip_tpu.serve): fit → save →
+restore → serve round-trips for each model family at tiny budgets."""
+
+import numpy as np
+import pytest
+
+from nonstationary_precip_tpu import serve
+
+
+def _args(tmp_path, model, extra=()):
+    return [
+        "--model", model,
+        "--output", str(tmp_path / f"{model}.csv"),
+        *extra,
+    ]
+
+
+def _read(path):
+    return np.loadtxt(path, delimiter=",", skiprows=1)
+
+
+@pytest.mark.parametrize(
+    "model,extra",
+    [
+        ("seard", ["--max_iters", "20"]),
+        ("gibbs_exact", ["--max_iters", "5"]),
+        ("gibbs_sparse", ["--max_iters", "5", "--num_inducing", "30"]),
+        ("deepgp", ["--num_epochs", "2", "--num_inducing", "16"]),
+    ],
+)
+def test_serve_fits_and_writes(tmp_path, model, extra):
+    mean, std = serve.main(_args(tmp_path, model, extra))
+    out = _read(tmp_path / f"{model}.csv")
+    assert out.shape == (394, 4)  # lon, lat, pred_mean, pred_std
+    assert np.isfinite(out).all()
+    assert (out[:, 3] > 0).all()  # predictive std strictly positive
+    np.testing.assert_allclose(out[:, 2], mean, rtol=1e-6)
+
+
+def test_serve_checkpoint_roundtrip(tmp_path):
+    ckpt = str(tmp_path / "ckpt" / "seard")
+    mean_fit, _ = serve.main(
+        _args(tmp_path, "seard", ["--max_iters", "20", "--save_checkpoint", ckpt])
+    )
+    mean_restored, _ = serve.main(
+        _args(tmp_path, "seard", ["--checkpoint", ckpt])
+    )
+    np.testing.assert_allclose(mean_restored, mean_fit, rtol=1e-6)
+
+
+def test_serve_points_csv(tmp_path):
+    pts = tmp_path / "pts.csv"
+    pts.write_text("lon,lat\n73.0,35.0\n74.5,36.0\n75.5,34.5\n")
+    mean, std = serve.main(
+        _args(tmp_path, "seard", ["--max_iters", "20", "--points_csv", str(pts)])
+    )
+    assert mean.shape == (3,) and std.shape == (3,)
+    out = _read(tmp_path / "seard.csv")
+    assert out.shape == (3, 4)
+    np.testing.assert_allclose(out[:, 0], [73.0, 74.5, 75.5])
+
+
+def test_serve_rejects_unknown_model(tmp_path):
+    with pytest.raises(SystemExit):
+        serve.main(_args(tmp_path, "nonsense"))
