@@ -21,9 +21,16 @@ a warm serve pays two dispatches, not thousands of eager ops.
 
 ``--points_csv`` wants a headered CSV (like the bundled datasets) whose
 first columns are the input coordinates (lon, lat for the spatial
-models); with no ``--points_csv`` the training sites themselves are
-served (a full-field hindcast, the reference's spatial_exp.py:243-253
-usage).
+models; time, lon, lat for the spatio-temporal ones); with no
+``--points_csv`` the training sites themselves are served (a full-field
+hindcast, the reference's spatial_exp.py:243-253 usage).
+
+``--x_cols``/``--y_col`` select training columns when the CSV isn't in
+the default (inputs..., target) layout, e.g. the bundled spatio-temporal
+cube carries a row index first:
+
+    python -m nonstationary_precip_tpu.serve --model st_nonstationary \
+        --train_csv data/uib_spatio_temporal.csv --x_cols 1,2,3 --y_col 4
 """
 
 from __future__ import annotations
@@ -39,7 +46,14 @@ import numpy as np
 from nonstationary_precip_tpu.train.config import ExperimentConfig
 from nonstationary_precip_tpu.utils.config import BASE_SEED, DATASET_DIR
 
-MODELS = ("seard", "gibbs_exact", "gibbs_sparse", "deepgp")
+MODELS = (
+    "seard",
+    "gibbs_exact",
+    "gibbs_sparse",
+    "deepgp",
+    "st_stationary",
+    "st_nonstationary",
+)
 
 
 @dataclass
@@ -49,6 +63,10 @@ class ServeConfig(ExperimentConfig):
     output: str = "predictions.csv"
     checkpoint: str = ""  # restore fitted params instead of fitting
     save_checkpoint: str = ""  # save fitted params after fitting
+    # column selection, e.g. the spatio-temporal cube's first column is a
+    # row index: --x_cols 1,2,3 --y_col 4.  Defaults: all-but-last / last.
+    x_cols: str = ""
+    y_col: int = -1
 
 
 def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
@@ -71,8 +89,11 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
     if name == "seard":
         model = ExactGP.create(Scale.create(RBF.create(d)), mean_type="constant")
         return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+    # latent lengthscale prior: over all d input dims for the spatial Gibbs
+    # models, over the 2 spatial dims for the ST sum-kernel model (its
+    # Gibbs term is spatial-only, spatio_temporal_exp.py:111-121)
     prior = LogNormalProcess.create(
-        input_dim=d,
+        input_dim=2 if name == "st_nonstationary" else d,
         mean=math.log(cfg.prior_mean),
         outputscale=cfg.prior_scale,
         lengthscale=cfg.prior_ell,
@@ -89,6 +110,21 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
             key, input_dims=d, num_layers=cfg.num_layers, num_inducing=cfg.num_inducing
         )
         return model, None, None  # trained via fit_minibatched
+    if name == "st_stationary":
+        from nonstationary_precip_tpu.models import SpatioTemporalStationary
+
+        if d != 3:
+            raise SystemExit("st_stationary expects 3 input columns (time, lon, lat)")
+        model = SpatioTemporalStationary.create()
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+    if name == "st_nonstationary":
+        from nonstationary_precip_tpu.models import SparseSpatioTemporalNonstationary
+
+        if d != 3:
+            raise SystemExit("st_nonstationary expects 3 input columns (time, lon, lat)")
+        z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
+        model = SparseSpatioTemporalNonstationary.create(z, prior)
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
     raise SystemExit(f"unknown --model {name!r}; choose from {MODELS}")
 
 
@@ -138,7 +174,7 @@ def _predict(name: str, model, train_x, train_y, pts, key):
 def main(argv=None):
     import jax.numpy as jnp
 
-    from nonstationary_precip_tpu.data.dataprep import load_csv, whitening_transform
+    from nonstationary_precip_tpu.data.dataprep import load_csv
     from nonstationary_precip_tpu.train.checkpoint import restore_pytree, save_pytree
 
     cfg = ServeConfig(model="gibbs_exact", max_iters=1000).parse_args(argv)
@@ -146,9 +182,17 @@ def main(argv=None):
         raise SystemExit(f"unknown --model {cfg.model!r}; choose from {MODELS}")
 
     data = load_csv(Path(cfg.train_csv))
-    w = whitening_transform(data)
-    train_x = jnp.asarray(w.x, jnp.float32)
-    train_y = jnp.asarray(w.y, jnp.float32)
+    if cfg.x_cols:
+        raw_x = data[:, [int(s) for s in cfg.x_cols.split(",")]]
+    else:
+        raw_x = np.delete(data, cfg.y_col % data.shape[1], axis=1)
+    raw_y = data[:, cfg.y_col]
+    # whitening in the selected-column frame (ddof=1, matching
+    # data.dataprep.whitening_transform / torch.std_mean)
+    meanx, stdx = raw_x.mean(axis=0), raw_x.std(axis=0, ddof=1)
+    meany, stdy = float(raw_y.mean()), float(raw_y.std(ddof=1))
+    train_x = jnp.asarray((raw_x - meanx) / stdx, jnp.float32)
+    train_y = jnp.asarray((raw_y - meany) / stdy, jnp.float32)
 
     import jax
 
@@ -167,17 +211,17 @@ def main(argv=None):
             save_pytree(cfg.save_checkpoint, model)
             print(f"saved checkpoint to {cfg.save_checkpoint}")
 
-    # query points: raw lon/lat → the training whitening frame
+    # query points: raw input coordinates → the training whitening frame
     if cfg.points_csv:
         raw_pts = load_csv(Path(cfg.points_csv))[:, : train_x.shape[-1]]
     else:
-        raw_pts = np.asarray(data[:, : train_x.shape[-1]])
-    pts = jnp.asarray((raw_pts - w.meanx) / w.stdx, jnp.float32)
+        raw_pts = np.asarray(raw_x)
+    pts = jnp.asarray((raw_pts - meanx) / stdx, jnp.float32)
 
     t0 = time.time()
     mean, var = _predict(cfg.model, model, train_x, train_y, pts, k_pred)
-    mean = np.asarray(mean) * w.stdy + w.meany  # back to raw data units
-    std = np.sqrt(np.maximum(np.asarray(var), 0.0)) * w.stdy
+    mean = np.asarray(mean) * stdy + meany  # back to raw data units
+    std = np.sqrt(np.maximum(np.asarray(var), 0.0)) * stdy
     print(f"served {len(pts)} points in {time.time() - t0:.1f}s")
 
     if cfg.output and cfg.output != "/dev/null":

@@ -60,6 +60,36 @@ def test_serve_points_csv(tmp_path):
     np.testing.assert_allclose(out[:, 0], [73.0, 74.5, 75.5])
 
 
+@pytest.mark.parametrize(
+    "model,extra",
+    [
+        ("st_stationary", ["--max_iters", "5"]),
+        ("st_nonstationary", ["--max_iters", "5", "--num_inducing", "30"]),
+    ],
+)
+def test_serve_spatio_temporal(tmp_path, model, extra):
+    from nonstationary_precip_tpu.data.dataprep import load_csv
+    from nonstationary_precip_tpu.utils.config import DATASET_DIR
+
+    # first 4 months of the cube (43 sites × 4) — exact-GP-sized
+    cube = load_csv(DATASET_DIR / "uib_spatio_temporal.csv")[: 43 * 4]
+    small = tmp_path / "st_small.csv"
+    np.savetxt(
+        small, cube, delimiter=",", header="idx,time,lon,lat,tp", comments=""
+    )
+    mean, std = serve.main(
+        _args(
+            tmp_path,
+            model,
+            ["--train_csv", str(small), "--x_cols", "1,2,3", "--y_col", "4", *extra],
+        )
+    )
+    out = _read(tmp_path / f"{model}.csv")
+    assert out.shape == (43 * 4, 5)  # time, lon, lat, pred_mean, pred_std
+    assert np.isfinite(out).all()
+    assert (out[:, 4] > 0).all()
+
+
 def test_serve_rejects_unknown_model(tmp_path):
     with pytest.raises(SystemExit):
         serve.main(_args(tmp_path, "nonsense"))
