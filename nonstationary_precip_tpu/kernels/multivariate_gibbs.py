@@ -34,6 +34,16 @@ from nonstationary_precip_tpu.utils.struct import pytree_dataclass
 from nonstationary_precip_tpu.utils.transforms import softplus
 
 _JITTER = 1e-5  # reference: multivariate_gibbs_kernel.py:17
+# f32 floor for the closed-form 2×2 determinants.  Every Σ entry is
+# ≥ softplus(0) = log 2, but det Σ = ac − b² is a CANCELLATION: when the
+# latent h grows large, softplus is asymptotically linear so
+# ac − b² → sp(h₁⁴)sp(h₂⁴) − sp(h₁²h₂²)² → 0⁺ analytically while the f32
+# subtraction of ~(h⁸)-sized terms rounds to ±(h⁸·2⁻²³) — measured
+# det = −65536 at |h| ≈ 37 on the UIB field, which NaNs the ^0.25.  The
+# clamps below are TRUE lower bounds (det Σ > 0; Minkowski's inequality
+# det M ≥ √(det Σᵢ det Σⱼ) for the PSD average M), so well-conditioned
+# inputs take the directly-computed branch bit-identically.
+_DET_FLOOR = 1e-8
 
 
 def sigma_components_2d(h: jnp.ndarray, d_mat: jnp.ndarray):
@@ -69,8 +79,8 @@ def paciorek_schervish_gram_2d(
     a1, b1, c1 = sig1
     a2, b2, c2 = sig2
 
-    det1 = a1 * c1 - b1 * b1  # (N1,)
-    det2 = a2 * c2 - b2 * b2  # (N2,)
+    det1 = jnp.maximum(a1 * c1 - b1 * b1, _DET_FLOOR)  # (N1,)
+    det2 = jnp.maximum(a2 * c2 - b2 * b2, _DET_FLOOR)  # (N2,)
     det_pref = (det1[:, None] * det2[None, :]) ** 0.25  # |Σi|^¼|Σj|^¼
 
     # M = (Σi + Σj)/2 componentwise, with the reference's jitter*I added
@@ -78,9 +88,14 @@ def paciorek_schervish_gram_2d(
     am = 0.5 * (a1[:, None] + a2[None, :])
     bm = 0.5 * (b1[:, None] + b2[None, :])
     cm = 0.5 * (c1[:, None] + c2[None, :])
-    det_m = am * cm - bm * bm
+    # Minkowski: det M ≥ √(det Σᵢ det Σⱼ) — rescues the f32 cancellation
+    # (see _DET_FLOOR) and keeps the prefactor ≤ 1 as the math requires
+    det_m = jnp.maximum(
+        am * cm - bm * bm, jnp.sqrt(det1[:, None] * det2[None, :])
+    )
     am_j, cm_j = am + jitter, cm + jitter
-    det_m_j = am_j * cm_j - bm * bm
+    # true jittered det = det M + jitter·(a+c) + jitter² ≥ det M + jitter·(a+c)
+    det_m_j = jnp.maximum(am_j * cm_j - bm * bm, det_m + jitter * (am + cm))
 
     dx = x1[:, None, 0] - x2[None, :, 0]
     dy = x1[:, None, 1] - x2[None, :, 1]

@@ -50,6 +50,8 @@ MODELS = (
     "seard",
     "gibbs_exact",
     "gibbs_sparse",
+    "mv_gibbs",
+    "mv_gibbs_sparse",
     "deepgp",
     "st_stationary",
     "st_nonstationary",
@@ -89,6 +91,21 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
     if name == "seard":
         model = ExactGP.create(Scale.create(RBF.create(d)), mean_type="constant")
         return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+    if name in ("mv_gibbs", "mv_gibbs_sparse"):
+        from nonstationary_precip_tpu.models import (
+            MultivariateGibbsGP,
+            SparseMultivariateGibbsGP,
+        )
+
+        if d != 2:
+            raise SystemExit("the multivariate Gibbs kernel is 2-D only")
+        if name == "mv_gibbs":
+            model = MultivariateGibbsGP.create(key, train_x, noise=cfg.noise)
+        else:
+            z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
+            model = SparseMultivariateGibbsGP.create(key, z, noise=cfg.noise)
+        # h_prior hypers and the anchor sites are frozen by design
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
     # latent lengthscale prior: over all d input dims for the spatial Gibbs
     # models, over the 2 spatial dims for the ST sum-kernel model (its
     # Gibbs term is spatial-only, spatio_temporal_exp.py:111-121)
@@ -132,6 +149,13 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
     from nonstationary_precip_tpu.train import fit
     from nonstationary_precip_tpu.train.optim import fit_minibatched
 
+    lr = cfg.lr
+    if name.startswith("mv_") and cfg.lr == ServeConfig().lr:
+        # the Paciorek–Schervish Σ algebra NaNs at the generic Adam default
+        # on whitened field data (measured: lr 0.01 diverges at step 2-3,
+        # 0.002 trains); only applied when --lr was left at its default
+        lr = 0.002
+
     if name == "deepgp":
         n = train_x.shape[0]
         return fit_minibatched(
@@ -144,14 +168,14 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
             key=key,
             num_epochs=cfg.num_epochs,
             batch_size=min(cfg.batch_size, n),
-            lr=cfg.lr,
+            lr=lr,
         ).model
     return fit(
         model,
         loss_fn,
         train_x,
         train_y,
-        lr=cfg.lr,
+        lr=lr,
         num_steps=cfg.max_iters,
         mask=mask,
         log_every=cfg.log_interval * 10,
@@ -166,9 +190,16 @@ def _predict(name: str, model, train_x, train_y, pts, key):
         return jax.jit(lambda m, p: (lambda mix: (mix.mean, mix.var))(
             m.predict(key, p, num_samples=10)[0]
         ))(model, pts)
-    return jax.jit(lambda m, p: (lambda d: (d.mean, d.var))(
-        m.predictive(train_x, train_y, p)
-    ))(model, pts)
+
+    def marginals(m, p):
+        d = m.predictive(train_x, train_y, p)
+        # predictive variance = posterior + observation noise ≥ noise;
+        # floor the f32 Woodbury cancellation at that physical bound
+        import jax.numpy as jnp
+
+        return d.mean, jnp.maximum(d.var, m.likelihood.noise)
+
+    return jax.jit(marginals)(model, pts)
 
 
 def main(argv=None):

@@ -210,3 +210,30 @@ def test_softplus_transform_roundtrip():
 
     vals = jnp.asarray([1e-3, 0.5, 1.0, 7.0, 50.0])
     np.testing.assert_allclose(np.asarray(positive(raw_init(vals))), np.asarray(vals), rtol=1e-6)
+
+
+def test_paciorek_schervish_large_h_stays_finite(rng):
+    import jax
+    """f32 cancellation regression: at |h| ~ 40 the closed-form dets round
+    to large NEGATIVE values without the Minkowski clamps, NaN-ing the
+    Gram (observed training the sparse MV model on the UIB field).  The
+    clamped Gram must stay finite with prefactor ≤ 1, and its gradient
+    w.r.t. h must stay finite too."""
+    n = 8
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    h_big = jnp.asarray(40.0 * rng.normal(size=(n, 2)), jnp.float32)
+    d_mat = jnp.asarray(np.diag(rng.normal(size=2)), jnp.float32)
+
+    def gram(h):
+        s = sigma_components_2d(h, d_mat)
+        return paciorek_schervish_gram_2d(x, s, x, s)
+
+    k = np.asarray(gram(h_big))
+    assert np.isfinite(k).all()
+    # |Σi|^¼|Σj|^¼ / √det M ≤ 1 by Minkowski's determinant inequality,
+    # and exp(−quad) ≤ 1, so every kernel value is bounded by 1
+    assert (k <= 1.0 + 1e-5).all()
+    assert np.allclose(np.diag(k), 1.0, atol=1e-4)  # pref=1, quad=0 on the diagonal
+
+    g = jax.grad(lambda h: jnp.sum(gram(h)))(h_big)
+    assert np.isfinite(np.asarray(g)).all()
