@@ -169,6 +169,7 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
             num_epochs=cfg.num_epochs,
             batch_size=min(cfg.batch_size, n),
             lr=lr,
+            aot_key=f"serve-{name}",
         ).model
     return fit(
         model,
@@ -179,6 +180,7 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
         num_steps=cfg.max_iters,
         mask=mask,
         log_every=cfg.log_interval * 10,
+        aot_key=f"serve-{name}",
     ).model
 
 
