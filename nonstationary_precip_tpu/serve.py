@@ -4,8 +4,10 @@ workflow whose training half is ``experiments/precipitation_baselines.py``.
 The reference stops at training + in-process evaluation (its checkpoints
 are write-only, /root/reference/experiments/precipitation_baselines.py:380-397);
 this module closes the loop: fit (or restore a fitted checkpoint of) any
-of the four headline model families, then predict mean/σ at arbitrary
-query points and write them as a CSV in raw data units.  Everything
+of the model families in ``MODELS``, then predict mean/σ at arbitrary
+query points and write them as a CSV in raw data units.  A checkpoint
+restores into a model built from the SAME --model/--train_csv/--x_cols
+flags (parameter shapes are data-dependent for the exact Gibbs family).  Everything
 device-side runs as ONE jitted program per phase (fit scan + predict), so
 a warm serve pays two dispatches, not thousands of eager ops.
 
@@ -35,7 +37,6 @@ cube carries a row index first:
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 from dataclasses import dataclass
@@ -74,8 +75,6 @@ class ServeConfig(ExperimentConfig):
 def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
     """Create an unfitted model + its loss/trainability for ``fit``."""
     import math
-
-    import jax
 
     from nonstationary_precip_tpu.kernels import RBF, Scale
     from nonstationary_precip_tpu.models import (
@@ -187,6 +186,7 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
 def _predict(name: str, model, train_x, train_y, pts, key):
     """Jitted predictive marginals (mean, var) at ``pts``."""
     import jax
+    import jax.numpy as jnp
 
     if name == "deepgp":
         return jax.jit(lambda m, p: (lambda mix: (mix.mean, mix.var))(
@@ -197,8 +197,6 @@ def _predict(name: str, model, train_x, train_y, pts, key):
         d = m.predictive(train_x, train_y, p)
         # predictive variance = posterior + observation noise ≥ noise;
         # floor the f32 Woodbury cancellation at that physical bound
-        import jax.numpy as jnp
-
         return d.mean, jnp.maximum(d.var, m.likelihood.noise)
 
     return jax.jit(marginals)(model, pts)
