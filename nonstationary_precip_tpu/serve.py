@@ -254,6 +254,12 @@ def main(argv=None):
     mean = np.asarray(mean) * stdy + meany  # back to raw data units
     std = np.sqrt(np.maximum(np.asarray(var), 0.0)) * stdy
     print(f"served {len(pts)} points in {time.time() - t0:.1f}s")
+    if not (np.isfinite(mean).all() and np.isfinite(std).all()):
+        raise SystemExit(
+            "non-finite predictions: training diverged (fit prints a "
+            "non-finite-loss warning when so) — lower --lr or --max_iters, "
+            "or serve from a known-good --checkpoint"
+        )
 
     if cfg.output and cfg.output != "/dev/null":
         out = Path(cfg.output)

@@ -97,6 +97,22 @@ def test_serve_rejects_unknown_model(tmp_path):
         serve.main(_args(tmp_path, "nonsense"))
 
 
+def test_serve_refuses_nonfinite_predictions(tmp_path, monkeypatch):
+    """A diverged fit must exit nonzero, not write NaN CSVs."""
+
+    def nan_predict(name, model, train_x, train_y, pts, key):
+        import jax.numpy as jnp
+
+        n = pts.shape[0]
+        return jnp.full((n,), jnp.nan), jnp.ones((n,))
+
+    monkeypatch.setattr(serve, "_predict", nan_predict)
+    out = tmp_path / "seard.csv"
+    with pytest.raises(SystemExit, match="non-finite"):
+        serve.main(_args(tmp_path, "seard", ["--max_iters", "2"]))
+    assert not out.exists()
+
+
 def test_run_benchmarks_pathology_autoretry(monkeypatch, tmp_path):
     """A row whose wallclock trips the 4x-calm flag is rerun once and the
     faster wallclock recorded; fast rows run exactly once."""
