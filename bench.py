@@ -209,40 +209,10 @@ def bench_torch_cpu() -> float:
     return max(rates)
 
 
-def _wait_for_backend(max_wait_s: float = 900.0):
-    """The axon TPU backend intermittently resets and reports UNAVAILABLE
-    for minutes (measured 2026-08-17: >1 h once); retry init in a
-    subprocess (a failed in-process init is cached by jax) so a bench run
-    that lands in such a window measures late instead of crashing."""
-    import subprocess
-    import sys as _sys
-
-    t0 = time.time()
-    while True:
-        err = ""
-        try:
-            # a downed backend either errors (UNAVAILABLE) or HANGS the
-            # init — bound each probe and treat a hang as unavailable
-            probe = subprocess.run(
-                [_sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True,
-                timeout=120.0,
-            )
-            if probe.returncode == 0:
-                return
-            err = probe.stderr.decode(errors="replace")[-300:]
-        except subprocess.TimeoutExpired:
-            err = "device init probe hung >120s"
-        if time.time() - t0 > max_wait_s:
-            raise RuntimeError(
-                f"device backend unavailable for {max_wait_s:.0f}s: {err}"
-            )
-        print(f"# backend unavailable ({time.time() - t0:.0f}s), retrying...", flush=True)
-        time.sleep(30.0)
-
-
 def main():
-    _wait_for_backend()
+    from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
     jax_sps = bench_jax()
     torch_sps = bench_torch_cpu()
     print(

@@ -138,6 +138,12 @@ def main():
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
 
+    # wait out transient backend outages (UNAVAILABLE init / hung init)
+    # before any device use — see utils/backend.py
+    from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+
     # absorb the per-process first-program service cost OUTSIDE any row's
     # timing: the first device program of a fresh process can pay an
     # arbitrary service warm-up (measured 100-700 s in bad windows while
