@@ -426,3 +426,38 @@ def test_eval_splits_matches_per_split_loop():
         r_i, n_i = eval_one(models[i], *args[i])
         assert abs(float(batched_r[i] - r_i)) < 1e-5
         assert abs(float(batched_n[i] - n_i)) < 1e-4
+
+
+def test_wait_for_backend_retries_then_succeeds(monkeypatch):
+    from nonstationary_precip_tpu.utils import backend
+
+    calls = {"n": 0}
+
+    class _Ok:
+        returncode = 0
+
+    def fake_run(*a, **k):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise backend.subprocess.TimeoutExpired(cmd="probe", timeout=1)
+        return _Ok()
+
+    monkeypatch.setattr(backend.subprocess, "run", fake_run)
+    monkeypatch.setattr(backend.time, "sleep", lambda s: None)
+    backend.wait_for_backend(max_wait_s=1e9)
+    assert calls["n"] == 3
+
+
+def test_wait_for_backend_gives_up(monkeypatch):
+    import pytest
+
+    from nonstationary_precip_tpu.utils import backend
+
+    class _Bad:
+        returncode = 1
+        stderr = b"UNAVAILABLE: TPU backend setup/compile error"
+
+    monkeypatch.setattr(backend.subprocess, "run", lambda *a, **k: _Bad())
+    monkeypatch.setattr(backend.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        backend.wait_for_backend(max_wait_s=0.0)
