@@ -15,7 +15,7 @@ import sys
 import time
 
 
-def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0) -> None:
+def wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 120.0) -> None:
     """Block until `jax.devices()` succeeds in a fresh subprocess.
 
     Raises RuntimeError after ``max_wait_s`` with the last probe error.

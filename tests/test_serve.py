@@ -50,6 +50,21 @@ def test_serve_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(mean_restored, mean_fit, rtol=1e-6)
 
 
+def test_serve_deepgp_checkpoint_roundtrip(tmp_path):
+    """DeepGP restore exercises the full nested-pytree checkpoint path
+    (layers tuple + head + likelihood) and the stochastic predict must be
+    reproducible given the same key."""
+    ckpt = str(tmp_path / "ckpt" / "deepgp")
+    extra = ["--num_epochs", "2", "--num_inducing", "16"]
+    mean_fit, _ = serve.main(
+        _args(tmp_path, "deepgp", [*extra, "--save_checkpoint", ckpt])
+    )
+    mean_restored, _ = serve.main(
+        _args(tmp_path, "deepgp", [*extra, "--checkpoint", ckpt])
+    )
+    np.testing.assert_allclose(mean_restored, mean_fit, rtol=1e-6)
+
+
 def test_serve_points_csv(tmp_path):
     pts = tmp_path / "pts.csv"
     pts.write_text("lon,lat\n73.0,35.0\n74.5,36.0\n75.5,34.5\n")
