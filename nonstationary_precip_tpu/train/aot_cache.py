@@ -33,7 +33,18 @@ import jax
 
 def aot_dir() -> Optional[Path]:
     d = os.environ.get("NSGP_AOT_DIR")
-    return Path(d) if d else None
+    if not d:
+        return None
+    # Executable pinning exists to bypass the axon compile service; on the
+    # CPU backend compiles are cheap AND XLA:CPU cross-process
+    # deserialization is unreliable (the serializer records machine
+    # features like +prefer-no-scatter the loading host rejects, then
+    # execution dies with "Buffer Definition Event ... not found" —
+    # observed 2026-08-17 when a leaked NSGP_AOT_DIR let CPU tests pin).
+    # NSGP_AOT_CPU_OK=1 re-enables for tests of the pin mechanics.
+    if jax.default_backend() == "cpu" and not os.environ.get("NSGP_AOT_CPU_OK"):
+        return None
+    return Path(d)
 
 
 def _fingerprint(lowered) -> str:

@@ -18,13 +18,6 @@ try:
 except Exception:
     pass
 
-# Pin each benchmark's compiled fit executable to disk (train/aot_cache.py):
-# warm suite runs deserialize instead of calling the axon compile service,
-# whose latency is pathologically variable for some programs (the seard
-# row fresh-compiled in 8.8-881 s across processes).  Opt out with
-# NSGP_AOT_DIR="".
-os.environ.setdefault("NSGP_AOT_DIR", str(Path(__file__).parent / "exports" / "aot"))
-
 RESULTS = Path("RESULTS.json")
 
 # Known-good bands from the round-1 full TPU runs (RESULTS.json, v5e).
@@ -137,6 +130,18 @@ def main():
         sys.exit(1 if failures else 0)
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
+
+    # Pin each benchmark's compiled fit executable to disk
+    # (train/aot_cache.py): warm suite runs deserialize instead of calling
+    # the axon compile service, whose latency is pathologically variable
+    # (the seard row fresh-compiled in 8.8-881 s across processes).  Opt
+    # out with NSGP_AOT_DIR="".  Set in main(), NOT at import — importing
+    # this module (tests use check_drift) must not mutate the environment
+    # (a leaked NSGP_AOT_DIR once let CPU tests write unreliable XLA:CPU
+    # pins into exports/aot).
+    os.environ.setdefault(
+        "NSGP_AOT_DIR", str(Path(__file__).parent / "exports" / "aot")
+    )
 
     # wait out transient backend outages (UNAVAILABLE init / hung init)
     # before any device use — see utils/backend.py

@@ -56,6 +56,7 @@ def test_fit_aot_cache_pins_and_reloads(tmp_path, monkeypatch):
     """aot_key + NSGP_AOT_DIR pins the compiled chunk executable to disk;
     a second fit loads the pin and produces identical trajectories."""
     monkeypatch.setenv("NSGP_AOT_DIR", str(tmp_path))
+    monkeypatch.setenv("NSGP_AOT_CPU_OK", "1")  # pin mechanics under test
     model = {"w": jnp.zeros(2)}
     target = jnp.asarray([1.0, -1.0])
     res1 = fit(model, _quad_loss, target, lr=0.1, num_steps=40, chunk=20,
@@ -77,6 +78,7 @@ def test_fit_aot_cache_corrupt_pin_falls_back(tmp_path, monkeypatch):
     """A corrupted/stale pin must fall back to a fresh compile (and
     overwrite the pin), never crash or return wrong results."""
     monkeypatch.setenv("NSGP_AOT_DIR", str(tmp_path))
+    monkeypatch.setenv("NSGP_AOT_CPU_OK", "1")  # pin mechanics under test
     model = {"w": jnp.zeros(2)}
     target = jnp.asarray([1.0, -1.0])
     res1 = fit(model, _quad_loss, target, lr=0.1, num_steps=20, aot_key="q2")
