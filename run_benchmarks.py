@@ -12,12 +12,6 @@ from pathlib import Path
 
 import jax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
-
 RESULTS = Path("RESULTS.json")
 
 # Known-good bands from the round-1 full TPU runs (RESULTS.json, v5e).
@@ -130,6 +124,16 @@ def main():
         sys.exit(1 if failures else 0)
 
     only = sys.argv[1:] if len(sys.argv) > 1 else None
+
+    # benchmark-suite process config lives in main(), NOT at import:
+    # tests import this module for check_drift, and import-time config
+    # switches leaked into the rest of the test session (cache-dir mixing,
+    # and the NSGP_AOT_DIR leak that let CPU tests write unreliable pins)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     # Pin each benchmark's compiled fit executable to disk
     # (train/aot_cache.py): warm suite runs deserialize instead of calling

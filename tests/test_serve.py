@@ -132,24 +132,14 @@ def test_run_benchmarks_pathology_autoretry(monkeypatch, tmp_path):
     """A row whose wallclock trips the 4x-calm flag is rerun once and the
     faster wallclock recorded; fast rows run exactly once."""
     import json
-    import os
     import sys
     import time
 
-    import jax
-
     sys.path.insert(0, str(serve.Path(__file__).parent.parent))
-    # the module's import-time config (bench compile cache, AOT pin dir)
-    # must not leak into the rest of the test session
-    cache_before = jax.config.jax_compilation_cache_dir
-    aot_before = os.environ.get("NSGP_AOT_DIR")
+    # importing run_benchmarks is side-effect-free by design (its process
+    # config happens in main(); a past import-time NSGP_AOT_DIR leak let
+    # CPU tests write unreliable XLA:CPU pins)
     import run_benchmarks as rb
-
-    jax.config.update("jax_compilation_cache_dir", cache_before)
-    if aot_before is None:
-        os.environ.pop("NSGP_AOT_DIR", None)
-    else:
-        os.environ["NSGP_AOT_DIR"] = aot_before
 
     monkeypatch.setattr(rb, "RESULTS", tmp_path / "r.json")
     monkeypatch.setitem(
