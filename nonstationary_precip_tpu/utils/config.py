@@ -31,7 +31,10 @@ EPSILON = 1e-5
 BASE_SEED = 173
 
 BASE_PATH = Path(__file__).parent.parent.parent
-RESULTS_DIR = BASE_PATH / "results"
+#: Where experiment drivers write artifacts (CSV fields, figures).
+#: Override with NSGP_RESULTS_DIR for smoke/verify runs so tiny-budget
+#: drives don't clobber the shipped full-budget artifacts in results/.
+RESULTS_DIR = Path(os.environ.get("NSGP_RESULTS_DIR", BASE_PATH / "results"))
 DATASET_DIR = BASE_PATH / "data"
 
 
