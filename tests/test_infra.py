@@ -461,3 +461,20 @@ def test_wait_for_backend_gives_up(monkeypatch):
     monkeypatch.setattr(backend.time, "sleep", lambda s: None)
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         backend.wait_for_backend(max_wait_s=0.0)
+
+
+def test_results_dir_env_override(monkeypatch, tmp_path):
+    """NSGP_RESULTS_DIR redirects artifact output so tiny-budget smoke
+    runs can't clobber the shipped full-budget results/ artifacts."""
+    import importlib
+
+    from nonstationary_precip_tpu.utils import config as cfg
+
+    monkeypatch.setenv("NSGP_RESULTS_DIR", str(tmp_path / "alt"))
+    try:
+        importlib.reload(cfg)
+        assert cfg.RESULTS_DIR == tmp_path / "alt"
+    finally:
+        monkeypatch.delenv("NSGP_RESULTS_DIR")
+        importlib.reload(cfg)
+    assert cfg.RESULTS_DIR.name == "results"
