@@ -108,6 +108,21 @@ def bench_jax() -> float:
     per_step = (min(t2s) - min(t1s)) / STEPS
     if per_step <= 0:
         per_step = (sorted(t2s)[4] - sorted(t1s)[4]) / STEPS
+    if per_step <= 0:
+        # both calm and median estimates crossed — the session is too
+        # unstable for differential timing to mean anything.  Report the
+        # amortised long-program rate (dispatch included, so a strict
+        # LOWER bound on steps/s) instead of a negative/inf headline.
+        import sys
+
+        per_step = min(t2s) / (2 * STEPS)
+        print(
+            "bench: differential estimates crossed (pathological service "
+            "window) — reporting amortised lower bound; rerun in a calm "
+            "session",
+            file=sys.stderr,
+            flush=True,
+        )
     return 1.0 / per_step
 
 

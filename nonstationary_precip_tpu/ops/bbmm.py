@@ -182,15 +182,23 @@ def lanczos_logdet(
     tri = lanczos_tridiag(alphas, betas)
     evals, evecs = jnp.linalg.eigh(tri)
     w = evecs[:, 0, :] ** 2  # (R, T): first-row weights
-    loge = jnp.log(jnp.maximum(evals, 1e-30))
-    quad = jnp.sum(w * loge, axis=-1)  # (R,)
-    est = jnp.mean(probe_sqnorms * quad)
     # Ritz values of the (preconditioned) SPD operator are strictly
     # positive; padded iterations contribute exactly 1 (decoupled identity
-    # block).  A non-positive eigenvalue therefore means CG breakdown or an
-    # indefinite kmat — NaN-poison instead of silently folding log(1e-30)
-    # into the MLL, so nan_guard / callers can detect estimator failure.
-    return jnp.where(jnp.any(evals <= 0.0), jnp.nan, est)
+    # block).  But eigh's backward error is ~eps·‖T‖, so a genuinely
+    # positive tiny Ritz value of an ill-conditioned operator (e.g.
+    # trained-down sigma2 ~ 1e-6 with no preconditioner) can round
+    # slightly negative.  Tolerate that band — floor the log at the
+    # rounding scale rather than 1e-30, which would fold log(1e-30) ≈ -69
+    # into the MLL — and NaN-poison only beyond it, where the cause is a
+    # CG breakdown or an indefinite kmat, so nan_guard / callers can
+    # detect estimator failure without false positives on valid fits.
+    tol = 8.0 * jnp.finfo(evals.dtype).eps * jnp.max(
+        jnp.abs(evals), axis=-1, keepdims=True
+    )
+    loge = jnp.log(jnp.maximum(evals, jnp.maximum(tol, 1e-30)))
+    quad = jnp.sum(w * loge, axis=-1)  # (R,)
+    est = jnp.mean(probe_sqnorms * quad)
+    return jnp.where(jnp.any(evals <= -tol), jnp.nan, est)
 
 
 def pivoted_cholesky(k: jnp.ndarray, rank: int, jitter: float = 1e-8):

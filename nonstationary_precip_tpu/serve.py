@@ -45,7 +45,7 @@ from pathlib import Path
 import numpy as np
 
 from nonstationary_precip_tpu.train.config import ExperimentConfig
-from nonstationary_precip_tpu.utils.config import BASE_SEED, DATASET_DIR
+from nonstationary_precip_tpu.utils.config import DATASET_DIR
 
 MODELS = (
     "seard",
@@ -73,7 +73,14 @@ class ServeConfig(ExperimentConfig):
 
 
 def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
-    """Create an unfitted model + its loss/trainability for ``fit``."""
+    """Create an unfitted model for ``fit``.
+
+    Returns ``(model, loss_fn, mask, extra_args)`` where ``extra_args``
+    are hoisted loop-invariant tensors passed to ``fit`` after
+    ``(train_x, train_y)`` (the frozen-prior Gram algebra for the exact
+    Gibbs family — its mask always freezes ``prior/``, so the D N×N
+    factorizations are loop-invariant and must not re-run inside the
+    training scan)."""
     import math
 
     from nonstationary_precip_tpu.kernels import RBF, Scale
@@ -89,7 +96,7 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
     d = train_x.shape[-1]
     if name == "seard":
         model = ExactGP.create(Scale.create(RBF.create(d)), mean_type="constant")
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), None, ()
     if name in ("mv_gibbs", "mv_gibbs_sparse"):
         from nonstationary_precip_tpu.models import (
             MultivariateGibbsGP,
@@ -104,7 +111,7 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
             z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
             model = SparseMultivariateGibbsGP.create(key, z, noise=cfg.noise)
         # h_prior hypers and the anchor sites are frozen by design
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable(), ()
     # latent lengthscale prior: over all d input dims for the spatial Gibbs
     # models, over the 2 spatial dims for the ST sum-kernel model (its
     # Gibbs term is spatial-only, spatio_temporal_exp.py:111-121)
@@ -115,24 +122,37 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
         lengthscale=cfg.prior_ell,
     )
     if name == "gibbs_exact":
+        import jax
+
         model = GibbsExactGP.create(train_x, prior, noise=cfg.noise, outputscale=cfg.scale)
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+        # frozen-prior (K⁻¹, logdet) hoist, one jitted program — the same
+        # loop-invariant the reference experiments exploit implicitly by
+        # never re-sampling the prior (experiments/spatial_gibbs.py)
+        pre = jax.jit(prior.gram_pre)(train_x)
+        return (
+            model,
+            (lambda m, xx, yy, pc: m.loss(xx, yy, pc)),
+            model.trainable(),
+            (pre,),
+        )
     if name == "gibbs_sparse":
         z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
         model = GibbsSparseGP.create(z, prior, noise=cfg.noise, outputscale=cfg.scale)
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+        # z trains (the latent field lives at z), so the prior Grams move
+        # with it — no hoist possible for the sparse family
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable(), ()
     if name == "deepgp":
         model = DeepGP.create(
             key, input_dims=d, num_layers=cfg.num_layers, num_inducing=cfg.num_inducing
         )
-        return model, None, None  # trained via fit_minibatched
+        return model, None, None, ()  # trained via fit_minibatched
     if name == "st_stationary":
         from nonstationary_precip_tpu.models import SpatioTemporalStationary
 
         if d != 3:
             raise SystemExit("st_stationary expects 3 input columns (time, lon, lat)")
         model = SpatioTemporalStationary.create()
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), None
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), None, ()
     if name == "st_nonstationary":
         from nonstationary_precip_tpu.models import SparseSpatioTemporalNonstationary
 
@@ -140,11 +160,11 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
             raise SystemExit("st_nonstationary expects 3 input columns (time, lon, lat)")
         z = kmeans_inducing_points(key, train_x, cfg.num_inducing)
         model = SparseSpatioTemporalNonstationary.create(z, prior)
-        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable()
+        return model, (lambda m, xx, yy: m.loss(xx, yy)), model.trainable(), ()
     raise SystemExit(f"unknown --model {name!r}; choose from {MODELS}")
 
 
-def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, key):
+def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, key, extra=()):
     from nonstationary_precip_tpu.train import fit
     from nonstationary_precip_tpu.train.optim import fit_minibatched
 
@@ -175,6 +195,7 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
         loss_fn,
         train_x,
         train_y,
+        *extra,
         lr=lr,
         num_steps=cfg.max_iters,
         mask=mask,
@@ -183,12 +204,19 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
     ).model
 
 
-def _predict(name: str, model, train_x, train_y, pts, key):
-    """Jitted predictive marginals (mean, var) at ``pts``."""
+def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096):
+    """Jitted predictive marginals (mean, var) at ``pts``.
+
+    The GP families' ``predictive`` materialises the dense N*×N* joint
+    covariance just to read its diagonal, so large ``--points_csv`` grids
+    are served in fixed-size query chunks: O(chunk²) device memory per
+    program instead of O(N*²), and every chunk (tail padded) reuses ONE
+    compiled program — k dispatches, one compile."""
     import jax
     import jax.numpy as jnp
 
     if name == "deepgp":
+        # sample propagation is O(S·N*·D) — no joint covariance to chunk
         return jax.jit(lambda m, p: (lambda mix: (mix.mean, mix.var))(
             m.predict(key, p, num_samples=10)[0]
         ))(model, pts)
@@ -199,7 +227,16 @@ def _predict(name: str, model, train_x, train_y, pts, key):
         # floor the f32 Woodbury cancellation at that physical bound
         return d.mean, jnp.maximum(d.var, m.likelihood.noise)
 
-    return jax.jit(marginals)(model, pts)
+    fn = jax.jit(marginals)
+    n = pts.shape[0]
+    if n <= chunk:
+        return fn(model, pts)
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    if pad:
+        pts = jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
+    means, vars_ = zip(*(fn(model, pts[i * chunk:(i + 1) * chunk]) for i in range(k)))
+    return jnp.concatenate(means)[:n], jnp.concatenate(vars_)[:n]
 
 
 def main(argv=None):
@@ -227,20 +264,19 @@ def main(argv=None):
 
     import jax
 
-    key = jax.random.PRNGKey(cfg.seed if cfg.seed else BASE_SEED)
+    key = jax.random.PRNGKey(cfg.seed)
     k_init, k_fit, k_pred = jax.random.split(key, 3)
 
-    model, loss_fn, mask = _build(cfg.model, train_x, train_y, cfg, k_init)
+    model, loss_fn, mask, extra = _build(cfg.model, train_x, train_y, cfg, k_init)
+    fitted = False
     if cfg.checkpoint:
         model = restore_pytree(cfg.checkpoint, model)
         print(f"restored {cfg.model} checkpoint from {cfg.checkpoint}")
     else:
         t0 = time.time()
-        model = _fit(cfg.model, model, loss_fn, mask, train_x, train_y, cfg, k_fit)
+        model = _fit(cfg.model, model, loss_fn, mask, train_x, train_y, cfg, k_fit, extra)
         print(f"fitted {cfg.model} in {time.time() - t0:.1f}s")
-        if cfg.save_checkpoint:
-            save_pytree(cfg.save_checkpoint, model)
-            print(f"saved checkpoint to {cfg.save_checkpoint}")
+        fitted = True
 
     # query points: raw input coordinates → the training whitening frame
     if cfg.points_csv:
@@ -260,6 +296,12 @@ def main(argv=None):
             "non-finite-loss warning when so) — lower --lr or --max_iters, "
             "or serve from a known-good --checkpoint"
         )
+    # only persist a checkpoint that passed the finite-prediction gate —
+    # a diverged fit must never leave a NaN checkpoint behind for a later
+    # --checkpoint run to trip over
+    if fitted and cfg.save_checkpoint:
+        save_pytree(cfg.save_checkpoint, model)
+        print(f"saved checkpoint to {cfg.save_checkpoint}")
 
     if cfg.output and cfg.output != "/dev/null":
         out = Path(cfg.output)

@@ -104,9 +104,18 @@ def run(name, fn, argv):
                 f"~{calm}s — service pathology suspected, retrying once",
                 flush=True,
             )
-            t0 = time.time()
-            r, n = fn(argv)
-            seconds = min(seconds, time.time() - t0)
+            # the retry must not be able to lose the first run's valid
+            # metrics: if the service degrades into a full outage between
+            # the runs, fall back to recording what we already measured
+            try:
+                t0 = time.time()
+                r, n = fn(argv)
+                seconds = min(seconds, time.time() - t0)
+            except Exception as e:
+                print(
+                    f"[{name}] retry failed ({e!r}); keeping first run",
+                    flush=True,
+                )
         record(name, r, n, seconds)
     except Exception as e:  # keep going; record the failure
         data = json.loads(RESULTS.read_text()) if RESULTS.exists() else {}

@@ -213,12 +213,13 @@ def test_softplus_transform_roundtrip():
 
 
 def test_paciorek_schervish_large_h_stays_finite(rng):
-    import jax
     """f32 cancellation regression: at |h| ~ 40 the closed-form dets round
     to large NEGATIVE values without the Minkowski clamps, NaN-ing the
     Gram (observed training the sparse MV model on the UIB field).  The
     clamped Gram must stay finite with prefactor ≤ 1, and its gradient
     w.r.t. h must stay finite too."""
+    import jax
+
     n = 8
     x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
     h_big = jnp.asarray(40.0 * rng.normal(size=(n, 2)), jnp.float32)

@@ -161,3 +161,80 @@ def test_run_benchmarks_pathology_autoretry(monkeypatch, tmp_path):
     calls["n"] = 10  # any call is now fast
     rb.run("fake_row", slow_then_fast, [])
     assert calls["n"] == 11  # no retry
+
+
+def test_serve_diverged_fit_never_saves_checkpoint(tmp_path, monkeypatch):
+    """The finite-prediction gate must also protect --save_checkpoint: a
+    diverged fit that exits nonzero may not leave a NaN checkpoint behind
+    for a later --checkpoint run to restore."""
+
+    def nan_predict(name, model, train_x, train_y, pts, key, chunk=4096):
+        import jax.numpy as jnp
+
+        n = pts.shape[0]
+        return jnp.full((n,), jnp.nan), jnp.ones((n,))
+
+    monkeypatch.setattr(serve, "_predict", nan_predict)
+    ckpt = tmp_path / "ckpt" / "seard"
+    with pytest.raises(SystemExit, match="non-finite"):
+        serve.main(
+            _args(
+                tmp_path,
+                "seard",
+                ["--max_iters", "2", "--save_checkpoint", str(ckpt)],
+            )
+        )
+    assert not ckpt.exists() and not ckpt.with_suffix(".npz").exists()
+
+
+def test_serve_chunked_predict_matches_unchunked():
+    """Large query grids are served in fixed-size chunks (bounding device
+    memory at O(chunk²) instead of the full N*×N* joint covariance); the
+    chunked marginals must match the single-program ones."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models import ExactGP
+
+    rng = np.random.default_rng(0)
+    tx = jnp.asarray(rng.normal(size=(40, 2)), jnp.float32)
+    ty = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
+    pts = jnp.asarray(rng.normal(size=(53, 2)), jnp.float32)  # 53 = 3×16+5 (ragged tail)
+    model = ExactGP.create(Scale.create(RBF.create(2)), mean_type="constant")
+
+    m_full, v_full = serve._predict("seard", model, tx, ty, pts, None, chunk=4096)
+    m_chunk, v_chunk = serve._predict("seard", model, tx, ty, pts, None, chunk=16)
+    np.testing.assert_allclose(np.asarray(m_chunk), np.asarray(m_full), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v_chunk), np.asarray(v_full), rtol=2e-5, atol=2e-6)
+
+
+def test_run_benchmarks_retry_failure_keeps_first_run(monkeypatch, tmp_path):
+    """If the pathology retry itself raises (e.g. the service degrades
+    into a full outage between the runs), the first run's valid metrics
+    must be recorded, not discarded as a row failure."""
+    import json
+    import sys
+    import time
+
+    sys.path.insert(0, str(serve.Path(__file__).parent.parent))
+    import run_benchmarks as rb
+
+    monkeypatch.setattr(rb, "RESULTS", tmp_path / "r.json")
+    monkeypatch.setitem(
+        rb.EXPECTED_BANDS, "fake_row", {"rmse": 1.0, "nlpd": 1.0, "calm_s": 0.02}
+    )
+    calls = {"n": 0}
+
+    def slow_then_raise(argv):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(0.2)  # trips the 4x-calm pathology flag
+            return 0.5, 0.5
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    rb.run("fake_row", slow_then_raise, [])
+    assert calls["n"] == 2
+    entry = json.loads((tmp_path / "r.json").read_text())["fake_row"]
+    assert entry["rmse"] == 0.5 and "error" not in entry
+    assert "wallclock_note" in entry  # still flagged as pathological
