@@ -201,6 +201,10 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
         mask=mask,
         log_every=cfg.log_interval * 10,
         aot_key=f"serve-{name}",
+        # serving must not hand back a NaN model because the caller's lr
+        # was a notch too hot for their data: retry from the last finite
+        # chunk at half lr (twice) before giving up
+        lr_backoff=2,
     ).model
 
 

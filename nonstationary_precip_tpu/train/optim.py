@@ -78,6 +78,7 @@ def fit(
     nan_guard: bool = True,
     has_aux: bool = False,
     aot_key: Optional[str] = None,
+    lr_backoff: int = 0,
 ) -> TrainResult:
     """Adam-optimise ``model`` under loss_fn(model, *args).
 
@@ -102,17 +103,37 @@ def fit(
     ``$NSGP_AOT_DIR/<aot_key>-s<chunk>-*.jaxexec`` (train/aot_cache.py) —
     bypasses the axon compile service on every warm run; a no-op when
     NSGP_AOT_DIR is unset.
+    lr_backoff: self-healing divergence recovery — when the nan_guard
+    trips and backoff budget remains, restore the chunk-start snapshot,
+    HALVE the learning rate, and retry the chunk (at most ``lr_backoff``
+    times total).  The lr lives in the optimizer state
+    (optax.inject_hyperparams), so a halving is a state edit, not a
+    recompile — critical on axon where fresh compiles cost 3–20 min.
+    Motivated by the measured f32 stability edges (CLAUDE.md: sparse-
+    gibbs/ST-nonstat CPU trajectories can diverge where TPU's don't; the
+    MV Gibbs family NaNs at the generic Adam default).  Off by default:
+    the happy path keeps plain optax.adam so benchmark-pinned program
+    identities are untouched.
     """
-    optimizer = optax.adam(lr)
+    if lr_backoff:
+        optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    else:
+        optimizer = optax.adam(lr)
     opt_state = optimizer.init(model)
 
     if not chunk:
-        chunk = min(num_steps, 500) if threshold is not None else num_steps
+        chunk = (
+            min(num_steps, 500)
+            if (threshold is not None or lr_backoff)
+            else num_steps
+        )
     use_aot = aot_key is not None and os.environ.get("NSGP_AOT_DIR")
     aot_programs: dict = {}
     losses_all = []
     steps_done = 0
     prev_last = None  # last step of the previous chunk, for cross-chunk |Δ|
+    backoffs_left = lr_backoff
+    snapshot = (model, opt_state)  # chunk-start state (held on device)
     while steps_done < num_steps:
         n = min(chunk, num_steps - steps_done)
         if use_aot:
@@ -129,15 +150,32 @@ def fit(
                 model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args
             )
         losses = np.asarray(jax.device_get(losses))
+        if nan_guard and not np.all(np.isfinite(losses[-1])):
+            if backoffs_left > 0:
+                backoffs_left -= 1
+                model, opt_state = snapshot
+                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
+                opt_state = opt_state._replace(
+                    hyperparams={**opt_state.hyperparams, "learning_rate": new_lr}
+                )
+                prev_last = None
+                print(
+                    f"fit: non-finite loss in steps {steps_done}..{steps_done + n}; "
+                    f"restored step-{steps_done} state, lr -> {new_lr:g} "
+                    f"({backoffs_left} backoffs left)"
+                )
+                continue
+            losses_all.append(losses)
+            steps_done += n
+            print(f"fit: non-finite loss at step {steps_done}; stopping")
+            break
         losses_all.append(losses)
         steps_done += n
+        snapshot = (model, opt_state)
         if log_every and (steps_done % max(log_every, 1) == 0 or steps_done == num_steps):
             print(f"step {steps_done}/{num_steps}  loss {float(np.sum(losses[-1])):.4f}")
         if callback is not None:
             callback(steps_done, model, losses)
-        if nan_guard and not np.all(np.isfinite(losses[-1])):
-            print(f"fit: non-finite loss at step {steps_done}; stopping")
-            break
         if threshold is not None:
             seq = losses if prev_last is None else np.concatenate(
                 [prev_last[None], losses], axis=0

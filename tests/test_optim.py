@@ -352,3 +352,43 @@ def test_fit_minibatched_warns_on_nonfinite(capsys):
         num_epochs=2, batch_size=8, lr=0.1,
     )
     assert "NON-FINITE" in capsys.readouterr().out
+
+
+def test_fit_lr_backoff_recovers_from_divergence():
+    """lr_backoff: a chunk that NaNs is retried from its start snapshot
+    at half the lr (the lr lives in optimizer state via
+    inject_hyperparams, so a halving never recompiles); the fit then
+    converges where the no-backoff run aborts."""
+    model = {"w": jnp.ones(1)}
+
+    def cliffed(m, _):
+        # minimum at w = 0.5; NaN cliff at w < -0.05: Adam at lr 2.0
+        # overshoots straight off the cliff, at lr 1.0 it converges
+        # (probed: lr 1.0 reaches loss 3e-4, lr 2.0 NaNs in chunk 1)
+        w = m["w"][0]
+        return (w - 0.5) ** 2 + 0.0 * jnp.sqrt(w + 0.05)
+
+    control = fit(model, cliffed, jnp.zeros(1), lr=2.0, num_steps=60, chunk=6)
+    assert not np.isfinite(np.asarray(control.losses)[-1])  # guard aborts
+
+    res = fit(
+        model, cliffed, jnp.zeros(1), lr=2.0, num_steps=60, chunk=6, lr_backoff=3
+    )
+    losses = np.asarray(res.losses)
+    assert np.isfinite(losses).all()  # retried chunks never enter the trace
+    assert res.steps == 60
+    assert abs(float(res.model["w"][0]) - 0.5) < 0.1
+
+
+def test_fit_lr_backoff_budget_exhausts_to_nan_guard():
+    """When every halving still diverges, the guard must still stop the
+    fit (no infinite retry loop), exactly like lr_backoff=0."""
+    model = {"w": jnp.ones(1)}
+
+    def always_nan(m, _):
+        return jnp.sqrt(-jnp.abs(m["w"][0]))  # NaN from step 0
+
+    res = fit(
+        model, always_nan, jnp.zeros(1), lr=0.1, num_steps=40, chunk=4, lr_backoff=2
+    )
+    assert res.steps == 4  # one recorded (failed) chunk, then stop
