@@ -134,9 +134,10 @@ class MultivariateGibbsKernel:
         return paciorek_schervish_gram_2d(xs1, sig1, self._slice(x2), sig2)
 
     def diag(self, x, h, d_mat):
-        """k(x, x) = |Σ|^½ |Σ|^{-½} exp(0) = 1 up to the inversion jitter."""
-        a, b, c = sigma_components_2d(h, d_mat)
-        det = a * c - b * b
-        det_j = (a + _JITTER) * (c + _JITTER) - b * b
-        del det_j  # jitter affects only the quad term, which is 0 on the diagonal
-        return (det**0.25) ** 2 / jnp.sqrt(det)
+        """k(x, x) = |Σ|^½ |Σ|^{-½} exp(0) = 1 exactly.
+
+        Returned as the analytic constant rather than (det^¼)²/√det: at
+        |h| ≈ 37 (the measured UIB regime) the f32 det cancellation rounds
+        to 0 and that quotient is 0/0 = NaN while the Gram diagonal — with
+        the _DET_FLOOR clamps — stays exactly 1."""
+        return jnp.ones(h.shape[:-1], dtype=h.dtype)

@@ -228,21 +228,10 @@ class SVGPLayer:
         s2 = positive(self.raw_outputscale)
         if pre is None:
             pre = self.precompute()
+        # both precompute paths (fused Pallas and the XLA fallback) carry a
+        # real L⁻ᵀ in pre[1] — pallas_svgp.svgp_precompute_fused returns
+        # (l, w, linv) unconditionally
         linv_t = pre[1]
-        if linv_t is None:
-            # fused precompute carries only (L, W); the full-covariance
-            # path is the one consumer of the explicit inverse
-            l_zz = pre[0]
-            eye_b = jnp.broadcast_to(
-                jnp.eye(l_zz.shape[-1], dtype=l_zz.dtype), l_zz.shape
-            )
-            linv_t = jnp.swapaxes(
-                jax.lax.linalg.triangular_solve(
-                    l_zz, eye_b, left_side=True, lower=True
-                ),
-                -1,
-                -2,
-            )
 
         def one(z_o, m_o, s_o, ell_o, s2_o, li_o):
             xs = x / ell_o
@@ -313,7 +302,7 @@ def precompute_layers(layers):
         out.append(
             (
                 l_all[off : off + o],
-                None if linv_t_all is None else linv_t_all[off : off + o],
+                linv_t_all[off : off + o],
                 w_all[off : off + o],
             )
         )

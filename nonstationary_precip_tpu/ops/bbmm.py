@@ -42,7 +42,7 @@ class CGResult(NamedTuple):
     x: jnp.ndarray        # (N, R) solutions
     alphas: jnp.ndarray   # (T, R) CG step sizes (0 where converged/invalid)
     betas: jnp.ndarray    # (T, R) CG direction updates
-    residnorm: jnp.ndarray  # (R,) final residual norms
+    residnorm: jnp.ndarray  # (R,) final RELATIVE residual norms (/ ||b||)
     iters: jnp.ndarray    # (R,) iterations to convergence (= T if never)
     broke: jnp.ndarray    # (R,) True where CG hit pᵀKp ≤ 0 before converging
 
@@ -170,7 +170,7 @@ def lanczos_tridiag(alphas: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:
 
 
 def lanczos_logdet(
-    alphas: jnp.ndarray, betas: jnp.ndarray, probe_sqnorms: jnp.ndarray, n: int
+    alphas: jnp.ndarray, betas: jnp.ndarray, probe_sqnorms: jnp.ndarray
 ) -> jnp.ndarray:
     """Stochastic Lanczos quadrature logdet estimate from mBCG coefficients.
 
@@ -331,7 +331,7 @@ def _cg_mll_fwd(kmat, y, key, sigma2, num_probes, max_iters, tol, precond_rank):
     alpha = res.x[:, 0]             # K⁻¹ y
     probe_solves = res.x[:, 1:]     # K⁻¹ zᵢ
     logdet = logdet_p + lanczos_logdet(
-        res.alphas[:, 1:], res.betas[:, 1:], probe_w, n
+        res.alphas[:, 1:], res.betas[:, 1:], probe_w
     )
     mll = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
     # CG breakdown on any column (kmat not SPD under the preconditioner)

@@ -121,12 +121,21 @@ def _safe_chol_fwd_impl(mat, jitter, max_tries):
         )
 
     def body(state):
-        i, j, _ = state
-        j_next = jnp.where(i == 0, base, j * 10.0)
-        return i + 1, j_next, jnp.linalg.cholesky(mat + j_next * eye)
+        # PER-MEMBER escalation (GPyTorch's psd_safe_cholesky jitters only
+        # the failing batch entries): members whose factor is already
+        # finite keep their current jitter — 0 for never-failed ones, so
+        # the recompute reproduces their factor BIT-EXACTLY (same op, same
+        # input) — while failing members escalate ×10.  One bad member in
+        # a stacked batch (e.g. the lockstep 10-split trainers) therefore
+        # cannot perturb the other nine's trajectories.
+        i, j, chol = state
+        finite = jnp.all(jnp.isfinite(chol), axis=(-1, -2))
+        j_next = jnp.where(finite, j, jnp.where(j == 0, base, j * 10.0))
+        chol = jnp.linalg.cholesky(mat + j_next[..., None, None] * eye)
+        return i + 1, j_next, chol
 
-    zero = jnp.asarray(0.0, dtype=mat.dtype)
-    _, _, chol = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zero, chol0))
+    zeros = jnp.zeros(mat.shape[:-2], dtype=mat.dtype)
+    _, _, chol = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zeros, chol0))
     return chol
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nonstationary_precip_tpu.kernels.stationary import _sq_dist as sq_dist
 from nonstationary_precip_tpu.ops.linalg import mvn_logpdf_from_chol, safe_cholesky
 from nonstationary_precip_tpu.utils.struct import pytree_dataclass
 
@@ -27,9 +28,7 @@ class LatentGpPrior:
     def create(cls, x: jnp.ndarray, sig_f: float, ls) -> "LatentGpPrior":
         ell = jnp.asarray(ls, dtype=x.dtype)
         a = x / ell
-        a_sq = jnp.sum(a * a, axis=-1)
-        d2 = jnp.maximum(a_sq[:, None] + a_sq[None, :] - 2.0 * a @ a.T, 0.0)
-        cov = sig_f * jnp.exp(-0.5 * d2) + _JITTER * jnp.eye(x.shape[0], dtype=x.dtype)
+        cov = sig_f * jnp.exp(-0.5 * sq_dist(a, a)) + _JITTER * jnp.eye(x.shape[0], dtype=x.dtype)
         return cls(x=x, cov=cov)
 
     def log_prob(self, values: jnp.ndarray) -> jnp.ndarray:

@@ -24,11 +24,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from nonstationary_precip_tpu.kernels.stationary import _sq_dist as sq_dist
 from nonstationary_precip_tpu.ops.linalg import (
     add_jitter,
+    cho_solve,
     mvn_logpdf_from_chol,
     safe_cholesky,
-    solve_psd,
 )
 from nonstationary_precip_tpu.utils.struct import pytree_dataclass
 from nonstationary_precip_tpu.utils.transforms import positive, raw_init
@@ -95,12 +96,7 @@ class LogNormalProcess:
         s2 = positive(self.raw_outputscale)  # (D,)
 
         def one(ell_d, s2_d):
-            a = x1 / ell_d
-            b = x2 / ell_d
-            a_sq = jnp.sum(a * a, axis=-1)[:, None]
-            b_sq = jnp.sum(b * b, axis=-1)[None, :]
-            d2 = jnp.maximum(a_sq + b_sq - 2.0 * a @ b.T, 0.0)
-            return s2_d * jnp.exp(-0.5 * d2)
+            return s2_d * jnp.exp(-0.5 * sq_dist(x1 / ell_d, x2 / ell_d))
 
         return jax.vmap(one)(ell, s2)
 
@@ -132,7 +128,12 @@ class LogNormalProcess:
         k_xg = self._gram(x, xg)  # (D, N, Ng)
         k_gg = add_jitter(self._gram(xg), _COND_JITTER)  # (D, Ng, Ng)
         resid = jnp.log(ell_g).T - self.mean(xg).T  # (D, Ng)
-        alpha = solve_psd(k_gg, resid)  # (D, Ng)
+        # safe_cholesky, not plain solve_psd: training survives an
+        # ill-conditioned k_gg via the escalating-jitter retry, so the
+        # predict path must too (a plain f32 Cholesky NaN here would turn
+        # a trained model's whole lengthscale field — and every posterior
+        # built on it — silently non-finite)
+        alpha = cho_solve(safe_cholesky(k_gg), resid)  # (D, Ng)
         mu = self.mean(x).T + jnp.einsum("dng,dg->dn", k_xg, alpha)  # (D, N)
         return jnp.exp(mu).T
 

@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from nonstationary_precip_tpu.kernels.stationary import _sq_dist as sq_dist
 from nonstationary_precip_tpu.ops.linalg import cho_solve, safe_cholesky, tri_solve, diag_part
 
 _JITTER = 1e-5  # reference: latent_priors.py:14
@@ -83,11 +84,20 @@ class MatrixNormalPrior:
         n, d = self.n, self.d
         return -0.5 * (quad + d * logdet_u + n * logdet_v + n * d * math.log(2 * math.pi))
 
-    def conditional_mean(self, k_xz: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-        """E[H(x*) | H] = K_*z U⁻¹ H — the Kronecker-collapsed form of
-        ``expectation_conditional_matrix_variate_dist``
-        (multivariate_gibbs_kernel.py:65-75)."""
-        return k_xz @ cho_solve(self._chol_u(), h)
+    def conditional_mean(
+        self, k_xz: jnp.ndarray, h: jnp.ndarray, loc_new: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """E[H(x*) | H] = M* + K_*z U⁻¹ (H − M) — the Kronecker-collapsed
+        form of ``expectation_conditional_matrix_variate_dist``
+        (multivariate_gibbs_kernel.py:65-75).
+
+        ``loc_new`` is the prior mean M* at the query rows; it defaults to
+        zeros, which is exact for the zero-loc priors every current model
+        constructs.  ``self.loc`` (the anchor-row mean M) is subtracted
+        from the conditioning H regardless, so a nonzero-mean prior is no
+        longer silently mis-conditioned."""
+        mu = k_xz @ cho_solve(self._chol_u(), h - self.loc)
+        return mu if loc_new is None else loc_new + mu
 
 
 def latent_rbf_row_cov(x: jnp.ndarray, lengthscale, outputscale: Optional[float] = None):
@@ -95,9 +105,7 @@ def latent_rbf_row_cov(x: jnp.ndarray, lengthscale, outputscale: Optional[float]
     RBF with lengthscale [0.2, 0.2], multivariate_gibbs_kernel.py:46-53)."""
     ell = jnp.asarray(lengthscale, dtype=x.dtype)
     a = x / ell
-    a_sq = jnp.sum(a * a, axis=-1)
-    d2 = jnp.maximum(a_sq[:, None] + a_sq[None, :] - 2.0 * a @ a.T, 0.0)
-    k = jnp.exp(-0.5 * d2)
+    k = jnp.exp(-0.5 * sq_dist(a, a))
     if outputscale is not None:
         k = outputscale * k
     return k

@@ -85,7 +85,7 @@ class TestSLQ:
         probes = jax.random.rademacher(key, (150, 64), dtype=k.dtype)
         res = mbcg(lambda v: k @ v, probes, max_iters=150, tol=1e-10)
         est = lanczos_logdet(
-            res.alphas, res.betas, jnp.sum(probes * probes, axis=0), 150
+            res.alphas, res.betas, jnp.sum(probes * probes, axis=0)
         )
         exact = jnp.linalg.slogdet(k)[1]
         # 64 Rademacher probes on a well-conditioned matrix: few-percent
@@ -109,7 +109,7 @@ class TestSLQ:
         res = mbcg(lambda v: k @ v, probes, max_iters=40, tol=1e-12, precond=minv)
         w = jnp.sum(probes * minv(probes), axis=0)
         est = precond_logdet(lpc, noise, n) + lanczos_logdet(
-            res.alphas, res.betas, w, n
+            res.alphas, res.betas, w
         )
         assert abs(float(est - exact)) < 0.05 * abs(float(exact)) + 1.0
 
@@ -331,7 +331,7 @@ def test_cg_breakdown_surfaces_not_silently_frozen():
     res_ok = mbcg(lambda v: k @ v, probes32, max_iters=120, tol=1e-12)
     assert not bool(jnp.any(res_ok.broke))
     val_ok = lanczos_logdet(
-        res_ok.alphas, res_ok.betas, jnp.sum(probes32 * probes32, axis=0), 60
+        res_ok.alphas, res_ok.betas, jnp.sum(probes32 * probes32, axis=0)
     )
     exact = float(jnp.linalg.slogdet(k)[1])
     assert np.isfinite(float(val_ok))

@@ -238,3 +238,23 @@ def test_paciorek_schervish_large_h_stays_finite(rng):
 
     g = jax.grad(lambda h: jnp.sum(gram(h)))(h_big)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multivariate_gibbs_diag_finite_at_large_h(rng):
+    """k.diag must agree with the Gram diagonal (= 1 exactly) in the same
+    |h| ~ 40 det-cancellation regime the Gram clamps handle: the old
+    (det^0.25)^2/sqrt(det) form returned 0/0 = NaN there while the Gram
+    stayed finite, silently NaN-ing any marginal-variance consumer."""
+    from nonstationary_precip_tpu.kernels.multivariate_gibbs import (
+        MultivariateGibbsKernel,
+    )
+
+    n = 8
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    h_big = jnp.asarray(40.0 * rng.normal(size=(n, 2)), jnp.float32)
+    d_mat = jnp.asarray(np.diag(rng.normal(size=2)), jnp.float32)
+    k = MultivariateGibbsKernel()
+    d = np.asarray(k.diag(x, h_big, d_mat))
+    assert d.shape == (n,)
+    np.testing.assert_array_equal(d, 1.0)
+    np.testing.assert_allclose(np.diag(np.asarray(k(x, h_big, d_mat))), d, atol=1e-4)

@@ -141,3 +141,34 @@ def test_diag_part_matches_diagonal_values_and_grads():
     g_ref = jax.grad(f_ref)(a)
     g_new = jax.grad(f_new)(a)
     assert float(jnp.max(jnp.abs(g_ref - g_new))) < 1e-12
+
+
+def test_safe_cholesky_batched_jitters_only_failing_members(rng):
+    """GPyTorch's psd_safe_cholesky semantics at batch rank: a retry
+    triggered by ONE bad member must leave the healthy members' factors
+    BIT-IDENTICAL to factoring them alone (never-failed members carry
+    jitter 0 through every retry), so one ill-conditioned split in a
+    lockstep-stacked batch cannot perturb the other trajectories."""
+    import jax.numpy as jnp
+
+    from nonstationary_precip_tpu.ops.linalg import safe_cholesky
+
+    a = rng.normal(size=(40, 40))
+    gram = a @ a.T
+    good = jnp.asarray(gram + 40 * np.eye(40), jnp.float32)
+    # mildly indefinite (min eig = -2e-3): rescuable within the escalating
+    # 1e-5 * 10^i jitter ladder, but guaranteed to fail the plain factor
+    w_min = np.linalg.eigvalsh(gram).min()
+    bad = jnp.asarray(gram - (w_min + 2e-3) * np.eye(40), jnp.float32)
+
+    stacked = safe_cholesky(jnp.stack([good, bad]))
+    alone = safe_cholesky(good)
+    assert np.isfinite(np.asarray(stacked)).all()
+    np.testing.assert_array_equal(np.asarray(stacked[0]), np.asarray(alone))
+    # the rescued member really is a factor of (bad + j*I) for some j >= 0
+    l1 = np.asarray(stacked[1], np.float64)
+    recon = l1 @ l1.T
+    off = recon - np.asarray(bad, np.float64)
+    j_est = np.diag(off).mean()
+    assert j_est > 0  # it DID take jitter
+    np.testing.assert_allclose(off, j_est * np.eye(40), atol=5e-3 * max(j_est, 1.0))
