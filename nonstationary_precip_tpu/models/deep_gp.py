@@ -245,13 +245,14 @@ class DeepGP:
             jnp.log(2.0 * jnp.pi * noise) + ((y - means) ** 2 + variances) / noise
         )  # (S, B) closed-form expected log-likelihood
         data_term = jnp.mean(jnp.mean(ell, axis=-1), axis=0)
-        kl = self.head.kl()
-        for layer in self._hidden_stack():
-            kl = kl + layer.kl()
         if self.share_hidden:
             # tied layers contribute one KL (one q(u) exists), as in the
             # reference where named_variational_strategies dedupes modules
             kl = self.head.kl() + self.layers[0].kl()
+        else:
+            kl = self.head.kl()
+            for layer in self._hidden_stack():
+                kl = kl + layer.kl()
         return -(data_term - kl / num_data)
 
     # -- prediction ---------------------------------------------------------------

@@ -51,12 +51,20 @@ def make_stationary_st_kernel(dtype=jnp.float32):
     return temporal + spatial
 
 
+@pytree_dataclass(static=("mean_type",))
 class SpatioTemporalStationary(ExactGP):
-    """Exact GP with the stationary separable kernel and zero mean."""
+    """Exact GP with the stationary separable kernel and zero mean.
+
+    Registered as its own pytree node (registration is per-class, not
+    inherited), so instances round-trip through jit/tree ops AS this
+    class rather than decaying to ExactGP."""
 
     @classmethod
     def create(cls, noise: float = None, dtype=jnp.float32):  # type: ignore[override]
-        return ExactGP.create(
+        # super(), not ExactGP: the base classmethod constructs via cls(),
+        # so this round-trips as a SpatioTemporalStationary instance
+        # (isinstance checks, checkpoint-restore branching, repr)
+        return super().create(
             make_stationary_st_kernel(dtype), noise=noise, mean_type="zero", dtype=dtype
         )
 

@@ -23,6 +23,12 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first n devices (all by default)."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"make_mesh: need {n_devices} devices, have {len(devs)} — a "
+                "silently smaller mesh would fail far away (split counts, "
+                "shard shapes) with the cause misattributed"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 

@@ -186,7 +186,7 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
             train_y,
             key=key,
             num_epochs=cfg.num_epochs,
-            batch_size=min(cfg.batch_size, n),
+            batch_size=cfg.batch_size,  # clamped to n inside _epoch_schedule
             lr=lr,
             aot_key=f"serve-{name}",
         ).model

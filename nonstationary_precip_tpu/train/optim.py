@@ -150,18 +150,23 @@ def fit(
                 model, opt_state, loss_fn, optimizer, n, mask, has_aux, *args
             )
         losses = np.asarray(jax.device_get(losses))
-        if nan_guard and not np.all(np.isfinite(losses[-1])):
+        # any-step detection: a mid-chunk inf that recovers to a finite
+        # final value still contaminated the Adam moments
+        if nan_guard and not np.all(np.isfinite(losses)):
             if backoffs_left > 0:
                 backoffs_left -= 1
                 model, opt_state = snapshot
-                new_lr = float(opt_state.hyperparams["learning_rate"]) * 0.5
+                # stay a strong-typed f32 device scalar: replacing it with
+                # a Python float changes the jit signature (weak_type) and
+                # forces a full retrace/recompile per retry
+                new_lr = opt_state.hyperparams["learning_rate"] * 0.5
                 opt_state = opt_state._replace(
                     hyperparams={**opt_state.hyperparams, "learning_rate": new_lr}
                 )
                 prev_last = None
                 print(
                     f"fit: non-finite loss in steps {steps_done}..{steps_done + n}; "
-                    f"restored step-{steps_done} state, lr -> {new_lr:g} "
+                    f"restored step-{steps_done} state, lr -> {float(new_lr):g} "
                     f"({backoffs_left} backoffs left)"
                 )
                 continue
@@ -172,7 +177,8 @@ def fit(
         losses_all.append(losses)
         steps_done += n
         snapshot = (model, opt_state)
-        if log_every and (steps_done % max(log_every, 1) == 0 or steps_done == num_steps):
+        crossed = steps_done // max(log_every, 1) > (steps_done - n) // max(log_every, 1)
+        if log_every and (crossed or steps_done == num_steps):
             print(f"step {steps_done}/{num_steps}  loss {float(np.sum(losses[-1])):.4f}")
         if callback is not None:
             callback(steps_done, model, losses)
@@ -186,6 +192,8 @@ def fit(
                     break
         prev_last = losses[-1]
 
+    if not losses_all:  # num_steps=0 (e.g. a restore-only path): no-op fit
+        return TrainResult(model=model, losses=jnp.zeros((0,)), steps=0)
     return TrainResult(model=model, losses=jnp.concatenate(losses_all), steps=steps_done)
 
 
@@ -252,6 +260,9 @@ def _epoch_schedule(seed: int, n: int, num_epochs: int, batch_size: int) -> np.n
     deepgp_spatial_bench.py:70).  Shared by ``fit_minibatched`` and
     ``fit_minibatched_splits`` — their bit-identity is load-bearing for
     the lockstep-equals-sequential trajectory guarantee."""
+    batch_size = min(batch_size, n)  # DataLoader semantics: a batch never
+    # exceeds the dataset; without this, pad > len(perm) below and the
+    # reshape crashes for any batch_size > n
     steps_per_epoch = n // batch_size if n % batch_size == 0 else n // batch_size + 1
     rng = np.random.default_rng(seed)
     sched = []
@@ -342,11 +353,13 @@ def fit_minibatched_splits(
         stacked, opt_state, losses = minibatch_scan_splits(
             stacked, opt_state, loss_fn, optimizer, keys_tk, batch_idx, x_stk, y_stk
         )
-    last = losses[-1]
-    if not bool(jnp.all(jnp.isfinite(last))):
-        bad = np.where(~np.isfinite(np.asarray(last)))[0]
+    host_l = np.asarray(losses)
+    if not np.isfinite(host_l).all():  # any step: a mid-trace inf already
+        # contaminated that split's Adam moments even if the last step
+        # evaluates finite
+        bad = np.where(~np.isfinite(host_l).all(axis=0))[0]
         print(
-            f"fit_minibatched_splits: NON-FINITE final loss in splits {bad.tolist()} "
+            f"fit_minibatched_splits: NON-FINITE loss in splits {bad.tolist()} "
             f"— those models are unreliable; reduce lr or batch size",
             flush=True,
         )
@@ -400,9 +413,10 @@ def fit_minibatched(
     # failure detection (the whole schedule runs as one scan, so this is
     # post-hoc): surface a non-finite ELBO trace loudly instead of letting
     # a silently-NaN model flow into prediction
-    last = losses[-1]
-    if not bool(jnp.all(jnp.isfinite(last))):
-        first_bad = int(jnp.argmax(~jnp.isfinite(losses)))
+    host_l = np.asarray(losses)
+    if not np.isfinite(host_l).all():  # any step, not just the last — a
+        # mid-trace inf already contaminated the Adam moments
+        first_bad = int(np.argmax(~np.isfinite(host_l)))
         print(
             f"fit_minibatched: NON-FINITE loss from step {first_bad}/{total_steps} "
             f"— model state is unreliable; reduce lr or batch size",

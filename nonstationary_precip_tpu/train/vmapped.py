@@ -50,6 +50,18 @@ def unstack_pytree(tree: Any, k: int) -> list:
     return [jax.tree_util.tree_map(lambda l: l[i], tree) for i in range(k)]
 
 
+def _stack_args(args_per_split):
+    """Leaf-wise stack of per-split args (arrays OR pytrees, e.g. the
+    hoisted (K⁻¹, logdet) prior precompute); ``Stacked``-wrapped args pass
+    through as-is (already carrying the K axis)."""
+    return tuple(
+        seq.value
+        if isinstance(seq, Stacked)
+        else stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
+        for seq in args_per_split
+    )
+
+
 def _shard_splits(mesh, stacked, stacked_args):
     """Place a stacked-split pytree + args with the leading K axis sharded
     over the mesh's first axis.  Every leaf must carry the K axis first."""
@@ -94,15 +106,7 @@ def fit_splits(
     losses are (num_steps, K).
     """
     stacked = stack_pytrees(models)
-    # each per-split arg may be an array OR a pytree (e.g. the hoisted
-    # (K⁻¹, logdet) prior precompute) — stack leaf-wise either way; a
-    # ``Stacked``-wrapped arg is passed through as-is
-    stacked_args = tuple(
-        seq.value
-        if isinstance(seq, Stacked)
-        else stack_pytrees([jax.tree.map(jnp.asarray, a) for a in seq])
-        for seq in args_per_split
-    )
+    stacked_args = _stack_args(args_per_split)
     if mesh is not None:
         if batched_loss is not None:
             raise ValueError(
@@ -112,9 +116,23 @@ def fit_splits(
             )
         stacked, stacked_args = _shard_splits(mesh, stacked, stacked_args)
         aot_key = None  # pins are single-device executables
-    # trainability flags are structural, identical across splits: one mask
-    # with scalar-bool leaves broadcasts over the stacked leaves
+    # trainability flags are structural: ONE mask (scalar-bool leaves)
+    # broadcasts over the stacked leaves, so it must be identical across
+    # splits — reject heterogeneous masks instead of silently training
+    # every split under split 0's freezing
     mask = masks[0] if masks is not None else None
+    if masks is not None:
+        for i, mk in enumerate(masks[1:], start=1):
+            same = jax.tree_util.tree_structure(mk) == jax.tree_util.tree_structure(mask) and all(
+                bool(a == b)
+                for a, b in zip(jax.tree_util.tree_leaves(mk), jax.tree_util.tree_leaves(mask))
+            )
+            if not same:
+                raise ValueError(
+                    f"fit_splits: split {i}'s trainability mask differs from "
+                    "split 0's — heterogeneous per-split masks are not "
+                    "supported (one broadcast mask trains all splits)"
+                )
 
     def scalar_loss(m, *sa):
         # sum couples nothing: Adam is elementwise per leaf, so the summed
@@ -197,12 +215,7 @@ def eval_splits(
     compile after the fit programs were pinned."""
     import os
 
-    stacked_args = tuple(
-        seq.value
-        if isinstance(seq, Stacked)
-        else stack_pytrees([jax.tree_util.tree_map(jnp.asarray, a) for a in seq])
-        for seq in args_per_split
-    )
+    stacked_args = _stack_args(args_per_split)
     if mesh is not None:
         models_stacked, stacked_args = _shard_splits(mesh, models_stacked, stacked_args)
         aot_key = None  # pins are single-device executables

@@ -392,3 +392,81 @@ def test_fit_lr_backoff_budget_exhausts_to_nan_guard():
         model, always_nan, jnp.zeros(1), lr=0.1, num_steps=40, chunk=4, lr_backoff=2
     )
     assert res.steps == 4  # one recorded (failed) chunk, then stop
+
+
+def test_fit_lr_backoff_does_not_retrace():
+    """The halved lr must stay a strong-typed f32 device scalar — swapping
+    in a Python float changes the jit signature (weak_type) and forces a
+    3-20 min axon recompile per retry, defeating the design."""
+    model = {"w": jnp.ones(1)}
+    calls = {"n": 0}
+
+    def cliffed(m, _):
+        calls["n"] += 1  # traces, not executions
+        w = m["w"][0]
+        return (w - 0.5) ** 2 + 0.0 * jnp.sqrt(w + 0.05)
+
+    fit(model, cliffed, jnp.zeros(1), lr=2.0, num_steps=24, chunk=6, lr_backoff=3)
+    # one trace for the chunk program, regardless of how many backoff
+    # retries ran (4 chunks + >=1 retry all share it)
+    assert calls["n"] == 1, f"chunk program retraced {calls['n']} times"
+
+
+def test_fit_nan_guard_catches_mid_chunk_nonfinite():
+    """A loss that goes non-finite mid-chunk and 'recovers' by the chunk's
+    last step must still trip the guard (the Adam moments are already
+    contaminated)."""
+    model = {"w": jnp.zeros(())}
+
+    def spiky(m, _):
+        # inf exactly at step w==3 (w increments by ~1 per Adam step at
+        # lr 1 from the constant-gradient loss), finite elsewhere
+        w = m["w"]
+        return jnp.where(jnp.abs(w - 3.0) < 0.5, jnp.inf, -w)
+
+    res = fit(model, spiky, jnp.zeros(1), lr=1.0, num_steps=40, chunk=10)
+    assert res.steps == 10  # stopped at the first chunk boundary
+
+
+def test_epoch_schedule_batch_larger_than_n():
+    """batch_size > n must clamp (DataLoader semantics), not crash the
+    wrap-around reshape."""
+    from nonstationary_precip_tpu.train.optim import _epoch_schedule
+
+    sched = _epoch_schedule(0, n=10, num_epochs=2, batch_size=32)
+    assert sched.shape == (2, 10)
+    assert set(sched[0].tolist()) == set(range(10))
+
+
+def test_fit_zero_steps_is_noop():
+    model = {"w": jnp.ones(1)}
+    res = fit(model, lambda m, _: jnp.sum(m["w"] ** 2), jnp.zeros(1), num_steps=0)
+    assert res.steps == 0 and res.losses.shape == (0,)
+    np.testing.assert_array_equal(np.asarray(res.model["w"]), 1.0)
+
+
+def test_fit_splits_rejects_heterogeneous_masks(rng):
+    import pytest
+
+    from nonstationary_precip_tpu.train.vmapped import fit_splits
+    from nonstationary_precip_tpu.models import ExactGP
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+
+    x = jnp.asarray(rng.normal(size=(12, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(12,)), jnp.float32)
+    models = [ExactGP.create(Scale.create(RBF.create(2))) for _ in range(2)]
+    masks = [jax.tree.map(lambda _: True, m) for m in models]
+    # flip one leaf of split 1's mask
+    leaves, treedef = jax.tree_util.tree_flatten(masks[1])
+    leaves[0] = not leaves[0]
+    masks[1] = jax.tree_util.tree_unflatten(treedef, leaves)
+    with pytest.raises(ValueError, match="mask differs"):
+        fit_splits(
+            models,
+            lambda m, xx, yy: m.loss(xx, yy),
+            [x, x],
+            [y, y],
+            masks=masks,
+            lr=0.05,
+            num_steps=2,
+        )
