@@ -89,22 +89,33 @@ long fastcsv_read(const char* path, double* out, long rows, long cols) {
         double* row = out + r * cols;
         long c = 0;
         while (c < cols) {
-            char* end = nullptr;
-            row[c] = std::strtod(p, &end);
-            if (end == p) {
-                // nothing consumed: blank cell → NaN, anything else → error
-                const char* q = p;
-                while (*q == ' ' || *q == '\t' || *q == '\r') ++q;
-                if (*q != ',' && *q != '\n' && *q != '\0') return -2;
-                row[c] = std::numeric_limits<double>::quiet_NaN();
-                end = const_cast<char*>(p);
+            // Scan the cell span [s, e) on THIS line first.  Calling
+            // strtod at the raw cursor is wrong for a trailing empty
+            // cell: strtod skips leading '\n' and steals the next line's
+            // first value (and a short row would steal the same way).
+            const char* q = p;
+            while (*q && *q != ',' && *q != '\n') ++q;
+            const char* s = p;
+            while (s < q && (*s == ' ' || *s == '\t' || *s == '\r')) ++s;
+            const char* e = q;
+            while (e > s && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
+            if (s == e) {
+                row[c] = std::numeric_limits<double>::quiet_NaN();  // empty → NaN
+            } else {
+                char* end = nullptr;
+                row[c] = std::strtod(s, &end);
+                if (end != e) return -2;  // unparseable / trailing garbage
             }
-            p = end;
-            while (*p == ' ' || *p == '\t' || *p == '\r') ++p;
-            if (*p && *p != ',' && *p != '\n') return -2;  // trailing garbage
             ++c;
-            if (*p == ',') ++p;
+            p = q;
+            if (c < cols) {
+                if (*p != ',') return -2;  // fewer fields than the header
+                ++p;
+            }
         }
+        // strict-parser parity with the pandas fallback: a row with MORE
+        // fields than the header is an error, not a silent truncation
+        if (*p == ',') return -2;
         ++r;
         p = next_line(p);
     }

@@ -60,7 +60,9 @@ def prep_split(data, random_state: int, cfg: ExperimentConfig):
         input_dims=train_x.shape[-1],
         num_layers=cfg.num_layers,
         num_inducing=cfg.num_inducing,
-        share_hidden=False,
+        # --model shared ties the hidden layers (the reference's dgps.py:88
+        # layer-aliasing quirk); anything else trains distinct layers
+        share_hidden=cfg.model == "shared",
     )
     return model, (train_x, train_y, test_x, test_y), jnp.asarray(stdy, dtype), k_train, k_pred
 

@@ -174,7 +174,7 @@ def main(argv=None):
     corr_truth_tpu = float(np.corrcoef(merged["tp"], merged["pred_tpu"])[0, 1])
     corr_truth_ref = float(np.corrcoef(merged["tp"], merged["pred_ref"])[0, 1])
 
-    RESULTS_DIR.mkdir(exist_ok=True)
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
     ours[["pred", "std", "lat", "lon"]].to_csv(
         RESULTS_DIR / "f_mean_sigma_dgp2_tpu.csv"
     )

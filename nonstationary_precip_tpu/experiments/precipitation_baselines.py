@@ -80,7 +80,16 @@ def main(argv=None):
     ckpt = BestCheckpointer(logdir)
 
     # -- data ---------------------------------------------------------------
-    data = load_csv(cfg.data)
+    # route .nc files to the gated netCDF loader the docstring promises
+    # (reference input path, precipitation_baselines.py:150-168); it
+    # raises a clear ImportError without xarray instead of feeding the
+    # binary to the CSV parser
+    if str(cfg.data).endswith((".nc", ".nc4", ".cdf")):
+        from nonstationary_precip_tpu.data.dataprep import load_netcdf_precip
+
+        data = load_netcdf_precip(cfg.data)
+    else:
+        data = load_csv(cfg.data)
     x, y = data[:, :-1], data[:, -1]
     meanx, stdx = x.mean(0), x.std(0, ddof=1)
     x = (x - meanx) / stdx
@@ -209,9 +218,11 @@ def main(argv=None):
     )
     ckpt.save_final(res.steps, res.model)
 
-    pred = eval_fn(res.model)
-    r = float(rmse_rescaled(pred.mean, y_test, stdy))
-    nl = float(nlpd_joint(pred, y_test, stdy))
+    # reuse the already-compiled metrics program: the eager path would pay
+    # the ~28 ms axon dispatch per metric op AND duplicate the predictive
+    # solve eval_fn/metrics_fn already perform
+    _, r, _, nl = metrics_fn(res.model)
+    r, nl = float(r), float(nl)
     print(f"final: steps {res.steps}  loss {float(res.losses[-1]):.4f}  RMSE {r:.4f}  NLPD {nl:.4f}")
     logger.close()
     return r, nl

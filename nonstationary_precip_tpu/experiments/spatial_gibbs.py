@@ -25,6 +25,7 @@ import math
 
 import numpy as np
 
+from nonstationary_precip_tpu.data.dataprep import shuffle_split
 from nonstationary_precip_tpu.data.datasets import load_uib_spatial
 from nonstationary_precip_tpu.models import GibbsExactGP, GibbsSparseGP
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
@@ -52,16 +53,15 @@ def make_split(x_norm, y_norm, split: int, cfg: ExperimentConfig, dtype):
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(BASE_SEED + split)
-    n = len(y_norm)
-    num_train = math.ceil(cfg.train_percent / 100 * n)
-    idx = np.arange(n)
-    rng.shuffle(idx)
-    tr, te = idx[:num_train], idx[num_train:]
-    x_train = jnp.asarray(x_norm[tr], dtype)
-    y_train = jnp.asarray(y_norm[tr], dtype)
-    x_test = jnp.asarray(x_norm[te], dtype)
-    y_test = jnp.asarray(y_norm[te], dtype)
+    # the shared split harness (same default_rng(seed) + ceil convention),
+    # so split membership can never desynchronise from the other benchmarks
+    x_tr, y_tr, x_te, y_te = shuffle_split(
+        x_norm, y_norm, cfg.train_percent / 100, BASE_SEED + split
+    )
+    x_train = jnp.asarray(x_tr, dtype)
+    y_train = jnp.asarray(y_tr, dtype)
+    x_test = jnp.asarray(x_te, dtype)
+    y_test = jnp.asarray(y_te, dtype)
 
     prior = build_prior(cfg, dtype)
     noise = cfg.noise if cfg.noise > 0 else None
@@ -186,7 +186,7 @@ def main(argv=None):
 
     from nonstationary_precip_tpu.utils.config import RESULTS_DIR
 
-    RESULTS_DIR.mkdir(exist_ok=True)
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
     model, x_train, y_train = last
     x_all = jnp.asarray(x_norm, dtype)
     # single jitted program for the full-field posterior (same eager-

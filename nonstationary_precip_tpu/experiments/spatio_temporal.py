@@ -99,7 +99,7 @@ def main(argv=None):
 
     from nonstationary_precip_tpu.utils.config import RESULTS_DIR
 
-    RESULTS_DIR.mkdir(exist_ok=True)
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
     pf_mean, pf_var = jax.jit(
         lambda m, xtr, ytr, xa: (lambda p: (p.mean, p.var))(
             m.predictive(xtr, ytr, xa)

@@ -94,8 +94,14 @@ def main(argv=None):
     print(f"RMSE test = {r:.4f}")
     print(f"NLPD test = {nl:.4f}")
 
-    np.save("results_st_dgp_mean.npy", np.asarray(d_mean))
-    np.save("results_st_dgp_var.npy", np.asarray(d_var))
+    from nonstationary_precip_tpu.utils.config import RESULTS_DIR
+
+    # RESULTS_DIR (NSGP_RESULTS_DIR-overridable), never the CWD: smoke
+    # runs must not clobber shipped artifacts, and the CWD may not be
+    # writable at all
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+    np.save(RESULTS_DIR / "results_st_dgp_mean.npy", np.asarray(d_mean))
+    np.save(RESULTS_DIR / "results_st_dgp_var.npy", np.asarray(d_var))
     return r, nl
 
 

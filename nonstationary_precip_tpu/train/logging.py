@@ -53,6 +53,14 @@ class MetricsLogger:
     def figure(self, step: int, tag: str, fig):
         if self._tb is not None:
             self._tb.add_figure(tag, fig, step)
+        # close regardless: without tensorboardX the figure would otherwise
+        # accumulate in pyplot's manager every plot-interval callback
+        try:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        except Exception:
+            pass
 
     def close(self):
         self._fh.close()

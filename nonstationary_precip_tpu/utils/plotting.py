@@ -57,6 +57,9 @@ def simple_plot(lon, lat, values, title: str = "", savepath: Optional[str] = Non
     ax.set_title(title)
     if savepath:
         fig.savefig(savepath, dpi=150, bbox_inches="tight")
+        plt.close(fig)  # saved-to-disk figures must not accumulate in
+        # pyplot's manager (plot-interval callbacks leak otherwise); the
+        # returned object stays usable for inspection
     return fig
 
 
@@ -86,6 +89,9 @@ def facetgrid_plot(lon, lat, values_by_month, month_names=None, suptitle: str = 
     fig.colorbar(g, cax=cbar_ax, orientation="horizontal")
     if savepath:
         fig.savefig(savepath, dpi=150, bbox_inches="tight")
+        plt.close(fig)  # saved-to-disk figures must not accumulate in
+        # pyplot's manager (plot-interval callbacks leak otherwise); the
+        # returned object stays usable for inspection
     return fig
 
 
@@ -123,6 +129,9 @@ def temporal_series_plot(t, y_obs, f_mean, f_sigma, test_start=None,
     plt.title(title, fontsize="small")
     if savepath:
         fig.savefig(savepath, dpi=150, bbox_inches="tight")
+        plt.close(fig)  # saved-to-disk figures must not accumulate in
+        # pyplot's manager (plot-interval callbacks leak otherwise); the
+        # returned object stays usable for inspection
     return fig
 
 
@@ -186,4 +195,7 @@ def etopo_relief_map(lon, lat, values=None, dem=None, title: str = "",
     ax.set_title(title or "UIB basin (relief)")
     if savepath:
         fig.savefig(savepath, dpi=150, bbox_inches="tight")
+        plt.close(fig)  # saved-to-disk figures must not accumulate in
+        # pyplot's manager (plot-interval callbacks leak otherwise); the
+        # returned object stays usable for inspection
     return fig

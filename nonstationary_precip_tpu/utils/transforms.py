@@ -57,4 +57,10 @@ class LearnedSoftPlus:
     def __call__(self, x):
         beta = jnp.exp(self.log_beta)
         beta_x = beta * x
-        return jnp.where(beta_x < self.threshold, jnp.log1p(jnp.exp(beta_x)) / beta, x)
+        small = beta_x < self.threshold
+        # clamp the UNSELECTED branch's input: where's VJP evaluates both
+        # branches, and for beta*x > ~88 (f32) exp overflows to inf, whose
+        # d(log1p∘exp) = inf/inf = NaN then poisons the gradient through
+        # the 0·NaN trap even though the branch isn't selected
+        safe_bx = jnp.where(small, beta_x, 0.0)
+        return jnp.where(small, jnp.log1p(jnp.exp(safe_bx)) / beta, x)

@@ -168,3 +168,26 @@ def test_deepgp_mixed_inducing_counts_fallback(key):
     y = jnp.zeros(5, jnp.float32)
     loss = model.loss(jax.random.PRNGKey(1), x, y, num_data=5, num_samples=2)
     assert np.isfinite(float(loss))
+
+
+def test_deepgp_spatial_shared_flag_ties_layers():
+    """--model shared must actually construct the tied-hidden-layer DeepGP
+    (the reference's dgps.py:88 quirk) — it was silently ignored."""
+    from nonstationary_precip_tpu.data.datasets import load_uib_spatial
+    from nonstationary_precip_tpu.experiments.deepgp_spatial import prep_split
+    from nonstationary_precip_tpu.train.config import ExperimentConfig
+
+    data, _, _ = load_uib_spatial()
+    import numpy as np
+    import pandas as pd  # noqa: F401 (dataset helper returns arrays)
+
+    from nonstationary_precip_tpu.data.dataprep import load_csv
+    from nonstationary_precip_tpu.utils.config import DATASET_DIR
+
+    raw = load_csv(DATASET_DIR / "uib_spatial.csv")
+    cfg = ExperimentConfig(model="shared", num_layers=2, num_inducing=16)
+    model, *_ = prep_split(raw, 0, cfg)
+    assert model.share_hidden
+    cfg2 = ExperimentConfig(model="", num_layers=2, num_inducing=16)
+    model2, *_ = prep_split(raw, 0, cfg2)
+    assert not model2.share_hidden

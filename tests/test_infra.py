@@ -288,6 +288,19 @@ def test_fastcsv_cell_error_semantics(tmp_path):
     p.write_text("a,b\n1,2junk\n")
     with pytest.raises(ValueError):
         fastcsv.read_csv(p)
+    # trailing empty cell must be NaN on ITS row — the old strtod-driven
+    # parser skipped the newline and stole the next line's first value
+    p.write_text("a,b,c\n1,2,\n4,5,6\n")
+    arr = fastcsv.read_csv(p)
+    assert np.isnan(arr[0, 2]) and arr[1, 0] == 4 and arr[1, 2] == 6
+    # ragged rows (too few / too many fields) error like the pandas path
+    # instead of stealing across lines / silently truncating
+    p.write_text("a,b,c\n1,2\n4,5,6\n")
+    with pytest.raises(ValueError):
+        fastcsv.read_csv(p)
+    p.write_text("a,b,c\n1,2,3,4\n4,5,6\n")
+    with pytest.raises(ValueError):
+        fastcsv.read_csv(p)
 
 
 def test_experiment_modules_import():

@@ -258,3 +258,22 @@ def test_multivariate_gibbs_diag_finite_at_large_h(rng):
     assert d.shape == (n,)
     np.testing.assert_array_equal(d, 1.0)
     np.testing.assert_allclose(np.diag(np.asarray(k(x, h_big, d_mat))), d, atol=1e-4)
+
+
+def test_learned_softplus_value_and_grad_at_extremes():
+    """Above the threshold the transform is identity; its GRADIENT must
+    stay finite for beta*x beyond the f32 exp-overflow point (~88) — the
+    unclamped where-branch propagated inf/inf = NaN through the VJP."""
+    import jax
+
+    from nonstationary_precip_tpu.utils.transforms import LearnedSoftPlus
+
+    sp = LearnedSoftPlus.create()
+    x = jnp.asarray([-5.0, 0.0, 5.0, 25.0, 200.0], jnp.float32)
+    y = np.asarray(sp(x))
+    # below threshold: softplus; above: identity
+    np.testing.assert_allclose(y[:3], np.log1p(np.exp([-5.0, 0.0, 5.0])), rtol=1e-6)
+    np.testing.assert_allclose(y[3:], [25.0, 200.0], rtol=1e-7)
+    g = np.asarray(jax.grad(lambda xx: jnp.sum(sp(xx)))(x))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g[4], 1.0, rtol=1e-6)  # identity branch
