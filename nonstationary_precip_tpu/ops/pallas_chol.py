@@ -1076,12 +1076,21 @@ def _chol_inv_b_safe_impl(mats, jitter, max_tries):
         )
 
     def body(state):
-        i, j, _ = state
-        j_next = jnp.where(i == 0, base, j * 10.0)
-        return i + 1, j_next, _chol_inv_b_forward(mats + j_next * eye)
+        # PER-MEMBER escalation, matching ops.linalg.safe_cholesky (and
+        # GPyTorch, which jitters only failing batch entries): healthy
+        # members refactor with their current jitter — 0 for never-failed
+        # ones, reproducing their (L, L⁻¹) bit-exactly — so one bad split
+        # in the 10-split stack cannot shift the other nine's losses or
+        # gradients away from the vmap/sequential paths.
+        i, j, (l, _) = state
+        finite = jnp.all(jnp.isfinite(l), axis=(-1, -2))  # (T,)
+        j_next = jnp.where(finite, j, jnp.where(j == 0, base, j * 10.0))
+        return i + 1, j_next, _chol_inv_b_forward(
+            mats + j_next[:, None, None] * eye
+        )
 
-    zero = jnp.asarray(0.0, dtype=mats.dtype)
-    _, _, out = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zero, out0))
+    zeros = jnp.zeros(mats.shape[:-2], dtype=mats.dtype)
+    _, _, out = jax.lax.while_loop(cond_fn, body, (jnp.asarray(0), zeros, out0))
     return out
 
 

@@ -428,11 +428,13 @@ def elbo_enabled() -> bool:
     except Exception:
         return False
     try:
-        if jax.core.nonempty_axis_env_DO_NOT_USE():  # inside shard_map/pmap
-            return False
+        return not jax.core.nonempty_axis_env_DO_NOT_USE()  # shard_map/pmap
     except Exception:
-        pass
-    return True
+        # FAIL CLOSED: if a jax upgrade removes the (private) detection
+        # API we can no longer prove we're outside manual axes, and the
+        # fused VJP breaks replication inference under shard_map
+        # (DESIGN.md §11) — fall back to the composed path
+        return False
 
 
 def _elbo_eligible(x, params) -> bool:
@@ -456,7 +458,7 @@ def _elbo_eligible(x, params) -> bool:
         params["z1"].shape[0] == 2
         and params["z2"].shape == (2, m, 2)
         and params["zh"].shape == (1, m, 2)
-        and params["z1"].shape[-1] <= 2
+        and params["z1"].shape[-1] == 2
         and m <= 2 * BLOCK
         and x.shape[0] <= 1024
     )

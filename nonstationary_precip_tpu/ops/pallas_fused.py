@@ -202,13 +202,21 @@ def _fused_kernel(
 def _forward(x, ell, y, s2, noise):
     n, d = x.shape
     n_pad = -(-n // PANEL) * PANEL
-    # pad x with distinct far-apart rows (offset 1e4, spacing 50) so every
-    # padded off-diagonal is exp(−quad) ≈ 0 even after the f32 cancellation
-    # error of the matmul-form diff² (error ≲ 16 at |x| ~ 1e4 vs true
-    # quad ≥ 1250), while the padded diagonal is written exactly as
-    # s² + σ² → chol(padding) = sqrt(s² + σ²)·I, positive definite
+    # pad x with distinct far-apart rows (offset 1e4, spacing 50, SCALED by
+    # the data's own magnitude) so every padded off-diagonal is exp(−quad)
+    # ≈ 0 even after the f32 cancellation error of the matmul-form diff²
+    # (both the true quad and the error grow quadratically in the scale,
+    # so the ≳1e5 margin holds for ANY coordinate units — unscaled, raw
+    # km-scale eastings at |x| ~ 1e4 would land within a few sqrt(ss) of
+    # the pad rows and couple to them), while the padded diagonal is
+    # written exactly as s² + σ² → chol(padding) = sqrt(s² + σ²)·I.  For
+    # whitened data the scale is O(1) and the padded Gram entries flush to
+    # exactly 0 either way — bit-identical to the unscaled layout.
     if n_pad != n:
-        extra = jnp.arange(1, n_pad - n + 1, dtype=x.dtype)[:, None] * 50.0 + 1e4
+        scale = jnp.maximum(jnp.max(jnp.abs(x)), jnp.max(jnp.abs(ell))) + 1.0
+        extra = (
+            jnp.arange(1, n_pad - n + 1, dtype=x.dtype)[:, None] * 50.0 + 1e4
+        ) * scale
         x = jnp.concatenate([x, jnp.broadcast_to(extra, (n_pad - n, d))], axis=0)
         ell = jnp.concatenate([ell, jnp.ones((n_pad - n, d), ell.dtype)], axis=0)
         y = jnp.concatenate([y, jnp.zeros((n_pad - n,), y.dtype)], axis=0)

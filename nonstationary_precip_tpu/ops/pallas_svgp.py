@@ -146,22 +146,10 @@ def _chol_inv_2level_b(d):
     d22 = d[:, b:, b:]
     eye = jnp.eye(b, dtype=d.dtype)
 
-    def bmm(x, y):
-        # (T, p, q) @ (T, q, r).  Mosaic DOES lower a batched dot_general
-        # (probed on chip 2026-08-17, tools/probe_batched_dot.py), but the
-        # kernel built on it compiled pathologically and runtime was a
-        # wash — the per-T loop ships as default; NSGP_BATCHED_DOT=1 opts
-        # in to the batched op for re-probing (DESIGN.md §13).
-        import os
-
-        if os.environ.get("NSGP_BATCHED_DOT", "0") == "1":
-            return jax.lax.dot_general(
-                x, y, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        return jnp.stack(
-            [jnp.dot(x[i], y[i], preferred_element_type=jnp.float32) for i in range(t)]
-        )
+    # shared batched-matmul helper (per-T loop default, NSGP_BATCHED_DOT=1
+    # opts into the batched dot_general — one implementation to keep the
+    # probe findings/env semantics in sync across kernels)
+    from nonstationary_precip_tpu.ops.pallas_chol import _bmm as bmm
 
     def refine_inv(l, x):
         # Newton: X ← X (2I − L X), keeps lower-triangular support
@@ -236,8 +224,33 @@ def _svgp_kernel(
     # 3-way retry tripled Mosaic's scoped-VMEM stack peak to 18.4 MB and
     # failed to compile (v5e, 2026-08-16). ------------------------------------
     def factor_and_write(extra_jitter):
-        eye_jit = jnp.where(rows == cols, extra_jitter, 0.0).astype(jnp.float32)
-        k_all = k_scr[:] + eye_jit[None, :, :]
+        # PER-GROUP escalation (parity with the composed path's
+        # safe_cholesky / GPyTorch's psd_safe_cholesky, which jitter only
+        # failing batch entries): groups whose previous factor came out
+        # finite take no jitter, so their (L, L⁻¹, W) reproduce exactly
+        # and only the bad group's trajectory moves.  The whole block is
+        # pl.when-gated on extra_jitter > 0, so the happy path (attempt
+        # 0, jitter 0) pays one scalar compare — no reductions, and the
+        # then-uninitialised l/w refs are never read.  Mosaic-legal
+        # shapes: per-t FULL-tile (m, m)→scalar reductions in the
+        # existing python-loop idiom ((T,)-shaped reductions have no
+        # lowering — CLAUDE.md dead-end list); the jittered K accumulates
+        # in k_scr, preserving a group's accepted jitter level across
+        # later attempts that escalate other groups.
+        @pl.when(extra_jitter > 0.0)
+        def _():
+            eye_m = jnp.where(rows == cols, 1.0, 0.0).astype(jnp.float32)
+            for i in range(t):
+                bad_i = jnp.logical_not(
+                    jnp.logical_and(
+                        jnp.all(jnp.isfinite(l_ref[i])),
+                        jnp.all(jnp.isfinite(w_ref[i])),
+                    )
+                )
+                jit_i = jnp.where(bad_i, extra_jitter, 0.0).astype(jnp.float32)
+                k_scr[i] = k_scr[i] + jit_i * eye_m
+
+        k_all = k_scr[:]
         if m == BLOCK:
             l, linv = _chol_inv_fused_b(k_all)
         else:
@@ -383,7 +396,10 @@ def _bwd(res, g):
         jnp.swapaxes(linv @ (wbar @ jnp.swapaxes(w, -1, -2)), -1, -2)
     )
 
-    # X = L⁻¹ pullback (only reached from full-cov consumers): L̄ += −Xᵀ X̄ Xᵀ
+    # X = L⁻¹ pullback: L̄ += −Xᵀ X̄ Xᵀ.  NOTE: JAX instantiates zero
+    # cotangents as real arrays (no symbolic_zeros here), so this always
+    # computes — on the training path (linv unused) it is GEMMs against a
+    # zero X̄ that XLA folds; an `is None` skip would be dead code.
     if linvbar is not None:
         lbar = lbar - jnp.tril(linv_t @ linvbar @ linv_t)
 

@@ -26,7 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 from nonstationary_precip_tpu.ops.pallas_chol import _tri_inv_block
 
 BLOCK = 128
-MAX_ELEMS = 1280 * 1280  # L and B and X must fit VMEM together
+# total f32 elements that fit the 16 MB scoped-VMEM budget with headroom
+# for Mosaic's stack (the kernel keeps L, B and X wholly resident and does
+# not raise vmem_limit_bytes); 3.5M elems = 14 MB.  The old cap
+# (3 * 1280^2 = 19.7 MB) admitted working sets over the hard 16 MB limit,
+# which Mosaic rejects at compile time.
+MAX_TOTAL_ELEMS = 3_500_000
 
 
 def eligible(l, b) -> bool:
@@ -46,7 +51,7 @@ def eligible(l, b) -> bool:
     if l.dtype != jnp.float32 or l.ndim != 2 or b.ndim != 2:
         return False
     n = l.shape[-1]
-    return 768 <= n <= 1280 and n * n + 2 * n * b.shape[-1] <= 3 * MAX_ELEMS
+    return 768 <= n <= 1280 and n * n + 2 * n * b.shape[-1] <= MAX_TOTAL_ELEMS
 
 
 def _trsm_kernel(l_ref, b_ref, x_ref, *, n: int, k: int):

@@ -625,6 +625,81 @@ def test_chol_inv_batched_safe_retry(rng):
     assert np.max(np.abs((rec - spd)[:, off])) / scale < 5e-2
 
 
+def test_chol_inv_batched_safe_per_member_isolation(rng):
+    """One singular member in the stack must NOT perturb the healthy
+    members: escalation is per-member (matching ops.linalg.safe_cholesky
+    and GPyTorch's psd_safe_cholesky), so the healthy members' (L, L⁻¹)
+    are bit-identical to an all-healthy run."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nonstationary_precip_tpu.ops.pallas_chol import chol_inv_batched_safe
+
+    n = 140
+    base = rng.normal(size=(3, n, n))
+    good = np.einsum("tij,tkj->tik", base, base) + 5.0 * np.eye(n)
+    sing_base = rng.normal(size=(n, 30))
+    singular = sing_base @ sing_base.T  # rank 30 < n
+    all_good = jnp.asarray(good, jnp.float32)
+    one_bad = jnp.asarray(
+        np.stack([good[0], singular, good[2]]), jnp.float32
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        l_a, li_a = chol_inv_batched_safe(all_good)
+        l_b, li_b = chol_inv_batched_safe(one_bad)
+
+    assert bool(jnp.all(jnp.isfinite(l_b))) and bool(jnp.all(jnp.isfinite(li_b)))
+    for i in (0, 2):  # healthy members: bit-equal, zero drift
+        np.testing.assert_array_equal(np.asarray(l_a[i]), np.asarray(l_b[i]))
+        np.testing.assert_array_equal(np.asarray(li_a[i]), np.asarray(li_b[i]))
+
+
+def test_pallas_svgp_per_group_isolation(rng):
+    """Fused SVGP precompute: an ill-conditioned K_zz in one group must
+    leave the other group's (L, W, L⁻¹) bit-identical to an all-healthy
+    run — the in-kernel retry jitters only the failing group."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+
+    t, mm, d = 2, 128, 2
+    z_np = rng.normal(size=(t, mm, d))
+    ell_np = np.full((t, d), 1.0)
+    p_np = rng.normal(size=(t, mm, 2 * mm + 1))
+    # healthy run: moderate s² everywhere
+    s2_good = np.full((t,), 1.0)
+    # one-bad run: group 1 gets duplicated z at huge s² (plain f32 chol NaNs)
+    z_bad = z_np.copy()
+    z_bad[1, 64] = z_bad[1, 32]
+    s2_bad = np.array([1.0, 40.0])
+
+    args_good = (
+        jnp.asarray(z_np, jnp.float32),
+        jnp.asarray(ell_np, jnp.float32),
+        jnp.asarray(s2_good, jnp.float32),
+        jnp.asarray(p_np, jnp.float32),
+    )
+    args_bad = (
+        jnp.asarray(z_bad, jnp.float32),
+        jnp.asarray(ell_np, jnp.float32),
+        jnp.asarray(s2_bad, jnp.float32),
+        jnp.asarray(p_np, jnp.float32),
+    )
+    # self-check: the one-bad input really defeats the retry-free path
+    assert not bool(jnp.all(jnp.isfinite(ps._reference(*args_bad)[0])))
+
+    with pltpu.force_tpu_interpret_mode():
+        l_a, w_a, li_a = ps._forward(*args_good)
+        l_b, w_b, li_b = ps._forward(*args_bad)
+
+    for out in (l_b, w_b, li_b):
+        assert bool(jnp.all(jnp.isfinite(out)))
+    # group 0 is identical in both runs' inputs → outputs bit-equal
+    np.testing.assert_array_equal(np.asarray(l_a[0]), np.asarray(l_b[0]))
+    np.testing.assert_array_equal(np.asarray(w_a[0]), np.asarray(w_b[0]))
+    np.testing.assert_array_equal(np.asarray(li_a[0]), np.asarray(li_b[0]))
+
+
 def test_fused_elbo_loss_matches_composed(rng, monkeypatch):
     """DeepGP.loss through the fused Pallas ELBO data term == the composed
     propagate path: same key → same value (bit-level sampling parity) and

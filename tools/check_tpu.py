@@ -185,6 +185,67 @@ def check_cholinv_b():
     )
 
 
+def check_retry_isolation():
+    """Per-member / per-group jitter escalation must not move healthy
+    members: their outputs stay bit-identical to an all-healthy run.
+    Interpret mode already asserts this (tests/test_pallas.py); this is
+    the chip-side version of the same contract (the escalation logic
+    lives inside Mosaic kernels / while_loops the interpreter can't
+    fully vouch for)."""
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+    from nonstationary_precip_tpu.ops.pallas_chol import chol_inv_batched_safe
+
+    rng = np.random.default_rng(17)
+    # batched (chol, inv): member 1 singular (rank 30 < n)
+    t, n = 3, 140
+    base = rng.normal(size=(t, n, n)).astype(np.float32)
+    good = np.einsum("tij,tkj->tik", base, base) + 5.0 * np.eye(n, dtype=np.float32)
+    sb = rng.normal(size=(n, 30)).astype(np.float32)
+    one_bad = np.stack([good[0], sb @ sb.T, good[2]])
+    la, lia = jax.jit(chol_inv_batched_safe)(jnp.asarray(good))
+    lb, lib = jax.jit(chol_inv_batched_safe)(jnp.asarray(one_bad))
+    iso = (
+        _finite(lb, lib)
+        and _maxdiff(la[0], lb[0]) == 0.0
+        and _maxdiff(la[2], lb[2]) == 0.0
+        and _maxdiff(lia[0], lib[0]) == 0.0
+        and _maxdiff(lia[2], lib[2]) == 0.0
+    )
+    report(
+        "batched chol+inv per-member retry isolation",
+        iso,
+        "healthy members bit-equal" if iso else "healthy members MOVED",
+    )
+
+    # svgp precompute: group 1 ill-conditioned (duplicate z, huge s²)
+    t2, m, d = 2, 128, 2
+    z = rng.normal(size=(t2, m, d)).astype(np.float32)
+    ell = np.ones((t2, d), np.float32)
+    p = rng.normal(size=(t2, m, 2 * m + 1)).astype(np.float32)
+    zb = z.copy()
+    zb[1, 64] = zb[1, 32]
+    s_good = np.ones(t2, np.float32)
+    s_bad = np.array([1.0, 40.0], np.float32)
+    f = jax.jit(ps.svgp_precompute_fused)
+    l_a, w_a, li_a = f(
+        jnp.asarray(z), jnp.asarray(ell), jnp.asarray(s_good), jnp.asarray(p)
+    )
+    l_b, w_b, li_b = f(
+        jnp.asarray(zb), jnp.asarray(ell), jnp.asarray(s_bad), jnp.asarray(p)
+    )
+    iso2 = (
+        _finite(l_b, w_b, li_b)
+        and _maxdiff(l_a[0], l_b[0]) == 0.0
+        and _maxdiff(w_a[0], w_b[0]) == 0.0
+        and _maxdiff(li_a[0], li_b[0]) == 0.0
+    )
+    report(
+        "svgp per-group retry isolation",
+        iso2,
+        "healthy group bit-equal" if iso2 else "healthy group MOVED",
+    )
+
+
 def check_vmem_chol():
     """Opt-in VMEM blocked Cholesky (building block of the fused kernel)."""
     from nonstationary_precip_tpu.ops.pallas_chol import _forward
@@ -258,6 +319,7 @@ def main():
     check_fused_gibbs()
     check_svgp()
     check_cholinv_b()
+    check_retry_isolation()
     check_vmem_chol()
     check_streaming2()
     check_elbo()
