@@ -151,14 +151,18 @@ def lanczos_tridiag(alphas: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:
     bt = betas.T
     safe_a = jnp.where(a > 0.0, a, 1.0)
     inv_a = 1.0 / safe_a
-    prev_inv_a = jnp.concatenate([jnp.zeros((r, 1)), inv_a[:, :-1]], axis=1)
-    prev_b = jnp.concatenate([jnp.zeros((r, 1)), bt[:, :-1]], axis=1)
+    # explicit dtype: argless jnp.zeros is f64 under jax_enable_x64 and
+    # would silently upcast the whole SLQ estimate (and its cotangents)
+    prev_inv_a = jnp.concatenate(
+        [jnp.zeros((r, 1), a.dtype), inv_a[:, :-1]], axis=1
+    )
+    prev_b = jnp.concatenate([jnp.zeros((r, 1), a.dtype), bt[:, :-1]], axis=1)
     diag = jnp.where(a > 0.0, inv_a + prev_b * prev_inv_a, 1.0)
     off = jnp.where(
         (a > 0.0) & (prev_b > 0.0), jnp.sqrt(prev_b) * prev_inv_a, 0.0
     )[:, 1:]  # (R, T−1)
     tri = (
-        jnp.zeros((r, t, t))
+        jnp.zeros((r, t, t), a.dtype)
         .at[:, jnp.arange(t), jnp.arange(t)]
         .set(diag)
         .at[:, jnp.arange(1, t), jnp.arange(t - 1)]
@@ -192,8 +196,12 @@ def lanczos_logdet(
     # into the MLL — and NaN-poison only beyond it, where the cause is a
     # CG breakdown or an indefinite kmat, so nan_guard / callers can
     # detect estimator failure without false positives on valid fits.
-    tol = 8.0 * jnp.finfo(evals.dtype).eps * jnp.max(
-        jnp.abs(evals), axis=-1, keepdims=True
+    # NB: multiply the jnp array FIRST — `8.0 * finfo.eps` is Python-float ×
+    # numpy-scalar, a STRONG numpy float64 under jax_enable_x64, which would
+    # silently upcast tol → loge → the whole MLL (and its cotangents).
+    tol = 8.0 * (
+        jnp.finfo(evals.dtype).eps
+        * jnp.max(jnp.abs(evals), axis=-1, keepdims=True)
     )
     loge = jnp.log(jnp.maximum(evals, jnp.maximum(tol, 1e-30)))
     quad = jnp.sum(w * loge, axis=-1)  # (R,)
@@ -338,11 +346,11 @@ def _cg_mll_fwd(kmat, y, key, sigma2, num_probes, max_iters, tol, precond_rank):
     # invalidates both the solve and the quadrature — NaN-poison so
     # nan_guard / callers see estimator failure, not a plausible number.
     mll = jnp.where(jnp.any(res.broke), jnp.nan, mll)
-    return mll, (alpha, probe_rights, probe_solves, y)
+    return mll, (alpha, probe_rights, probe_solves, y, sigma2)
 
 
 def _cg_mll_bwd(num_probes, max_iters, tol, precond_rank, saved, g):
-    alpha, probe_rights, probe_solves, y = saved
+    alpha, probe_rights, probe_solves, y, sigma2 = saved
     # dMLL/dK = ½ ααᵀ − ½ K⁻¹ ≈ ½ ααᵀ − ½ mean_i (K⁻¹zᵢ) rᵢᵀ  (Hutchinson
     # trace identity).  The right vectors rᵢ are chosen in the forward so
     # the estimator stays unbiased for either probe law: rᵢ = zᵢ for
@@ -353,7 +361,10 @@ def _cg_mll_bwd(num_probes, max_iters, tol, precond_rank, saved, g):
     ) / probe_rights.shape[-1]
     kbar = 0.5 * (kbar + kbar.T)
     ybar = -alpha
-    return (g * kbar, g * ybar, None, jnp.zeros(()))
+    # sigma2 enters only through the (stop-gradient) preconditioner — its
+    # cotangent is an exact zero, in sigma2's OWN dtype (a weak f64 zero
+    # here poisons f32 grad accumulation under jax_enable_x64)
+    return (g * kbar, g * ybar, None, jnp.zeros_like(sigma2))
 
 
 cg_mll.defvjp(_cg_mll_fwd, _cg_mll_bwd)

@@ -37,6 +37,11 @@ def test_quickstart_deepgp(capsys):
     assert "ok" in capsys.readouterr().out
 
 
+def test_quickstart_cg_largen(capsys):
+    _load("quickstart_cg_largen").main(n=300, num_steps=4)
+    assert "ok" in capsys.readouterr().out
+
+
 def test_quickstart_dataparallel(capsys):
     import jax
 
