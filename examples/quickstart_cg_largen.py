@@ -78,11 +78,18 @@ def main(n=2000, num_steps=60):
     print(f"trained {num_steps} steps on the CG objective: "
           f"loss {float(result.losses[0]):.4f} -> {float(result.losses[-1]):.4f}")
 
-    # --- 3. predict (direct solve — prediction is one factorisation) -------
-    pred = model.predictive(x_tr, y_tr, x_te)
+    # --- 3. predict on the CG path too (deterministic: no probes — one
+    #        batched solve K⁻¹[resid, K_x*] with every RHS in one scan) ----
+    pred = model.predictive(
+        x_tr, y_tr, x_te, solver="cg", max_iters=300, precond_rank=15
+    )
+    pred_chol = model.predictive(x_tr, y_tr, x_te)
+    dmean = float(jnp.max(jnp.abs(pred.mean - pred_chol.mean)))
     rmse = float(rmse_rescaled(pred.mean, y_te, jnp.std(y_te)))
-    print(f"test RMSE {rmse:.3f} (σ units)")
+    print(f"test RMSE {rmse:.3f} (σ units)   CG vs Cholesky predict "
+          f"max|Δmean| {dmean:.1e}")
     assert np.isfinite(rmse)
+    assert dmean < 1e-2
     if num_steps >= 60:
         assert rmse < 0.6, "quickstart sanity bound"
     print("ok")

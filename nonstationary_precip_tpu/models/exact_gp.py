@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from nonstationary_precip_tpu.models.distributions import MVN
@@ -107,25 +108,78 @@ class ExactGP:
 
     # -- prediction ------------------------------------------------------------
 
-    def posterior(self, x_train, y_train, x_test, *, noiseless: bool = True) -> MVN:
-        """Exact GP posterior p(f* | y) (add_noise for the predictive)."""
+    def posterior(
+        self,
+        x_train,
+        y_train,
+        x_test,
+        *,
+        noiseless: bool = True,
+        solver: str = "chol",
+        max_iters: int = 1000,
+        tol: float = 1e-6,
+        precond_rank: int = 0,
+    ) -> MVN:
+        """Exact GP posterior p(f* | y) (add_noise for the predictive).
+
+        ``solver='cg'`` routes the train-train solves through mBCG
+        (``ops/bbmm.py``) instead of a Cholesky factorisation — the
+        large-N regime GPyTorch predicts in under the same
+        ``max_cg_iterations`` settings it trains with (reference
+        ``experiments/spatial_exp.py:199``).  Prediction needs no logdet,
+        so the CG path is deterministic (no probes/key): one batched solve
+        K⁻¹[resid, K_x*] with all 1+N* right-hand sides riding the lane
+        dimension of a single fixed-length scan.  ``precond_rank > 0``
+        enables the pivoted-Cholesky/Woodbury preconditioner."""
+        if solver not in ("chol", "cg"):
+            raise ValueError(f"solver must be 'chol' or 'cg', got {solver!r}")
         n = y_train.shape[-1]
         k_xx = self.kernel(x_train) + self.likelihood.noise * jnp.eye(
             n, dtype=x_train.dtype
         )
         k_sx = self.kernel(x_test, x_train)
         k_ss = self.kernel(x_test)
-        chol = safe_cholesky(k_xx)
         resid = y_train - self.mean(x_train)
-        alpha = cho_solve(chol, resid)
-        mean = self.mean(x_test) + k_sx @ alpha
-        v = tri_solve(chol, k_sx.T)  # (N, N*)
-        cov = k_ss - v.T @ v
+        if solver == "cg":
+            from nonstationary_precip_tpu.ops.bbmm import (
+                mbcg,
+                pivoted_cholesky,
+                woodbury_precond,
+            )
+
+            minv = None
+            if precond_rank > 0:
+                s2 = jax.lax.stop_gradient(self.likelihood.noise)
+                lpc, _ = pivoted_cholesky(
+                    k_xx - s2 * jnp.eye(n, dtype=k_xx.dtype), precond_rank
+                )
+                minv = woodbury_precond(jax.lax.stop_gradient(lpc), s2)
+            rhs = jnp.concatenate([resid[:, None], k_sx.T], axis=1)
+            res = mbcg(k_xx.__matmul__, rhs, max_iters=max_iters, tol=tol, precond=minv)
+            alpha = res.x[:, 0]
+            solves = res.x[:, 1:]  # K⁻¹ K_x* , (N, N*)
+            mean = self.mean(x_test) + k_sx @ alpha
+            cov = k_ss - k_sx @ solves
+            cov = 0.5 * (cov + cov.T)
+            # CG breakdown (k_xx not SPD under the preconditioner) means the
+            # frozen solves are wrong — poison rather than return plausibly.
+            bad = jnp.any(res.broke)
+            mean = jnp.where(bad, jnp.nan, mean)
+            cov = jnp.where(bad, jnp.nan, cov)
+        else:
+            chol = safe_cholesky(k_xx)
+            alpha = cho_solve(chol, resid)
+            mean = self.mean(x_test) + k_sx @ alpha
+            v = tri_solve(chol, k_sx.T)  # (N, N*)
+            cov = k_ss - v.T @ v
         if not noiseless:
             cov = cov + self.likelihood.noise * jnp.eye(cov.shape[-1], dtype=cov.dtype)
         return MVN(mean, cov)
 
-    def predictive(self, x_train, y_train, x_test) -> MVN:
+    def predictive(self, x_train, y_train, x_test, **solver_kwargs) -> MVN:
         """likelihood(posterior): what the reference evaluates metrics on
-        (e.g. /root/reference/experiments/seard_spatial_benchmark.py:94)."""
-        return self.posterior(x_train, y_train, x_test, noiseless=False)
+        (e.g. /root/reference/experiments/seard_spatial_benchmark.py:94).
+        ``solver_kwargs`` forward to :meth:`posterior` (e.g. solver='cg')."""
+        return self.posterior(
+            x_train, y_train, x_test, noiseless=False, **solver_kwargs
+        )

@@ -13,6 +13,10 @@ from nonstationary_precip_tpu.parallel.distributed_chol import (  # noqa: F401
     sharded_cholesky_2d,
     sharded_mvn_logpdf,
 )
+from nonstationary_precip_tpu.parallel.sharded_cg import (  # noqa: F401
+    sharded_cg_mll,
+    sharded_cg_posterior,
+)
 from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401
 from nonstationary_precip_tpu.parallel.sharded_sgpr import (  # noqa: F401
     sharded_sgpr_loss,

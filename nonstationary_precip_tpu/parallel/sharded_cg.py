@@ -1,0 +1,255 @@
+"""Row-sharded BBMM: exact-GP MLL + prediction at N beyond one chip's HBM.
+
+The dense CG path (``ops/bbmm.py``) matches GPyTorch's training regime
+(reference ``experiments/spatial_exp.py:199`` runs every exact model
+under ``gpytorch.settings.max_cg_iterations``) but still materialises the
+full N² Gram on one device.  Here the train Gram never exists globally:
+
+  * each device builds only its (N/P, N) row-block from its shard of x,
+  * the mBCG matvec is a local (N/P, N)×(N, R) MXU matmul followed by a
+    tiled ``all_gather`` over the mesh axis (rides ICI),
+  * every CG scalar (α, β, residual norms) is a full-length reduction of
+    replicated vectors, so all devices walk bit-identical trajectories —
+    the sharded solve equals the dense one exactly (same row dot
+    products, merely partitioned),
+  * the custom-VJP pullback forms only the matching (N/P, N) row-block
+    of the cotangent dMLL/dK and pulls it back through the local Gram
+    construction, ``psum``-ing parameter gradients — peak per-device
+    memory is O(N²/P) in the forward AND the backward.
+
+This is TPU-native scaling the reference cannot express (GPyTorch's BBMM
+is single-process; SURVEY.md §2.6: no distributed backend).  Stationary
+kernels work out of the box; kernels whose parameters align with rows
+(e.g. Gibbs per-point lengthscales) supply ``cross_fn`` to build a
+row-block from (x_local, x) however they need.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nonstationary_precip_tpu.ops.bbmm import lanczos_logdet, mbcg
+from nonstationary_precip_tpu.parallel.mesh import DATA_AXIS
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _default_cross(kernel, xa, xb):
+    return kernel(xa, xb)
+
+
+def _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn):
+    """Local (N/P, N) row-block of K + σ²I.  The σ² ridge lands on the
+    global diagonal: local row j is global row axis_index·(N/P) + j."""
+    nl = x_local.shape[0]
+    n = x.shape[0]
+    k_local = cross_fn(kernel, x_local, x)
+    idx = jax.lax.axis_index(axis) * nl + jnp.arange(nl)
+    mask = (jnp.arange(n)[None, :] == idx[:, None]).astype(k_local.dtype)
+    return k_local + sigma2 * mask
+
+
+def _check_divisible(n, n_dev, what):
+    if n % n_dev:
+        raise ValueError(
+            f"sharded CG: {what} length {n} is not divisible by the mesh "
+            f"size {n_dev} — pad the data (padding Gram rows is NOT "
+            "neutral: fake train points change the solve)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# MLL (differentiable w.r.t. kernel params, y, sigma2)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
+    """Per-(mesh, settings) compiled machinery; lru_cache keeps function
+    identity stable so jitted callers don't retrace across steps."""
+
+    def fwd_inner(kernel, x_local, x, resid, probes, sigma2):
+        k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+
+        def matvec(v):  # (N, R) replicated → (N, R) replicated
+            return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+
+        rhs = jnp.concatenate([resid[:, None], probes], axis=1)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol)
+        return res.x, res.alphas, res.betas, jnp.any(res.broke)
+
+    fwd_sm = shard_map(
+        fwd_inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def bwd_inner(kernel, x_local, x, sigma2, alpha_l, alpha, solves_l, rights, gk):
+        # symmetrised local rows of dMLL/dK = ½ααᵀ − ½·mean_i (K⁻¹zᵢ)rᵢᵀ:
+        # transpose handled analytically so no (N, N) object ever forms.
+        r = rights.shape[-1]
+        rights_l = jax.lax.dynamic_slice_in_dim(
+            rights, jax.lax.axis_index(axis) * alpha_l.shape[0], alpha_l.shape[0]
+        )
+        solves = jax.lax.all_gather(solves_l, axis, tiled=True)
+        kbar_l = (
+            0.5 * jnp.outer(alpha_l, alpha)
+            - (0.25 / r) * (solves_l @ rights.T + rights_l @ solves.T)
+        )
+
+        def build(kern, s2):
+            return _gram_rows(kern, x_local, x, s2, axis, cross_fn)
+
+        _, vjp = jax.vjp(build, kernel, sigma2)
+        kgrad, s2grad = vjp(gk * kbar_l)
+        return (
+            jax.tree.map(lambda t: jax.lax.psum(t, axis), kgrad),
+            jax.lax.psum(s2grad, axis),
+        )
+
+    bwd_sm = shard_map(
+        bwd_inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def mll(kernel, x, resid, probes, sigma2):
+        val, _ = mll_fwd(kernel, x, resid, probes, sigma2)
+        return val
+
+    def mll_fwd(kernel, x, resid, probes, sigma2):
+        n = resid.shape[0]
+        sols, alphas, betas, broke = fwd_sm(kernel, x, x, resid, probes, sigma2)
+        alpha = sols[:, 0]
+        probe_solves = sols[:, 1:]
+        probe_w = jnp.sum(probes * probes, axis=0)  # = n for Rademacher
+        logdet = lanczos_logdet(alphas[:, 1:], betas[:, 1:], probe_w)
+        val = (
+            -0.5 * jnp.dot(resid, alpha)
+            - 0.5 * logdet
+            - 0.5 * n * jnp.log(jnp.asarray(2.0 * jnp.pi, resid.dtype))
+        )
+        val = jnp.where(broke, jnp.nan, val)
+        return val, (kernel, x, sigma2, alpha, probe_solves, probes)
+
+    def mll_bwd(saved, g):
+        kernel, x, sigma2, alpha, probe_solves, probes = saved
+        kgrad, s2grad = bwd_sm(
+            kernel, x, x, sigma2, alpha, alpha, probe_solves, probes, g
+        )
+        rbar = -g * alpha
+        return (kgrad, jnp.zeros_like(x), rbar, jnp.zeros_like(probes), s2grad)
+
+    mll.defvjp(mll_fwd, mll_bwd)
+    return mll
+
+
+def sharded_cg_mll(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    key: jax.Array,
+    sigma2: jnp.ndarray,
+    mesh,
+    *,
+    num_probes: int = 8,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    axis: str = DATA_AXIS,
+    cross_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
+    K row-sharded over ``mesh``'s ``axis`` (never materialised globally).
+
+    Bit-compatible with the dense ``cg_mll`` under the same key (same row
+    dot products, partitioned).  Differentiable w.r.t. kernel params,
+    ``resid`` and ``sigma2`` via the saved-probe trace identity; ``x`` is
+    data, not a parameter — its cotangent is zero.  No preconditioner
+    (pivoted Cholesky needs global diagonal argmax; at sharded scale run
+    more iterations instead).  N must divide the mesh size.
+    """
+    _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    fn = _mll_machinery(
+        mesh, axis, num_probes, max_iters, tol, cross_fn or _default_cross
+    )
+    probes = jax.random.rademacher(key, (x.shape[0], num_probes), dtype=x.dtype)
+    return fn(kernel, x, resid, probes, sigma2)
+
+
+# ---------------------------------------------------------------------------
+# posterior (prediction — deterministic, no probes)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn):
+    def inner(kernel, x_local, x, x_test, resid_local, sigma2):
+        nl = resid_local.shape[0]
+        k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+        b_local = cross_fn(kernel, x_local, x_test)  # (N/P, N*)
+
+        def matvec(v):
+            return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+
+        rhs_local = jnp.concatenate([resid_local[:, None], b_local], axis=1)
+        rhs = jax.lax.all_gather(rhs_local, axis, tiled=True)  # (N, 1+N*)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol)
+        i0 = jax.lax.axis_index(axis) * nl
+        alpha_l = jax.lax.dynamic_slice_in_dim(res.x[:, 0], i0, nl)
+        solves_l = jax.lax.dynamic_slice_in_dim(res.x[:, 1:], i0, nl)
+        mean = jax.lax.psum(b_local.T @ alpha_l, axis)           # (N*,)
+        cov_term = jax.lax.psum(b_local.T @ solves_l, axis)      # (N*, N*)
+        k_ss = cross_fn(kernel, x_test, x_test)
+        cov = k_ss - 0.5 * (cov_term + cov_term.T)
+        bad = jnp.any(res.broke)
+        return (
+            jnp.where(bad, jnp.nan, mean),
+            jnp.where(bad, jnp.nan, cov),
+        )
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+
+def sharded_cg_posterior(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    x_test: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    mesh,
+    *,
+    max_iters: int = 1000,
+    tol: float = 1e-6,
+    axis: str = DATA_AXIS,
+    cross_fn: Optional[Callable] = None,
+):
+    """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
+    mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, all train-side solves by
+    row-sharded mBCG with 1+N* right-hand sides in one fixed-length scan.
+
+    The replicated footprint is O(N·N*) (the solve block) — chunk
+    ``x_test`` for large test sets; the N² Gram stays sharded.  Add the
+    caller's mean function / observation noise outside.
+    """
+    _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    fn = _posterior_machinery(mesh, axis, max_iters, tol, cross_fn or _default_cross)
+    return fn(kernel, x, x, x_test, resid, sigma2)

@@ -309,6 +309,61 @@ def test_grad_trace_term_unbiased_with_preconditioner():
     assert rel < 0.35
 
 
+@pytest.mark.parametrize("precond_rank", [0, 8])
+def test_exact_gp_cg_posterior_matches_cholesky(precond_rank):
+    """CG prediction is deterministic (no logdet → no probes): at tight CG
+    tolerance the posterior must match the Cholesky path to solver
+    accuracy, mean AND covariance, noiseless and predictive."""
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models.exact_gp import ExactGP
+
+    rng = np.random.default_rng(25)
+    x = jnp.asarray(rng.normal(size=(180, 2)), jnp.float64)
+    y = jnp.asarray(rng.normal(size=(180,)), jnp.float64)
+    xs = jnp.asarray(rng.normal(size=(40, 2)), jnp.float64)
+    model = ExactGP.create(
+        Scale.create(RBF.create(ard_dims=2, dtype=jnp.float64), dtype=jnp.float64),
+        noise=0.2,
+        dtype=jnp.float64,
+    )
+    ref = model.posterior(x, y, xs)
+    cg = model.posterior(
+        x, y, xs, solver="cg", max_iters=300, tol=1e-12,
+        precond_rank=precond_rank,
+    )
+    assert float(jnp.max(jnp.abs(cg.mean - ref.mean))) < 1e-7
+    assert float(jnp.max(jnp.abs(cg.cov - ref.cov))) < 1e-7
+    pref = model.predictive(x, y, xs)
+    pcg = model.predictive(x, y, xs, solver="cg", max_iters=300, tol=1e-12)
+    assert float(jnp.max(jnp.abs(pcg.cov - pref.cov))) < 1e-7
+
+
+def test_exact_gp_cg_posterior_poisons_on_breakdown():
+    """An indefinite train Gram must NaN the CG posterior, not return a
+    plausibly wrong field."""
+    from nonstationary_precip_tpu.kernels import RBF, Scale
+    from nonstationary_precip_tpu.models.exact_gp import ExactGP
+
+    rng = np.random.default_rng(26)
+    x = jnp.asarray(rng.normal(size=(60, 2)), jnp.float64)
+    y = jnp.asarray(rng.normal(size=(60,)), jnp.float64)
+    xs = jnp.asarray(rng.normal(size=(10, 2)), jnp.float64)
+    rbf = Scale.create(RBF.create(ard_dims=2, dtype=jnp.float64), dtype=jnp.float64)
+
+    class IndefiniteKernel:
+        """RBF minus a large ridge: k_xx + σ²I is indefinite."""
+
+        def __call__(self, x1, x2=None):
+            k = rbf(x1, x2)
+            if x2 is None or x2 is x1:
+                k = k - 1.5 * jnp.eye(x1.shape[0], dtype=k.dtype)
+            return k
+
+    model = ExactGP.create(IndefiniteKernel(), noise=0.05, dtype=jnp.float64)
+    post = model.posterior(x, y, xs, solver="cg", max_iters=60, tol=1e-12)
+    assert not bool(jnp.all(jnp.isfinite(post.mean)))
+
+
 def test_cg_breakdown_surfaces_not_silently_frozen():
     """An indefinite kmat must surface (broke flag → NaN mll), not train on
     a silently corrupted logdet/solve."""
