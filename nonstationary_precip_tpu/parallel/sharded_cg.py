@@ -107,13 +107,20 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
             - (0.25 / r) * (solves_l @ rights.T + rights_l @ solves.T)
         )
 
-        def build(kern, s2):
-            return _gram_rows(kern, x_local, x, s2, axis, cross_fn)
+        def build(kern, xl, xf, s2):
+            return _gram_rows(kern, xl, xf, s2, axis, cross_fn)
 
-        _, vjp = jax.vjp(build, kernel, sigma2)
-        kgrad, s2grad = vjp(gk * kbar_l)
+        _, vjp = jax.vjp(build, kernel, x_local, x, sigma2)
+        kgrad, xl_grad, xf_grad, s2grad = vjp(gk * kbar_l)
+        # x enters the row-block twice: as the local rows (cotangent stays
+        # sharded — reassembles positionally) and as the replicated column
+        # side (psum).  Their sum outside is the full dMLL/dx, which is
+        # what makes row-aligned kernel state (e.g. Gibbs per-point
+        # lengthscales packed into x) trainable through the sharded path.
         return (
             jax.tree.map(lambda t: jax.lax.psum(t, axis), kgrad),
+            xl_grad,
+            jax.lax.psum(xf_grad, axis),
             jax.lax.psum(s2grad, axis),
         )
 
@@ -121,7 +128,7 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
         bwd_inner,
         mesh=mesh,
         in_specs=(P(), P(axis), P(), P(), P(axis), P(), P(axis), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
     )
 
@@ -147,11 +154,11 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
 
     def mll_bwd(saved, g):
         kernel, x, sigma2, alpha, probe_solves, probes = saved
-        kgrad, s2grad = bwd_sm(
+        kgrad, xl_grad, xf_grad, s2grad = bwd_sm(
             kernel, x, x, sigma2, alpha, alpha, probe_solves, probes, g
         )
         rbar = -g * alpha
-        return (kgrad, jnp.zeros_like(x), rbar, jnp.zeros_like(probes), s2grad)
+        return (kgrad, xl_grad + xf_grad, rbar, jnp.zeros_like(probes), s2grad)
 
     mll.defvjp(mll_fwd, mll_bwd)
     return mll
@@ -176,8 +183,11 @@ def sharded_cg_mll(
 
     Bit-compatible with the dense ``cg_mll`` under the same key (same row
     dot products, partitioned).  Differentiable w.r.t. kernel params,
-    ``resid`` and ``sigma2`` via the saved-probe trace identity; ``x`` is
-    data, not a parameter — its cotangent is zero.  No preconditioner
+    ``x``, ``resid`` and ``sigma2`` via the saved-probe trace identity —
+    the ``x`` gradient is what lets row-aligned kernel state train
+    through this path (Gibbs per-point lengthscales: pack them into the
+    sharded rows, ``x_aug = concat([x, log_ell], 1)``, and unpack in
+    ``cross_fn``).  No preconditioner
     (pivoted Cholesky needs global diagonal argmax; at sharded scale run
     more iterations instead).  N must divide the mesh size.
     """

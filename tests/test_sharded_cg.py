@@ -102,6 +102,52 @@ def test_sharded_cg_rejects_indivisible_n():
         )
 
 
+def test_sharded_mll_gibbs_kernel_via_cross_fn():
+    """Nonstationary Gibbs kernel, whose per-point lengthscales align with
+    Gram ROWS: pack ell into the sharded row payload (x ∥ ell) and unpack
+    in cross_fn — the documented pattern for row-aligned kernel state."""
+    from nonstationary_precip_tpu.kernels import GibbsKernel
+
+    n, d = 160, 2
+    rng = np.random.default_rng(33)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    y = jnp.asarray(rng.normal(size=(n,)), jnp.float64)
+    log_ell = jnp.asarray(0.3 * rng.normal(size=(n, d)), jnp.float64)
+    s2 = jnp.asarray(0.3, jnp.float64)
+    mesh = make_mesh(N_DEV)
+    key = jax.random.PRNGKey(14)
+    gibbs = GibbsKernel()
+
+    def cross(kern, xa_aug, xb_aug):
+        xa, la = xa_aug[:, :d], jnp.exp(xa_aug[:, d:])
+        xb, lb = xb_aug[:, :d], jnp.exp(xb_aug[:, d:])
+        return kern(xa, la, xb, lb)
+
+    def f_sh(le, yy):
+        aug = jnp.concatenate([x, le], axis=1)
+        return sharded_cg_mll(
+            gibbs, aug, yy, key, s2, mesh,
+            num_probes=16, max_iters=250, tol=1e-12, cross_fn=cross,
+        )
+
+    val_sh, (g_ell, g_y) = jax.jit(
+        lambda le, yy: jax.value_and_grad(f_sh, argnums=(0, 1))(le, yy)
+    )(log_ell, y)
+
+    from nonstationary_precip_tpu.ops.bbmm import cg_mll
+
+    def f_dense(le, yy):
+        km = gibbs(x, jnp.exp(le)) + s2 * jnp.eye(n, dtype=jnp.float64)
+        return cg_mll(km, yy, key, s2, num_probes=16, max_iters=250, tol=1e-12)
+
+    val_d, (g_ell_d, g_y_d) = jax.value_and_grad(f_dense, argnums=(0, 1))(
+        log_ell, y
+    )
+    assert abs(float(val_sh - val_d)) < 1e-8
+    np.testing.assert_allclose(np.asarray(g_ell), np.asarray(g_ell_d), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_y), np.asarray(g_y_d), atol=1e-8)
+
+
 def test_sharded_mll_trains_under_jit_scan():
     """A tiny Adam loop over the sharded objective: one compiled scan,
     loss decreases — the custom VJP composes with optax + lax.scan."""

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Large-N exact-GP training-step timing on chip: blocked-Cholesky MLL vs
+the BBMM/CG + SLQ objective (ops/bbmm.py), the regime the reference
+trains in under ``gpytorch.settings.max_cg_iterations``
+(/root/reference/experiments/spatial_exp.py:199).
+
+One Adam step on (log-lengthscale, log-outputscale, raw noise) of an RBF
+GP, Gram rebuilt every step — the realistic per-iteration program.  Each
+(N, path) is ONE jitted scan of length STEPS so the ~28 ms axon dispatch
+amortises to <3 ms/step; numbers are wallclock best-of-3 of the scan.
+CG runs a fixed 64-iteration mBCG with 8 Rademacher probes (fixed key:
+common random numbers), no preconditioner — the synthetic problem is
+well-conditioned, so 64 iterations converge to ~1e-6.
+
+Writes tools/bench_cg.json.  Run alone (never share the TPU).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from nonstationary_precip_tpu.ops.bbmm import cg_mll  # noqa: E402
+from nonstationary_precip_tpu.ops.linalg import (  # noqa: E402
+    mvn_logpdf_from_chol,
+    safe_cholesky,
+)
+
+OUT = Path(__file__).parent / "bench_cg.json"
+STEPS = 10
+results = {}
+
+
+def log(name, **kw):
+    results[name] = kw
+    print(name, kw, flush=True)
+    OUT.write_text(json.dumps(results, indent=2))
+
+
+def _data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
+    y = jnp.sin(2 * x[:, 0]) * jnp.cos(x[:, 1]) + 0.1 * jnp.asarray(
+        rng.normal(size=n), jnp.float32
+    )
+    return x, y
+
+
+def _gram(params, x):
+    ell = jnp.exp(params["log_ell"])
+    s = jnp.exp(params["log_s"])
+    sq = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    return s * jnp.exp(-0.5 * sq / ell**2)
+
+
+def _loss_chol(params, x, y):
+    n = y.shape[0]
+    k = _gram(params, x) + jnp.exp(params["log_noise"]) * jnp.eye(n, dtype=x.dtype)
+    return -mvn_logpdf_from_chol(y, jnp.zeros_like(y), safe_cholesky(k)) / n
+
+
+def _loss_cg(params, x, y, key):
+    n = y.shape[0]
+    s2 = jnp.exp(params["log_noise"])
+    k = _gram(params, x) + s2 * jnp.eye(n, dtype=x.dtype)
+    return -cg_mll(k, y, key, s2, num_probes=8, max_iters=64, tol=1e-6) / n
+
+
+def bench(n):
+    x, y = _data(n)
+    params0 = {
+        "log_ell": jnp.asarray(0.0, jnp.float32),
+        "log_s": jnp.asarray(0.0, jnp.float32),
+        "log_noise": jnp.asarray(-2.0, jnp.float32),
+    }
+    opt = optax.adam(1e-2)
+    key = jax.random.PRNGKey(5)
+
+    def scanned(loss_fn):
+        @jax.jit
+        def run(params):
+            st = opt.init(params)
+
+            def body(carry, _):
+                p, s = carry
+                val, g = jax.value_and_grad(loss_fn)(p)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(p, up), s), val
+
+            (p, _), vals = jax.lax.scan(body, (params, st), None, length=STEPS)
+            return p, vals
+
+        return run
+
+    run_chol = scanned(lambda p: _loss_chol(p, x, y))
+    run_cg = scanned(lambda p: _loss_cg(p, x, y, key))
+
+    for name, run in (("chol", run_chol), ("cg", run_cg)):
+        t_compile = time.perf_counter()
+        p, vals = run(params0)
+        jax.block_until_ready(vals)
+        t_compile = time.perf_counter() - t_compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params0)[1])
+            ts.append(time.perf_counter() - t0)
+        ms_per_step = min(ts) / STEPS * 1e3
+        log(
+            f"{name}-{n}",
+            ms_per_step=round(ms_per_step, 2),
+            first_call_s=round(t_compile, 1),
+            loss0=float(vals[0]),
+            lossT=float(vals[-1]),
+            finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+        )
+
+
+def main(sizes):
+    from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+    print("devices:", jax.devices(), flush=True)
+    for n in sizes:
+        bench(n)
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
+    main(sizes)
