@@ -42,6 +42,15 @@ def test_quickstart_cg_largen(capsys):
     assert "ok" in capsys.readouterr().out
 
 
+def test_quickstart_sharded_largen(capsys):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    _load("quickstart_sharded_largen").main(n=240, num_steps=4)
+    assert "ok" in capsys.readouterr().out
+
+
 def test_quickstart_dataparallel(capsys):
     import jax
 
