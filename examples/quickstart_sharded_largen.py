@@ -42,6 +42,12 @@ def main(n=2048, num_steps=25):
     # NSGP_ON_TPU=1 to run over real devices instead
     if not os.environ.get("NSGP_ON_TPU"):
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # real hardware: survive the known backend-outage windows where a
+        # bare jax.devices() raises or hangs with the failure cached
+        from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend()
     import jax.numpy as jnp
     import optax
 
@@ -94,7 +100,9 @@ def main(n=2048, num_steps=25):
     k_dense = kernel(x) + s2 * jnp.eye(n, dtype=jnp.float32)
     dense = float(cg_mll(k_dense, y, key, s2, num_probes=8, max_iters=100, tol=1e-6))
     sharded = float(loss(kernel))
-    print(f"sharded vs dense CG MLL |Δ| = {abs(-sharded - dense):.2e}")
+    dmll = abs(-sharded - dense)
+    print(f"sharded vs dense CG MLL |Δ| = {dmll:.2e}")
+    assert dmll < 1e-2 * max(1.0, abs(dense)), dmll  # f32 end-to-end parity
 
     # --- 3. sharded posterior vs dense Cholesky ----------------------------
     mean, cov = sharded_cg_posterior(

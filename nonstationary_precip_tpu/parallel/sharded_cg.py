@@ -57,6 +57,30 @@ def _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn):
     return k_local + sigma2 * mask
 
 
+_SEEN_CROSS_FN = {}  # code object -> last function identity seen for it
+
+
+def _warn_unstable_cross_fn(cross_fn):
+    """Detect the per-call-closure anti-pattern: the same code object
+    arriving under a fresh function identity means every call cache-misses
+    ``_mll_machinery`` and retraces (minutes per axon recompile)."""
+    code = getattr(cross_fn, "__code__", None)
+    if code is None:
+        return
+    prev = _SEEN_CROSS_FN.get(code)
+    if prev is not None and prev is not cross_fn:
+        import warnings
+
+        warnings.warn(
+            "sharded CG: cross_fn is a new closure over the same code as a "
+            "previous call — each fresh identity forces a full retrace and "
+            "remote recompile. Define cross_fn once at module scope (or "
+            "cache it) so its identity is stable across steps.",
+            stacklevel=3,
+        )
+    _SEEN_CROSS_FN[code] = cross_fn
+
+
 def _check_divisible(n, n_dev, what):
     if n % n_dev:
         raise ValueError(
@@ -71,10 +95,16 @@ def _check_divisible(n, n_dev, what):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
     """Per-(mesh, settings) compiled machinery; lru_cache keeps function
-    identity stable so jitted callers don't retrace across steps."""
+    identity stable so jitted callers don't retrace across steps.
+
+    The cache keys on ``cross_fn`` object identity: a closure minted per
+    call would miss every time (fresh custom_vjp identity → jit retrace,
+    minutes per remote compile on axon).  ``sharded_cg_mll`` warns when
+    it sees a new cross_fn identity more than once — define cross_fn at
+    module scope (or cache it yourself) so the identity is stable."""
 
     def fwd_inner(kernel, x_local, x, resid, probes, sigma2):
         k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
@@ -94,14 +124,17 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
         check_vma=False,
     )
 
-    def bwd_inner(kernel, x_local, x, sigma2, alpha_l, alpha, solves_l, rights, gk):
+    def bwd_inner(
+        kernel, x_local, x, sigma2, alpha_l, alpha, solves_l, solves, rights, gk
+    ):
         # symmetrised local rows of dMLL/dK = ½ααᵀ − ½·mean_i (K⁻¹zᵢ)rᵢᵀ:
         # transpose handled analytically so no (N, N) object ever forms.
+        # solves rides in twice like alpha — sharded rows + the replicated
+        # copy the caller already holds — so no all_gather in the backward.
         r = rights.shape[-1]
         rights_l = jax.lax.dynamic_slice_in_dim(
             rights, jax.lax.axis_index(axis) * alpha_l.shape[0], alpha_l.shape[0]
         )
-        solves = jax.lax.all_gather(solves_l, axis, tiled=True)
         kbar_l = (
             0.5 * jnp.outer(alpha_l, alpha)
             - (0.25 / r) * (solves_l @ rights.T + rights_l @ solves.T)
@@ -127,7 +160,7 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
     bwd_sm = shard_map(
         bwd_inner,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P(axis), P(), P(axis), P(), P()),
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(), P(axis), P(), P(), P()),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
     )
@@ -155,7 +188,7 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
     def mll_bwd(saved, g):
         kernel, x, sigma2, alpha, probe_solves, probes = saved
         kgrad, xl_grad, xf_grad, s2grad = bwd_sm(
-            kernel, x, x, sigma2, alpha, alpha, probe_solves, probes, g
+            kernel, x, x, sigma2, alpha, alpha, probe_solves, probe_solves, probes, g
         )
         rbar = -g * alpha
         return (kgrad, xl_grad + xf_grad, rbar, jnp.zeros_like(probes), s2grad)
@@ -189,9 +222,14 @@ def sharded_cg_mll(
     sharded rows, ``x_aug = concat([x, log_ell], 1)``, and unpack in
     ``cross_fn``).  No preconditioner
     (pivoted Cholesky needs global diagonal argmax; at sharded scale run
-    more iterations instead).  N must divide the mesh size.
+    more iterations instead).  The mesh axis size must divide N.
+
+    ``cross_fn`` must have a stable identity across calls (module-level
+    function, not a per-call closure) — machinery is cached per identity
+    and a fresh closure each step forces a full retrace/recompile.
     """
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    _warn_unstable_cross_fn(cross_fn)
     fn = _mll_machinery(
         mesh, axis, num_probes, max_iters, tol, cross_fn or _default_cross
     )
@@ -204,7 +242,7 @@ def sharded_cg_mll(
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn):
     def inner(kernel, x_local, x, x_test, resid_local, sigma2):
         nl = resid_local.shape[0]
@@ -261,5 +299,6 @@ def sharded_cg_posterior(
     caller's mean function / observation noise outside.
     """
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    _warn_unstable_cross_fn(cross_fn)
     fn = _posterior_machinery(mesh, axis, max_iters, tol, cross_fn or _default_cross)
     return fn(kernel, x, x, x_test, resid, sigma2)

@@ -6,8 +6,9 @@ trains in under ``gpytorch.settings.max_cg_iterations``
 
 One Adam step on (log-lengthscale, log-outputscale, raw noise) of an RBF
 GP, Gram rebuilt every step — the realistic per-iteration program.  Each
-(N, path) is ONE jitted scan of length STEPS so the ~28 ms axon dispatch
-amortises to <3 ms/step; numbers are wallclock best-of-3 of the scan.
+(N, path) is timed DIFFERENTIALLY (CLAUDE.md rule): jitted scans of
+length S and 2S, ms/step = (T₂ − T₁)/S over best-of-3, which cancels the
+~28 ms axon dispatch exactly instead of amortising it.
 CG runs a fixed 64-iteration mBCG with 8 Rademacher probes (fixed key:
 common random numbers), no preconditioner — the synthetic problem is
 well-conditioned, so 64 iterations converge to ~1e-6.
@@ -41,7 +42,8 @@ from nonstationary_precip_tpu.ops.linalg import (  # noqa: E402
 
 OUT = Path(__file__).parent / "bench_cg.json"
 STEPS = 10
-results = {}
+# merge into prior rows so a single-size rerun never clobbers the file
+results = json.loads(OUT.read_text()) if OUT.exists() else {}
 
 
 def log(name, **kw):
@@ -89,7 +91,7 @@ def bench(n):
     opt = optax.adam(1e-2)
     key = jax.random.PRNGKey(5)
 
-    def scanned(loss_fn):
+    def scanned(loss_fn, steps):
         @jax.jit
         def run(params):
             st = opt.init(params)
@@ -100,28 +102,32 @@ def bench(n):
                 up, s = opt.update(g, s)
                 return (optax.apply_updates(p, up), s), val
 
-            (p, _), vals = jax.lax.scan(body, (params, st), None, length=STEPS)
+            (p, _), vals = jax.lax.scan(body, (params, st), None, length=steps)
             return p, vals
 
         return run
 
-    run_chol = scanned(lambda p: _loss_chol(p, x, y))
-    run_cg = scanned(lambda p: _loss_cg(p, x, y, key))
-
-    for name, run in (("chol", run_chol), ("cg", run_cg)):
-        t_compile = time.perf_counter()
-        p, vals = run(params0)
-        jax.block_until_ready(vals)
-        t_compile = time.perf_counter() - t_compile
+    def timed(run):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             jax.block_until_ready(run(params0)[1])
             ts.append(time.perf_counter() - t0)
-        ms_per_step = min(ts) / STEPS * 1e3
+        return min(ts)
+
+    losses = {"chol": lambda p: _loss_chol(p, x, y), "cg": lambda p: _loss_cg(p, x, y, key)}
+    for name, loss_fn in losses.items():
+        run1 = scanned(loss_fn, STEPS)
+        run2 = scanned(loss_fn, 2 * STEPS)
+        t_compile = time.perf_counter()
+        _, vals = run1(params0)
+        jax.block_until_ready(vals)
+        jax.block_until_ready(run2(params0)[1])  # warm the 2S program too
+        t_compile = time.perf_counter() - t_compile
+        ms_per_step = (timed(run2) - timed(run1)) / STEPS * 1e3
         log(
             f"{name}-{n}",
-            ms_per_step=round(ms_per_step, 2),
+            ms_per_step=round(ms_per_step, 3),
             first_call_s=round(t_compile, 1),
             loss0=float(vals[0]),
             lossT=float(vals[-1]),
