@@ -64,6 +64,7 @@ class ExactGP:
         num_probes: int = 16,
         max_iters: int = 1000,
         precond_rank: int = 0,
+        block: Optional[int] = None,
     ) -> jnp.ndarray:
         """log N(y; m, K + σ²I) / N — GPyTorch's ExactMarginalLogLikelihood
         scaling (loss = −mll).
@@ -74,20 +75,43 @@ class ExactGP:
         Lanczos-quadrature logdet, the regime the reference trains in under
         ``gpytorch.settings.max_cg_iterations`` (reference
         ``experiments/spatial_exp.py:199``); requires ``key``;
-        ``precond_rank > 0`` enables the pivoted-Cholesky preconditioner."""
+        ``precond_rank > 0`` enables the pivoted-Cholesky preconditioner.
+        ``block`` (cg only) switches to the MATRIX-FREE path
+        (``ops/lazy_cg.py``): the N×N Gram is never materialised, only
+        (block, N) row panels — same estimator, O(block·N) memory, for N
+        past the dense Gram's HBM wall."""
         if solver not in ("chol", "cg"):
             raise ValueError(
                 f"solver must be 'chol' or 'cg', got {solver!r}"
             )
+        if block is not None and solver != "cg":
+            raise ValueError("block= (matrix-free) requires solver='cg'")
         n = y.shape[-1]
-        k = self.kernel(x)
-        k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
         if solver == "cg":
             if key is None:
                 raise ValueError("solver='cg' requires a PRNG key")
+            resid = y - self.mean(x)
+            if block is not None:
+                from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
+
+                return (
+                    lazy_cg_mll(
+                        self.kernel,
+                        x,
+                        resid,
+                        key,
+                        self.likelihood.noise,
+                        block=block,
+                        num_probes=num_probes,
+                        max_iters=max_iters,
+                        precond_rank=precond_rank,
+                    )
+                    / n
+                )
             from nonstationary_precip_tpu.ops.bbmm import cg_mll
 
-            resid = y - self.mean(x)
+            k = self.kernel(x)
+            k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
             return (
                 cg_mll(
                     k_noisy,
@@ -100,6 +124,8 @@ class ExactGP:
                 )
                 / n
             )
+        k = self.kernel(x)
+        k_noisy = k + self.likelihood.noise * jnp.eye(n, dtype=k.dtype)
         chol = safe_cholesky(k_noisy)
         return mvn_logpdf_from_chol(y, self.mean(x), chol) / n
 
@@ -119,6 +145,7 @@ class ExactGP:
         max_iters: int = 1000,
         tol: float = 1e-6,
         precond_rank: int = 0,
+        block: Optional[int] = None,
     ) -> MVN:
         """Exact GP posterior p(f* | y) (add_noise for the predictive).
 
@@ -133,6 +160,30 @@ class ExactGP:
         enables the pivoted-Cholesky/Woodbury preconditioner."""
         if solver not in ("chol", "cg"):
             raise ValueError(f"solver must be 'chol' or 'cg', got {solver!r}")
+        if block is not None:
+            # matrix-free route (ops/lazy_cg.py): the train Gram never
+            # materialises — only (block, N) row panels inside the solve
+            if solver != "cg":
+                raise ValueError("block= (matrix-free) requires solver='cg'")
+            from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_posterior
+
+            mean_f, cov = lazy_cg_posterior(
+                self.kernel,
+                x_train,
+                y_train - self.mean(x_train),
+                x_test,
+                self.likelihood.noise,
+                block=block,
+                max_iters=max_iters,
+                tol=tol,
+                precond_rank=precond_rank,
+            )
+            mean = self.mean(x_test) + mean_f
+            if not noiseless:
+                cov = cov + self.likelihood.noise * jnp.eye(
+                    cov.shape[-1], dtype=cov.dtype
+                )
+            return MVN(mean, cov)
         n = y_train.shape[-1]
         k_xx = self.kernel(x_train) + self.likelihood.noise * jnp.eye(
             n, dtype=x_train.dtype

@@ -15,6 +15,11 @@ from nonstationary_precip_tpu.ops.bbmm import (  # noqa: F401
     mbcg,
     pivoted_cholesky,
 )
+from nonstationary_precip_tpu.ops.lazy_cg import (  # noqa: F401
+    lazy_cg_mll,
+    lazy_cg_posterior,
+    lazy_pivoted_cholesky,
+)
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points  # noqa: F401
 from nonstationary_precip_tpu.ops.pallas_chol import (  # noqa: F401
     chol_inv_batched_safe,

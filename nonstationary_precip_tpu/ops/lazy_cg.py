@@ -1,0 +1,367 @@
+"""Matrix-free ("lazy") BBMM on ONE chip: exact-GP MLL, gradients and
+posterior where the N×N Gram never materialises in HBM — only a
+(block, N) row panel exists transiently inside each matvec.
+
+This is the TPU-native counterpart of GPyTorch's LazyTensor /
+LinearOperator layer, the machinery the reference trains every exact
+model through implicitly (``gpytorch.settings.max_cg_iterations`` at
+reference ``experiments/spatial_exp.py:199``,
+``precipitation_baselines.py:117-119`` routes MLL solves and logdets
+through BBMM over a *lazily evaluated* kernel operator).  Our dense
+``ops/bbmm.py`` matches the math but still builds K ∈ R^{N×N}; this
+module removes that O(N²) memory wall on a single chip, the same way
+``parallel/sharded_cg.py`` removes it across a mesh:
+
+  * the mBCG matvec is a ``lax.map`` over row panels — each iteration
+    rebuilds rows [i·B, (i+1)·B) of K + σ²I from x (one fused Gram
+    construction + one (B, N)×(N, R) MXU matmul) and discards them;
+    peak memory is O(B·N + N·R) instead of O(N²),
+  * the custom-VJP pullback never forms the (N, N) cotangent either:
+    dMLL/dK = ½ααᵀ − ½·mean_i (K⁻¹zᵢ)rᵢᵀ is rank-(1+R), so each panel's
+    cotangent block is assembled on the fly from the saved CG solutions
+    and pulled back through that panel's Gram construction inside one
+    ``lax.scan`` — parameter/x/σ² gradients accumulate across panels,
+  * σ² rides the panel diagonal, so (unlike the dense ``cg_mll``, whose
+    K already contains the noise) its gradient falls out of the same
+    trace identity automatically,
+  * recomputing panels in the backward instead of saving them is the
+    classic rematerialisation trade: Gram FLOPs are cheap next to the
+    HBM an (N, N) residency would cost.
+
+Same-key bit-compatibility: the panels compute the same row dot
+products as the dense path (merely partitioned), so with the same PRNG
+key the CG trajectory, SLQ probes and MLL value agree with
+``ops/bbmm.cg_mll`` to rounding — tested in ``tests/test_lazy_cg.py``.
+
+Kernels whose state aligns with Gram rows (Gibbs per-point
+lengthscales) use the same packed-payload pattern as the sharded path:
+``x_aug = concat([x, log_ell], 1)`` with a module-level ``cross_fn``
+that unpacks.  ``cross_fn`` identity must be stable across calls
+(machinery is cached per identity; a per-call closure forces a full
+retrace and, on axon, minutes of remote recompile).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nonstationary_precip_tpu.ops.bbmm import (
+    lanczos_logdet,
+    mbcg,
+    precond_logdet,
+    sample_precond_probes,
+)
+
+
+def default_cross(kernel, xa, xb):
+    return kernel(xa, xb)
+
+
+_SEEN_CROSS_FN = {}  # code object -> last function identity seen for it
+
+
+def warn_unstable_cross_fn(cross_fn):
+    """Detect the per-call-closure anti-pattern: the same code object
+    arriving under a fresh function identity means every call cache-misses
+    the lru-cached machinery and retraces (minutes per axon recompile)."""
+    code = getattr(cross_fn, "__code__", None)
+    if code is None:
+        return
+    prev = _SEEN_CROSS_FN.get(code)
+    if prev is not None and prev is not cross_fn:
+        import warnings
+
+        warnings.warn(
+            "lazy/sharded CG: cross_fn is a new closure over the same code "
+            "as a previous call — each fresh identity forces a full retrace "
+            "and remote recompile. Define cross_fn once at module scope (or "
+            "cache it) so its identity is stable across steps.",
+            stacklevel=3,
+        )
+    _SEEN_CROSS_FN[code] = cross_fn
+
+
+def check_divisible(n: int, m: int, what: str, unit: str):
+    if n % m:
+        raise ValueError(
+            f"{what} length {n} is not divisible by the {unit} {m} — pad "
+            "the data (padding Gram rows is NOT neutral: fake train points "
+            "change the solve)"
+        )
+
+
+def _panel(kernel, x_blk, x, sigma2, i0, cross_fn):
+    """Rows [i0, i0+B) of K + σ²I: the only piece of the Gram that ever
+    exists.  The σ² ridge lands on the global diagonal via a row-index
+    mask (no dynamic sublane indexing)."""
+    kb = cross_fn(kernel, x_blk, x)
+    n = x.shape[0]
+    idx = i0 + jnp.arange(x_blk.shape[0])
+    mask = (jnp.arange(n)[None, :] == idx[:, None]).astype(kb.dtype)
+    return kb + sigma2 * mask
+
+
+def _lazy_matvec(kernel, x, sigma2, block, cross_fn):
+    """(N, R) → (N, R) multiply by K + σ²I, one (block, N) panel at a
+    time.  ``lax.map`` keeps exactly one panel live."""
+    n, d = x.shape
+    nb = n // block
+    x_panels = x.reshape(nb, block, d)
+    starts = jnp.arange(nb) * block
+
+    def matvec(v):
+        def body(args):
+            i0, x_blk = args
+            return _panel(kernel, x_blk, x, sigma2, i0, cross_fn) @ v
+
+        out = jax.lax.map(body, (starts, x_panels))  # (nb, B, R)
+        return out.reshape(n, v.shape[-1])
+
+    return matvec
+
+
+def _woodbury(lpc, s2):
+    """P⁻¹ for P = LLᵀ + σ²I (see ops/bbmm.woodbury_precond; rebuilt here
+    from the raw factor so the machinery closes over data, not callables)."""
+    kk = lpc.shape[-1]
+    inner = s2 * jnp.eye(kk, dtype=lpc.dtype) + lpc.T @ lpc
+    cf = jax.scipy.linalg.cho_factor(inner, lower=True)
+    return lambda v: (v - lpc @ jax.scipy.linalg.cho_solve(cf, lpc.T @ v)) / s2
+
+
+def lazy_pivoted_cholesky(
+    kernel,
+    x: jnp.ndarray,
+    rank: int,
+    cross_fn: Callable = default_cross,
+    jitter: float = 1e-8,
+):
+    """Rank-``rank`` pivoted Cholesky of the NOISE-FREE K(x, x) without
+    materialising it: the diagonal comes from vmapped single-point
+    evaluations, each pivot row from one (1, N) cross-Gram build.  Same
+    greedy recursion as ``ops/bbmm.pivoted_cholesky`` (which needs the
+    dense matrix), so the two agree to rounding given the same pivots."""
+    n = x.shape[0]
+    d = jax.vmap(lambda xi: cross_fn(kernel, xi[None], xi[None])[0, 0])(x)
+    l = jnp.zeros((n, rank), x.dtype)
+    for j in range(rank):
+        piv = jnp.argmax(d)
+        dmax = d[piv]
+        xp = jax.lax.dynamic_slice_in_dim(x, piv, 1)
+        krow = cross_fn(kernel, xp, x)[0]  # (N,)
+        lrow = jax.lax.dynamic_slice_in_dim(l, piv, 1)[0]  # (rank,)
+        resid = krow - l @ lrow
+        col = resid / jnp.sqrt(jnp.maximum(dmax, jitter))
+        col = jnp.where(d > 0.0, col, 0.0)
+        l = l.at[:, j].set(col)
+        d = jnp.maximum(d - col * col, 0.0)
+        d = d * (1.0 - (jnp.arange(n) == piv).astype(d.dtype))
+    return l
+
+
+# ---------------------------------------------------------------------------
+# MLL (differentiable w.r.t. kernel params, x, resid, sigma2)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _mll_machinery(block, num_probes, max_iters, tol, precond_rank, cross_fn):
+    """Per-settings compiled machinery; lru_cache keeps the custom_vjp
+    identity stable so jitted callers don't retrace across steps."""
+
+    def core_fwd(kernel, x, resid, probes, sigma2, lpc):
+        n = resid.shape[0]
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        if precond_rank > 0:
+            # the preconditioner parameterises the ESTIMATOR, not the
+            # estimand — frozen, exactly as in the dense path
+            s2 = jax.lax.stop_gradient(sigma2)
+            minv = _woodbury(lpc, s2)
+            probe_rights = minv(probes)  # E[z (P⁻¹z)ᵀ] = I for z ~ N(0, P)
+            probe_w = jnp.sum(probes * probe_rights, axis=0)
+            logdet_p = precond_logdet(lpc, s2, n)
+        else:
+            minv = None
+            probe_rights = probes  # E[z zᵀ] = I for Rademacher
+            probe_w = jnp.sum(probes * probes, axis=0)  # = n exactly
+            logdet_p = jnp.asarray(0.0, resid.dtype)
+        rhs = jnp.concatenate([resid[:, None], probes], axis=1)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
+        alpha = res.x[:, 0]
+        probe_solves = res.x[:, 1:]
+        logdet = logdet_p + lanczos_logdet(
+            res.alphas[:, 1:], res.betas[:, 1:], probe_w
+        )
+        val = (
+            -0.5 * jnp.dot(resid, alpha)
+            - 0.5 * logdet
+            - 0.5 * n * jnp.log(jnp.asarray(2.0 * jnp.pi, resid.dtype))
+        )
+        val = jnp.where(jnp.any(res.broke), jnp.nan, val)
+        return val, (kernel, x, sigma2, alpha, probe_solves, probe_rights)
+
+    def core_bwd(saved, g):
+        kernel, x, sigma2, alpha, solves, rights = saved
+        n, d = x.shape
+        nb = n // block
+        r = rights.shape[-1]
+        x_panels = x.reshape(nb, block, d)
+        alpha_p = alpha.reshape(nb, block)
+        solves_p = solves.reshape(nb, block, r)
+        rights_p = rights.reshape(nb, block, r)
+
+        def build(kern, x_blk, x_full, s2, i0):
+            return _panel(kern, x_blk, x_full, s2, i0, cross_fn)
+
+        def body(carry, inp):
+            kg_acc, xf_acc, s2_acc = carry
+            i, x_blk, a_l, s_l, r_l = inp
+            # symmetrised panel rows of dMLL/dK = ½ααᵀ − ½·mean (K⁻¹z)rᵀ —
+            # rank-(1+R), assembled from the saved vectors, never (N, N)
+            kbar_l = 0.5 * jnp.outer(a_l, alpha) - (0.25 / r) * (
+                s_l @ rights.T + r_l @ solves.T
+            )
+            _, vjp = jax.vjp(
+                lambda kern, xb, xf, s2: build(kern, xb, xf, s2, i * block),
+                kernel, x_blk, x, sigma2,
+            )
+            kg, xbg, xfg, s2g = vjp(g * kbar_l)
+            carry = (
+                jax.tree.map(jnp.add, kg_acc, kg),
+                xf_acc + xfg,
+                s2_acc + s2g,
+            )
+            # x enters each panel twice: as the panel rows (cotangent emitted
+            # per panel, reassembles positionally) and as the full column
+            # side (accumulated) — the sum is the complete dMLL/dx, which is
+            # what makes row-aligned kernel state (packed Gibbs lengthscales)
+            # trainable through the lazy path.
+            return carry, xbg
+
+        init = (
+            jax.tree.map(jnp.zeros_like, kernel),
+            jnp.zeros_like(x),
+            jnp.zeros_like(sigma2),
+        )
+        (kg, xfg, s2g), xbg = jax.lax.scan(
+            body, init, (jnp.arange(nb), x_panels, alpha_p, solves_p, rights_p)
+        )
+        xgrad = xbg.reshape(n, d) + xfg
+        rbar = -g * alpha
+        return (kg, xgrad, rbar, jnp.zeros_like(rights),
+                s2g, jnp.zeros((n, precond_rank), x.dtype))
+
+    @jax.custom_vjp
+    def core(kernel, x, resid, probes, sigma2, lpc):
+        val, _ = core_fwd(kernel, x, resid, probes, sigma2, lpc)
+        return val
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def lazy_cg_mll(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    key: jax.Array,
+    sigma2: jnp.ndarray,
+    *,
+    block: int = 1024,
+    num_probes: int = 8,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    precond_rank: int = 0,
+    cross_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
+    K never materialised (peak memory O(block·N), see module docstring).
+
+    Bit-compatible with the dense ``ops/bbmm.cg_mll`` under the same key.
+    Differentiable w.r.t. kernel params, ``x``, ``resid`` AND ``sigma2``
+    (the noise rides the panel diagonal here, so — unlike the dense path,
+    whose K already contains it — its unbiased trace-identity gradient
+    falls out of the same pullback).  ``precond_rank > 0`` enables the
+    pivoted-Cholesky/Woodbury preconditioner, built lazily too.
+    ``block`` must divide N (it is clamped to N first, so N ≤ block
+    always works)."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    fn = _mll_machinery(block, num_probes, max_iters, tol, precond_rank, cross)
+    if precond_rank > 0:
+        lpc = jax.lax.stop_gradient(
+            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+        )
+        probes = sample_precond_probes(
+            key, lpc, jax.lax.stop_gradient(sigma2), num_probes
+        )
+    else:
+        lpc = jnp.zeros((n, 0), x.dtype)
+        probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
+    return fn(kernel, x, resid, probes, sigma2, lpc)
+
+
+# ---------------------------------------------------------------------------
+# posterior (prediction — deterministic, no probes)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _posterior_machinery(block, max_iters, tol, precond_rank, cross_fn):
+    def posterior(kernel, x, resid, x_test, sigma2, lpc):
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        minv = _woodbury(lpc, sigma2) if precond_rank > 0 else None
+        b_cols = cross_fn(kernel, x, x_test)  # (N, N*)
+        rhs = jnp.concatenate([resid[:, None], b_cols], axis=1)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
+        mean = b_cols.T @ res.x[:, 0]
+        cov_term = b_cols.T @ res.x[:, 1:]  # (N*, N*)
+        k_ss = cross_fn(kernel, x_test, x_test)
+        cov = k_ss - 0.5 * (cov_term + cov_term.T)
+        bad = jnp.any(res.broke)
+        return jnp.where(bad, jnp.nan, mean), jnp.where(bad, jnp.nan, cov)
+
+    return posterior
+
+
+def lazy_cg_posterior(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    x_test: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    *,
+    block: int = 1024,
+    max_iters: int = 1000,
+    tol: float = 1e-6,
+    precond_rank: int = 0,
+    cross_fn: Optional[Callable] = None,
+):
+    """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
+    mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, train-side solves by mBCG
+    over lazy row panels with 1+N* right-hand sides in one fixed-length
+    scan.  The footprint is O(block·N + N·N*) — chunk ``x_test`` for
+    large test sets; the N² Gram never exists.  Add the caller's mean
+    function / observation noise outside."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross)
+    if precond_rank > 0:
+        lpc = jax.lax.stop_gradient(
+            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+        )
+        s2 = jax.lax.stop_gradient(sigma2)
+    else:
+        lpc = jnp.zeros((n, 0), x.dtype)
+        s2 = sigma2
+    return fn(kernel, x, resid, x_test, s2, lpc)

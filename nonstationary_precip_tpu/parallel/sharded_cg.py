@@ -34,16 +34,17 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from nonstationary_precip_tpu.ops.bbmm import lanczos_logdet, mbcg
+from nonstationary_precip_tpu.ops.lazy_cg import (
+    check_divisible as _shared_check_divisible,
+    default_cross as _default_cross,
+    warn_unstable_cross_fn as _warn_unstable_cross_fn,
+)
 from nonstationary_precip_tpu.parallel.mesh import DATA_AXIS
 
 try:  # jax >= 0.8
     from jax import shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-
-
-def _default_cross(kernel, xa, xb):
-    return kernel(xa, xb)
 
 
 def _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn):
@@ -57,37 +58,10 @@ def _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn):
     return k_local + sigma2 * mask
 
 
-_SEEN_CROSS_FN = {}  # code object -> last function identity seen for it
-
-
-def _warn_unstable_cross_fn(cross_fn):
-    """Detect the per-call-closure anti-pattern: the same code object
-    arriving under a fresh function identity means every call cache-misses
-    ``_mll_machinery`` and retraces (minutes per axon recompile)."""
-    code = getattr(cross_fn, "__code__", None)
-    if code is None:
-        return
-    prev = _SEEN_CROSS_FN.get(code)
-    if prev is not None and prev is not cross_fn:
-        import warnings
-
-        warnings.warn(
-            "sharded CG: cross_fn is a new closure over the same code as a "
-            "previous call — each fresh identity forces a full retrace and "
-            "remote recompile. Define cross_fn once at module scope (or "
-            "cache it) so its identity is stable across steps.",
-            stacklevel=3,
-        )
-    _SEEN_CROSS_FN[code] = cross_fn
-
-
 def _check_divisible(n, n_dev, what):
-    if n % n_dev:
-        raise ValueError(
-            f"sharded CG: {what} length {n} is not divisible by the mesh "
-            f"size {n_dev} — pad the data (padding Gram rows is NOT "
-            "neutral: fake train points change the solve)"
-        )
+    # shared with the single-chip lazy path (ops/lazy_cg.py), which also
+    # owns the unstable-cross_fn retrace warning
+    _shared_check_divisible(n, n_dev, what, "mesh size")
 
 
 # ---------------------------------------------------------------------------

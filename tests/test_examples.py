@@ -42,6 +42,11 @@ def test_quickstart_cg_largen(capsys):
     assert "ok" in capsys.readouterr().out
 
 
+def test_quickstart_lazy_largen(capsys):
+    _load("quickstart_lazy_largen").main(n=240, num_steps=4, block=60)
+    assert "ok" in capsys.readouterr().out
+
+
 def test_quickstart_sharded_largen(capsys):
     import jax
 
