@@ -65,6 +65,7 @@ class ExactGP:
         max_iters: int = 1000,
         precond_rank: int = 0,
         block: Optional[int] = None,
+        matvec_builder=None,
     ) -> jnp.ndarray:
         """log N(y; m, K + σ²I) / N — GPyTorch's ExactMarginalLogLikelihood
         scaling (loss = −mll).
@@ -79,7 +80,11 @@ class ExactGP:
         ``block`` (cg only) switches to the MATRIX-FREE path
         (``ops/lazy_cg.py``): the N×N Gram is never materialised, only
         (block, N) row panels — same estimator, O(block·N) memory, for N
-        past the dense Gram's HBM wall."""
+        past the dense Gram's HBM wall.  ``matvec_builder`` (matrix-free
+        only) swaps the panel matvec for a fused Gram·v kernel — pass
+        ``ops.pallas_matvec.stationary_matvec_builder`` for RBF /
+        Scale(RBF) on TPU; even the (block, N) panel then never touches
+        HBM."""
         if solver not in ("chol", "cg"):
             raise ValueError(
                 f"solver must be 'chol' or 'cg', got {solver!r}"
@@ -105,6 +110,7 @@ class ExactGP:
                         num_probes=num_probes,
                         max_iters=max_iters,
                         precond_rank=precond_rank,
+                        matvec_builder=matvec_builder,
                     )
                     / n
                 )
@@ -146,6 +152,7 @@ class ExactGP:
         tol: float = 1e-6,
         precond_rank: int = 0,
         block: Optional[int] = None,
+        matvec_builder=None,
     ) -> MVN:
         """Exact GP posterior p(f* | y) (add_noise for the predictive).
 
@@ -177,6 +184,7 @@ class ExactGP:
                 max_iters=max_iters,
                 tol=tol,
                 precond_rank=precond_rank,
+                matvec_builder=matvec_builder,
             )
             mean = self.mean(x_test) + mean_f
             if not noiseless:

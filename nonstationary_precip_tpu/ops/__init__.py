@@ -20,6 +20,12 @@ from nonstationary_precip_tpu.ops.lazy_cg import (  # noqa: F401
     lazy_cg_posterior,
     lazy_pivoted_cholesky,
 )
+from nonstationary_precip_tpu.ops.pallas_matvec import (  # noqa: F401
+    gibbs_gram_matvec,
+    rbf_gram_matvec,
+    packed_gibbs_matvec_builder,
+    stationary_matvec_builder,
+)
 from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points  # noqa: F401
 from nonstationary_precip_tpu.ops.pallas_chol import (  # noqa: F401
     chol_inv_batched_safe,

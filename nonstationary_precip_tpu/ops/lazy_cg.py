@@ -169,13 +169,21 @@ def lazy_pivoted_cholesky(
 
 
 @functools.lru_cache(maxsize=32)
-def _mll_machinery(block, num_probes, max_iters, tol, precond_rank, cross_fn):
+def _mll_machinery(
+    block, num_probes, max_iters, tol, precond_rank, cross_fn, matvec_builder
+):
     """Per-settings compiled machinery; lru_cache keeps the custom_vjp
     identity stable so jitted callers don't retrace across steps."""
 
     def core_fwd(kernel, x, resid, probes, sigma2, lpc):
         n = resid.shape[0]
-        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        if matvec_builder is not None:
+            # fused Gram·v (ops/pallas_matvec.py): forward-only is fine —
+            # this whole function sits behind core's custom VJP, whose
+            # backward rebuilds panels through cross_fn, never the matvec
+            matvec = matvec_builder(kernel, x, sigma2)
+        else:
+            matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
         if precond_rank > 0:
             # the preconditioner parameterises the ESTIMATOR, not the
             # estimand — frozen, exactly as in the dense path
@@ -277,6 +285,7 @@ def lazy_cg_mll(
     tol: float = 1e-6,
     precond_rank: int = 0,
     cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K never materialised (peak memory O(block·N), see module docstring).
@@ -288,13 +297,22 @@ def lazy_cg_mll(
     falls out of the same pullback).  ``precond_rank > 0`` enables the
     pivoted-Cholesky/Woodbury preconditioner, built lazily too.
     ``block`` must divide N (it is clamped to N first, so N ≤ block
-    always works)."""
+    always works).
+
+    ``matvec_builder`` (stable identity, like cross_fn) swaps the mBCG
+    matvec for a fused implementation — ``ops/pallas_matvec.py``'s
+    Gram·v kernels keep the panel out of HBM entirely; CG trajectories
+    then agree with the panel path to f32 rounding, not bitwise.  The
+    backward still rebuilds panels through ``cross_fn``, so both must
+    compute the same kernel."""
     n = x.shape[0]
     block = min(block, n)
     check_divisible(n, block, "x", "row-panel block")
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
-    fn = _mll_machinery(block, num_probes, max_iters, tol, precond_rank, cross)
+    fn = _mll_machinery(
+        block, num_probes, max_iters, tol, precond_rank, cross, matvec_builder
+    )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
             lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
@@ -314,9 +332,12 @@ def lazy_cg_mll(
 
 
 @functools.lru_cache(maxsize=32)
-def _posterior_machinery(block, max_iters, tol, precond_rank, cross_fn):
+def _posterior_machinery(block, max_iters, tol, precond_rank, cross_fn, matvec_builder):
     def posterior(kernel, x, resid, x_test, sigma2, lpc):
-        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        if matvec_builder is not None:
+            matvec = matvec_builder(kernel, x, sigma2)
+        else:
+            matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
         minv = _woodbury(lpc, sigma2) if precond_rank > 0 else None
         b_cols = cross_fn(kernel, x, x_test)  # (N, N*)
         rhs = jnp.concatenate([resid[:, None], b_cols], axis=1)
@@ -343,19 +364,23 @@ def lazy_cg_posterior(
     tol: float = 1e-6,
     precond_rank: int = 0,
     cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
 ):
     """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
     mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, train-side solves by mBCG
     over lazy row panels with 1+N* right-hand sides in one fixed-length
     scan.  The footprint is O(block·N + N·N*) — chunk ``x_test`` for
     large test sets; the N² Gram never exists.  Add the caller's mean
-    function / observation noise outside."""
+    function / observation noise outside.  ``matvec_builder`` as in
+    :func:`lazy_cg_mll` (note: the posterior is NOT differentiable
+    through a Pallas matvec — it has no VJP; keep the default panels if
+    you need posterior gradients)."""
     n = x.shape[0]
     block = min(block, n)
     check_divisible(n, block, "x", "row-panel block")
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
-    fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross)
+    fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross, matvec_builder)
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
             lazy_pivoted_cholesky(kernel, x, precond_rank, cross)

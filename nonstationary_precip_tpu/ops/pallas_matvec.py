@@ -1,0 +1,248 @@
+"""Fused Gram·v Pallas kernels: (K(x1, x2) @ v) without K in HBM.
+
+The matrix-free CG paths (``ops/lazy_cg.py``, reference regime:
+GPyTorch's LazyTensor BBMM at /root/reference/experiments/
+spatial_exp.py:199) rebuild a (block, N) Gram panel per matvec.  XLA
+computes that panel at the HBM *write* roofline and then reads it back
+for the contraction — ≈ 2·N²·4 bytes of HBM traffic per CG iteration
+that exists only because the panel round-trips through HBM.  These
+kernels fuse the two (the KeOps trick, TPU-shaped): each (TM, TN) Gram
+tile is built in VMEM and immediately contracted into a (TM, R) output
+block on the MXU, accumulated across the column grid.  HBM traffic
+collapses to the O(N) inputs per tile row/column — the matvec becomes
+compute-bound instead of bandwidth-bound.
+
+Two tile constructions:
+
+* ``gibbs_gram_matvec`` — the diagonal Gibbs nonstationary form
+  (kernels/gibbs.py, reference models/gibbs_kernels.py:154-162), per-dim
+  VPU loop identical to ops/pallas_gram.py's; per-point (N, D)
+  lengthscales.  With constant lengthscales this *is* the RBF
+  (2ℓ²/(ℓ²+ℓ²) = 1), but the specialised kernel below is cheaper.
+* ``rbf_gram_matvec`` — SE-ARD via the ‖a‖²+‖b‖²−2ab matmul identity:
+  the quadratic form itself rides the MXU ((TM, 8) @ (8, TN)), leaving
+  ~4 VPU ops + one exp per element.
+
+Both are FORWARD-ONLY (no VJP): their call sites sit inside
+``lazy_cg_mll``'s custom-VJP forward, whose backward never
+differentiates the matvec (the rank-(1+R) trace-identity pullback
+rebuilds panels through the jnp path).  Differentiating through these
+directly raises, by design.
+
+Layout: row payloads are lane-packed into (N, 128) buffers — x at lanes
+0..D, lengthscales at 8..8+D (the pallas_fused convention) — and the
+column side is pre-transposed to (128, N) so every BlockSpec is
+lane-aligned.  v is lane-padded (N, R≤128); padded v rows are zero so
+padded Gram columns contribute nothing, and padded output rows are
+sliced off.  The σ²I ridge is NOT applied here — (K + σ²I)v = Kv + σ²v,
+one cheap elementwise add at the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 512
+TILE_N = 1024
+_FEAT = 128
+_MAX_D = 8
+_MAX_R = 128
+
+
+def _ceil_to(n, t):
+    return -(-n // t) * t
+
+
+def _pack_rows(x, ell, n_pad):
+    """(N, D) x + (N, D) ell → (n_pad, 128): x at lanes 0..D, ell at
+    8..8+D.  Padded rows carry ell = 1 so 1/(ℓᵢ²+ℓⱼ²) stays finite."""
+    n, d = x.shape
+    xp = jnp.zeros((n_pad, 8), x.dtype).at[:n, :d].set(x)
+    lp = jnp.ones((n_pad, 8), x.dtype).at[:n, :d].set(ell)
+    return jnp.concatenate(
+        [xp, lp, jnp.zeros((n_pad, _FEAT - 16), x.dtype)], axis=1
+    )
+
+
+def _pad_v(v, n_pad):
+    n, r = v.shape
+    return jnp.zeros((n_pad, _MAX_R), v.dtype).at[:n, :r].set(v)
+
+
+# ---------------------------------------------------------------------------
+# Gibbs (per-point lengthscales)
+# ---------------------------------------------------------------------------
+
+
+def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int):
+    ratio = None
+    quad = None
+    for k in range(d):
+        a = p1_ref[:, k : k + 1]  # (TM, 1)
+        b = p2t_ref[k : k + 1, :]  # (1, TN)
+        l1 = p1_ref[:, 8 + k : 9 + k]
+        l2 = p2t_ref[8 + k : 9 + k, :]
+        ss = l1 * l1 + l2 * l2  # (TM, TN)
+        inv_ss = 1.0 / ss
+        r = 2.0 * (l1 * l2) * inv_ss
+        diff = a - b
+        q = (diff * diff) * inv_ss
+        ratio = r if ratio is None else ratio * r
+        quad = q if quad is None else quad + q
+    tile = jnp.sqrt(ratio) * jnp.exp(-quad)
+    acc = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        out_ref[:] += acc
+
+
+def _matvec_call(kernel_body, p1, p2t, vp, n1p, n2p):
+    grid = (n1p // TILE_M, n2p // TILE_N)
+    return pl.pallas_call(
+        kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, _MAX_R), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_M, _MAX_R), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n1p, _MAX_R), jnp.float32),
+    )(p1, p2t, vp)
+
+
+def gibbs_gram_matvec(x1, ell1, x2, ell2, v):
+    """K(x1, x2) @ v for the diagonal Gibbs kernel, K never in HBM.
+
+    x1 (N1, D), ell1 (N1, D) per-point lengthscales (D ≤ 8), x2/ell2
+    (N2, D), v (N2, R) with R ≤ 128.  f32.  Forward-only (no VJP)."""
+    n1, d = x1.shape
+    n2, r = x2.shape[0], v.shape[-1]
+    if d > _MAX_D or r > _MAX_R:
+        raise ValueError(f"gibbs_gram_matvec: D ≤ {_MAX_D}, R ≤ {_MAX_R}")
+    n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
+    p1 = _pack_rows(x1, ell1, n1p)
+    p2t = _pack_rows(x2, ell2, n2p).T
+    vp = _pad_v(v, n2p)
+    out = _matvec_call(
+        functools.partial(_gibbs_kernel, d=d), p1, p2t, vp, n1p, n2p
+    )
+    return out[:n1, :r]
+
+
+# ---------------------------------------------------------------------------
+# SE-ARD (RBF) — quadratic form on the MXU
+# ---------------------------------------------------------------------------
+
+
+def _rbf_kernel(p1_ref, p2t_ref, v_ref, out_ref):
+    # payload: lanes 0..8 = x/ℓ (zero-padded past D), lane 8 = ‖x/ℓ‖²
+    a = p1_ref[:, 0:8]  # (TM, 8)
+    bt = p2t_ref[0:8, :]  # (8, TN)
+    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)  # (TM, TN)
+    a2 = p1_ref[:, 8:9]
+    b2 = p2t_ref[8:9, :]
+    quad = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    tile = jnp.exp(-0.5 * quad)
+    acc = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        out_ref[:] += acc
+
+
+def _pack_scaled(xs, n_pad):
+    n, d = xs.shape
+    xp = jnp.zeros((n_pad, 8), xs.dtype).at[:n, :d].set(xs)
+    sq = jnp.zeros((n_pad, 1), xs.dtype).at[:n, 0].set(jnp.sum(xs * xs, -1))
+    return jnp.concatenate(
+        [xp, sq, jnp.zeros((n_pad, _FEAT - 9), xs.dtype)], axis=1
+    )
+
+
+def rbf_gram_matvec(x1, x2, ell, v):
+    """exp(−½‖(x1−x2)/ℓ‖²) @ v — SE-ARD Gram·v, K never in HBM.
+
+    ell (D,) ARD lengthscales; v (N2, R), R ≤ 128.  f32, forward-only.
+    Padded rows have x = 0 ⇒ benign exp(−½‖a‖²) columns, annihilated by
+    the zero-padded v rows."""
+    if x1.shape[-1] > _MAX_D or v.shape[-1] > _MAX_R:
+        raise ValueError(f"rbf_gram_matvec: D ≤ {_MAX_D}, R ≤ {_MAX_R}")
+    n1, n2, r = x1.shape[0], x2.shape[0], v.shape[-1]
+    n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
+    p1 = _pack_scaled(x1 / ell, n1p)
+    p2t = _pack_scaled(x2 / ell, n2p).T
+    vp = _pad_v(v, n2p)
+    out = _matvec_call(_rbf_kernel, p1, p2t, vp, n1p, n2p)
+    return out[:n1, :r]
+
+
+# ---------------------------------------------------------------------------
+# matvec builders for ops/lazy_cg.py (stable identities — machinery is
+# lru-cached on the builder object, like cross_fn)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def packed_gibbs_matvec_builder(d: int):
+    """Builder for the packed-payload Gibbs convention used by the lazy
+    and sharded paths: x_aug = concat([x, log_ell], 1).  Returns
+    builder(kernel, x_aug, sigma2) -> matvec; ``kernel`` (the stateless
+    GibbsKernel) is unused — all state rides x_aug."""
+
+    def builder(kernel, x_aug, sigma2):
+        x, le = x_aug[:, :d], x_aug[:, d:]
+        ell = jnp.exp(le)
+
+        def matvec(v):
+            return gibbs_gram_matvec(x, ell, x, ell, v) + sigma2 * v
+
+        return matvec
+
+    return builder
+
+
+def stationary_matvec_builder(kernel, x, sigma2):
+    """Builder for ``ExactGP``'s default kernels: RBF or Scale(RBF)
+    pytrees (kernels/stationary.py).  Module-level, so its identity is
+    stable across calls."""
+    from nonstationary_precip_tpu.kernels.base import Scale
+    from nonstationary_precip_tpu.kernels.stationary import RBF
+
+    scale = None
+    base = kernel
+    if isinstance(kernel, Scale):
+        scale = kernel.outputscale
+        base = kernel.base
+    if not isinstance(base, RBF):
+        raise TypeError(
+            "stationary_matvec_builder supports RBF / Scale(RBF); got "
+            f"{type(base).__name__} — use cross_fn panels or "
+            "packed_gibbs_matvec_builder instead"
+        )
+    xs = base._slice(x)
+    ell = base.lengthscale
+
+    def matvec(v):
+        kv = rbf_gram_matvec(xs, xs, ell, v)
+        if scale is not None:
+            kv = scale * kv
+        return kv + sigma2 * v
+
+    return matvec

@@ -35,15 +35,22 @@ import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
 from nonstationary_precip_tpu.ops.bbmm import cg_mll  # noqa: E402
+from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll  # noqa: E402
 from nonstationary_precip_tpu.ops.linalg import (  # noqa: E402
     mvn_logpdf_from_chol,
     safe_cholesky,
 )
 
 OUT = Path(__file__).parent / "bench_cg.json"
-STEPS = 10
+LAZY_BLOCK = 2048
 # merge into prior rows so a single-size rerun never clobbers the file
 results = json.loads(OUT.read_text()) if OUT.exists() else {}
+
+
+def _steps(n):
+    # large N: fewer in-scan steps (a 65k CG step is seconds, and the
+    # differential S/2S pair still cancels dispatch exactly)
+    return 10 if n <= 16384 else (4 if n <= 32768 else 2)
 
 
 def log(name, **kw):
@@ -81,7 +88,57 @@ def _loss_cg(params, x, y, key):
     return -cg_mll(k, y, key, s2, num_probes=8, max_iters=64, tol=1e-6) / n
 
 
-def bench(n):
+def _rbf_cross(params, xa, xb):
+    # module-level cross_fn (stable identity — see lazy_cg docstring):
+    # same RBF as _gram, built per (block, N) panel
+    ell = jnp.exp(params["log_ell"])
+    s = jnp.exp(params["log_s"])
+    sq = jnp.sum((xa[:, None, :] - xb[None, :, :]) ** 2, axis=-1)
+    return s * jnp.exp(-0.5 * sq / ell**2)
+
+
+def _loss_lazy(params, x, y, key):
+    # matrix-free: K never materialises, only (LAZY_BLOCK, N) row panels
+    n = y.shape[0]
+    kp = {"log_ell": params["log_ell"], "log_s": params["log_s"]}
+    return (
+        -lazy_cg_mll(
+            kp, x, y, key, jnp.exp(params["log_noise"]),
+            block=LAZY_BLOCK, num_probes=8, max_iters=64, tol=1e-6,
+            cross_fn=_rbf_cross,
+        )
+        / n
+    )
+
+
+def _rbf_matvec_builder(params, x, sigma2):
+    # fused Gram·v (ops/pallas_matvec.py): even the row panel never
+    # touches HBM — module-level so its identity is cache-stable
+    from nonstationary_precip_tpu.ops.pallas_matvec import rbf_gram_matvec
+
+    ell = jnp.broadcast_to(jnp.exp(params["log_ell"]), (x.shape[1],))
+    s = jnp.exp(params["log_s"])
+
+    def matvec(v):
+        return s * rbf_gram_matvec(x, x, ell, v) + sigma2 * v
+
+    return matvec
+
+
+def _loss_lazyf(params, x, y, key):
+    n = y.shape[0]
+    kp = {"log_ell": params["log_ell"], "log_s": params["log_s"]}
+    return (
+        -lazy_cg_mll(
+            kp, x, y, key, jnp.exp(params["log_noise"]),
+            block=LAZY_BLOCK, num_probes=8, max_iters=64, tol=1e-6,
+            cross_fn=_rbf_cross, matvec_builder=_rbf_matvec_builder,
+        )
+        / n
+    )
+
+
+def bench(n, only=None):
     x, y = _data(n)
     params0 = {
         "log_ell": jnp.asarray(0.0, jnp.float32),
@@ -115,35 +172,55 @@ def bench(n):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    losses = {"chol": lambda p: _loss_chol(p, x, y), "cg": lambda p: _loss_cg(p, x, y, key)}
+    losses = {
+        # lazy first: if a dense row OOMs at large N the lazy number —
+        # the row that CAN exist there — is already on disk
+        "lazy": lambda p: _loss_lazy(p, x, y, key),
+        "lazyf": lambda p: _loss_lazyf(p, x, y, key),
+        "chol": lambda p: _loss_chol(p, x, y),
+        "cg": lambda p: _loss_cg(p, x, y, key),
+    }
+    steps = _steps(n)
     for name, loss_fn in losses.items():
-        run1 = scanned(loss_fn, STEPS)
-        run2 = scanned(loss_fn, 2 * STEPS)
-        t_compile = time.perf_counter()
-        _, vals = run1(params0)
-        jax.block_until_ready(vals)
-        jax.block_until_ready(run2(params0)[1])  # warm the 2S program too
-        t_compile = time.perf_counter() - t_compile
-        ms_per_step = (timed(run2) - timed(run1)) / STEPS * 1e3
-        log(
-            f"{name}-{n}",
-            ms_per_step=round(ms_per_step, 3),
-            first_call_s=round(t_compile, 1),
-            loss0=float(vals[0]),
-            lossT=float(vals[-1]),
-            finite=bool(np.all(np.isfinite(np.asarray(vals)))),
-        )
+        if only and name not in only:
+            continue
+        try:
+            _bench_row(name, n, loss_fn, scanned, timed, steps, params0)
+        except Exception as e:  # e.g. dense-row RESOURCE_EXHAUSTED
+            log(f"error-{name}-{n}", error=repr(e)[:300])
 
 
-def main(sizes):
+def _bench_row(name, n, loss_fn, scanned, timed, steps, params0):
+    run1 = scanned(loss_fn, steps)
+    run2 = scanned(loss_fn, 2 * steps)
+    t_compile = time.perf_counter()
+    _, vals = run1(params0)
+    jax.block_until_ready(vals)
+    jax.block_until_ready(run2(params0)[1])  # warm the 2S program too
+    t_compile = time.perf_counter() - t_compile
+    ms_per_step = (timed(run2) - timed(run1)) / steps * 1e3
+    log(
+        f"{name}-{n}",
+        ms_per_step=round(ms_per_step, 3),
+        first_call_s=round(t_compile, 1),
+        loss0=float(vals[0]),
+        lossT=float(vals[-1]),
+        finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+    )
+
+
+def main(sizes, only=None):
     from nonstationary_precip_tpu.utils.backend import wait_for_backend
 
     wait_for_backend()
     print("devices:", jax.devices(), flush=True)
     for n in sizes:
-        bench(n)
+        # past ~32k the dense Gram (+ its autodiff copies) no longer fits
+        # a v5e's HBM — only the matrix-free path can run there at all
+        bench(n, only=only or (("lazy",) if n > 32768 else None))
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
-    main(sizes)
+    only = tuple(a for a in sys.argv[1:] if not a.isdigit()) or None
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [4096, 8192, 16384]
+    main(sizes, only)

@@ -308,6 +308,43 @@ def check_elbo():
             os.environ["NSGP_PALLAS_ELBO"] = saved
 
 
+def check_gram_matvec():
+    """Fused Gram·v kernels (ops/pallas_matvec.py): accumulation across
+    the column grid + MXU contraction must match the materialised
+    oracle on chip (the out_ref revisiting pattern is exactly the class
+    of thing interpret mode can't vouch for)."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+    from nonstationary_precip_tpu.kernels.stationary import RBF
+    from nonstationary_precip_tpu.ops import pallas_matvec as pm
+
+    rng = np.random.default_rng(18)
+    n1, n2, d, r = 1024, 2048, 2, 9
+    x1 = jnp.asarray(rng.normal(size=(n1, d)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(n2, d)), jnp.float32)
+    e1 = jnp.asarray(np.exp(rng.normal(size=(n1, d)) * 0.3) + 0.2, jnp.float32)
+    e2 = jnp.asarray(np.exp(rng.normal(size=(n2, d)) * 0.3) + 0.2, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n2, r)), jnp.float32)
+    ours = jax.jit(pm.gibbs_gram_matvec)(x1, e1, x2, e2, v)
+    ref = jax.jit(lambda: gibbs_gram(x1, e1, x2, e2) @ v)()
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-12
+    rel = _maxdiff(ours, ref) / scale
+    report(
+        "fused gibbs matvec 1024x2048",
+        _finite(ours) and rel < 1e-4,
+        f"rel maxdiff {rel:.2e}",
+    )
+
+    ell = jnp.asarray([0.7, 1.3], jnp.float32)
+    ours2 = jax.jit(pm.rbf_gram_matvec)(x1, x2, ell, v)
+    ref2 = jax.jit(lambda: RBF.create(d, lengthscale=ell)(x1, x2) @ v)()
+    rel2 = _maxdiff(ours2, ref2) / (float(jnp.max(jnp.abs(ref2))) + 1e-12)
+    report(
+        "fused rbf matvec 1024x2048",
+        _finite(ours2) and rel2 < 1e-4,
+        f"rel maxdiff {rel2:.2e}",
+    )
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}", flush=True)
@@ -322,6 +359,7 @@ def main():
     check_retry_isolation()
     check_vmem_chol()
     check_streaming2()
+    check_gram_matvec()
     check_elbo()
     dt = time.time() - t0
     if FAILURES:
