@@ -79,7 +79,7 @@ def _pad_v(v, n_pad):
 # ---------------------------------------------------------------------------
 
 
-def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int):
+def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
     ratio = None
     quad = None
     for k in range(d):
@@ -95,7 +95,9 @@ def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int):
         ratio = r if ratio is None else ratio * r
         quad = q if quad is None else quad + q
     tile = jnp.sqrt(ratio) * jnp.exp(-quad)
-    acc = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(
+        tile, v_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -123,23 +125,48 @@ def _matvec_call(kernel_body, p1, p2t, vp, n1p, n2p):
     )(p1, p2t, vp)
 
 
-def gibbs_gram_matvec(x1, ell1, x2, ell2, v):
-    """K(x1, x2) @ v for the diagonal Gibbs kernel, K never in HBM.
+def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
+    """Pack the row payloads ONCE and return ``matvec(v) = K(x1, x2) @ v``.
 
-    x1 (N1, D), ell1 (N1, D) per-point lengthscales (D ≤ 8), x2/ell2
-    (N2, D), v (N2, R) with R ≤ 128.  f32.  Forward-only (no VJP)."""
+    Packing + the (N, 128) → (128, N) column-side transpose are the only
+    O(N) host-tensor work; hoisting them out of the closure keeps them
+    out of CG's iteration loop (XLA does not reliably move them out of a
+    ``lax.scan`` body on its own).
+
+    ``precision`` controls the tile·v MXU contraction only (the Gram
+    tile itself is exact f32 VPU work): 'highest' = six bf16 passes
+    (matches the package's pinned default — the f32-exact choice),
+    'default' = one (tile rounded to bf16, ~4e-3 relative — fine for CG
+    whose matvec tolerance dominates, wrong for anything needing exact
+    Gram algebra).  Mosaic has no 'high' lowering."""
     n1, d = x1.shape
-    n2, r = x2.shape[0], v.shape[-1]
-    if d > _MAX_D or r > _MAX_R:
-        raise ValueError(f"gibbs_gram_matvec: D ≤ {_MAX_D}, R ≤ {_MAX_R}")
+    n2 = x2.shape[0]
+    if d > _MAX_D:
+        raise ValueError(f"gibbs matvec: D ≤ {_MAX_D}")
     n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
     p1 = _pack_rows(x1, ell1, n1p)
     p2t = _pack_rows(x2, ell2, n2p).T
-    vp = _pad_v(v, n2p)
-    out = _matvec_call(
-        functools.partial(_gibbs_kernel, d=d), p1, p2t, vp, n1p, n2p
+    body = functools.partial(
+        _gibbs_kernel, d=d, precision=jax.lax.Precision(precision)
     )
-    return out[:n1, :r]
+
+    def matvec(v):
+        r = v.shape[-1]
+        if r > _MAX_R:
+            raise ValueError(f"gibbs matvec: R ≤ {_MAX_R}")
+        out = _matvec_call(body, p1, p2t, _pad_v(v, n2p), n1p, n2p)
+        return out[:n1, :r]
+
+    return matvec
+
+
+def gibbs_gram_matvec(x1, ell1, x2, ell2, v, precision: str = "highest"):
+    """One-shot K(x1, x2) @ v for the diagonal Gibbs kernel, K never in
+    HBM.  x1 (N1, D), ell1 (N1, D) per-point lengthscales (D ≤ 8),
+    x2/ell2 (N2, D), v (N2, R) with R ≤ 128.  f32.  Forward-only (no
+    VJP).  Inside an iteration loop use :func:`make_gibbs_matvec` so the
+    payload packing happens once."""
+    return make_gibbs_matvec(x1, ell1, x2, ell2, precision)(v)
 
 
 # ---------------------------------------------------------------------------
@@ -147,16 +174,23 @@ def gibbs_gram_matvec(x1, ell1, x2, ell2, v):
 # ---------------------------------------------------------------------------
 
 
-def _rbf_kernel(p1_ref, p2t_ref, v_ref, out_ref):
+def _rbf_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, precision):
     # payload: lanes 0..8 = x/ℓ (zero-padded past D), lane 8 = ‖x/ℓ‖²
     a = p1_ref[:, 0:8]  # (TM, 8)
     bt = p2t_ref[0:8, :]  # (8, TN)
-    ab = jnp.dot(a, bt, preferred_element_type=jnp.float32)  # (TM, TN)
+    # the quadratic form stays at full precision regardless of the
+    # contraction setting — exp() amplifies its error
+    ab = jnp.dot(
+        a, bt, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TM, TN)
     a2 = p1_ref[:, 8:9]
     b2 = p2t_ref[8:9, :]
     quad = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     tile = jnp.exp(-0.5 * quad)
-    acc = jnp.dot(tile, v_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(
+        tile, v_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -176,21 +210,35 @@ def _pack_scaled(xs, n_pad):
     )
 
 
-def rbf_gram_matvec(x1, x2, ell, v):
-    """exp(−½‖(x1−x2)/ℓ‖²) @ v — SE-ARD Gram·v, K never in HBM.
+def make_rbf_matvec(x1, x2, ell, precision: str = "highest"):
+    """Pack once, return ``matvec(v) = exp(−½‖(x1−x2)/ℓ‖²) @ v``.
 
-    ell (D,) ARD lengthscales; v (N2, R), R ≤ 128.  f32, forward-only.
-    Padded rows have x = 0 ⇒ benign exp(−½‖a‖²) columns, annihilated by
-    the zero-padded v rows."""
-    if x1.shape[-1] > _MAX_D or v.shape[-1] > _MAX_R:
-        raise ValueError(f"rbf_gram_matvec: D ≤ {_MAX_D}, R ≤ {_MAX_R}")
-    n1, n2, r = x1.shape[0], x2.shape[0], v.shape[-1]
+    ell (D,) ARD lengthscales.  Padded rows have x = 0 ⇒ benign
+    exp(−½‖a‖²) columns, annihilated by the zero-padded v rows.
+    ``precision`` as in :func:`make_gibbs_matvec` (tile·v contraction
+    only — the quadratic-form matmul is always exact)."""
+    if x1.shape[-1] > _MAX_D:
+        raise ValueError(f"rbf matvec: D ≤ {_MAX_D}")
+    n1, n2 = x1.shape[0], x2.shape[0]
     n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
     p1 = _pack_scaled(x1 / ell, n1p)
     p2t = _pack_scaled(x2 / ell, n2p).T
-    vp = _pad_v(v, n2p)
-    out = _matvec_call(_rbf_kernel, p1, p2t, vp, n1p, n2p)
-    return out[:n1, :r]
+    body = functools.partial(_rbf_kernel, precision=jax.lax.Precision(precision))
+
+    def matvec(v):
+        r = v.shape[-1]
+        if r > _MAX_R:
+            raise ValueError(f"rbf matvec: R ≤ {_MAX_R}")
+        out = _matvec_call(body, p1, p2t, _pad_v(v, n2p), n1p, n2p)
+        return out[:n1, :r]
+
+    return matvec
+
+
+def rbf_gram_matvec(x1, x2, ell, v, precision: str = "highest"):
+    """One-shot SE-ARD Gram·v (see :func:`make_rbf_matvec`; use that
+    inside iteration loops so packing happens once)."""
+    return make_rbf_matvec(x1, x2, ell, precision)(v)
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +257,10 @@ def packed_gibbs_matvec_builder(d: int):
     def builder(kernel, x_aug, sigma2):
         x, le = x_aug[:, :d], x_aug[:, d:]
         ell = jnp.exp(le)
+        mv = make_gibbs_matvec(x, ell, x, ell)  # packed once per loss eval
 
         def matvec(v):
-            return gibbs_gram_matvec(x, ell, x, ell, v) + sigma2 * v
+            return mv(v) + sigma2 * v
 
         return matvec
 
@@ -237,10 +286,10 @@ def stationary_matvec_builder(kernel, x, sigma2):
             "packed_gibbs_matvec_builder instead"
         )
     xs = base._slice(x)
-    ell = base.lengthscale
+    mv = make_rbf_matvec(xs, xs, base.lengthscale)  # packed once per loss eval
 
     def matvec(v):
-        kv = rbf_gram_matvec(xs, xs, ell, v)
+        kv = mv(v)
         if scale is not None:
             kv = scale * kv
         return kv + sigma2 * v

@@ -64,13 +64,41 @@ def _check_divisible(n, n_dev, what):
     _shared_check_divisible(n, n_dev, what, "mesh size")
 
 
+@functools.lru_cache(maxsize=8)
+def packed_gibbs_local_matvec(d: int):
+    """Fused local matvec for the packed-payload Gibbs convention
+    (x_aug = concat([x, log_ell], 1)): rows [i0, i0+N/P) of (K + σ²I)v
+    via ``ops/pallas_matvec.make_gibbs_matvec`` — the (N/P, N) row-block
+    the default path materialises ONCE and re-reads every CG iteration
+    never exists, dropping per-device peak memory from O(N²/P) to
+    O(N·(D+R)).  Pass as ``local_matvec_builder``; forward-only (the
+    backward still rebuilds the row-block through cross_fn)."""
+    from nonstationary_precip_tpu.ops.pallas_matvec import make_gibbs_matvec
+
+    def builder(kernel, x_local, x, sigma2, axis):
+        xl, ll = x_local[:, :d], jnp.exp(x_local[:, d:])
+        xf, lf = x[:, :d], jnp.exp(x[:, d:])
+        nl = x_local.shape[0]
+        mv = make_gibbs_matvec(xl, ll, xf, lf)  # packed once per loss eval
+
+        def matvec(v):  # (N, R) replicated → (N/P, R) local rows
+            i0 = jax.lax.axis_index(axis) * nl
+            return mv(v) + sigma2 * jax.lax.dynamic_slice_in_dim(v, i0, nl)
+
+        return matvec
+
+    return builder
+
+
 # ---------------------------------------------------------------------------
 # MLL (differentiable w.r.t. kernel params, y, sigma2)
 # ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=32)
-def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
+def _mll_machinery(
+    mesh, axis, num_probes, max_iters, tol, cross_fn, local_matvec_builder=None
+):
     """Per-(mesh, settings) compiled machinery; lru_cache keeps function
     identity stable so jitted callers don't retrace across steps.
 
@@ -81,10 +109,18 @@ def _mll_machinery(mesh, axis, num_probes, max_iters, tol, cross_fn):
     module scope (or cache it yourself) so the identity is stable."""
 
     def fwd_inner(kernel, x_local, x, resid, probes, sigma2):
-        k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+        if local_matvec_builder is not None:
+            # fused Gram·v: no (N/P, N) row-block residency at all
+            local_mv = local_matvec_builder(kernel, x_local, x, sigma2, axis)
 
-        def matvec(v):  # (N, R) replicated → (N, R) replicated
-            return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+            def matvec(v):  # (N, R) replicated → (N, R) replicated
+                return jax.lax.all_gather(local_mv(v), axis, tiled=True)
+
+        else:
+            k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+
+            def matvec(v):
+                return jax.lax.all_gather(k_local @ v, axis, tiled=True)
 
         rhs = jnp.concatenate([resid[:, None], probes], axis=1)
         res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol)
@@ -184,9 +220,15 @@ def sharded_cg_mll(
     tol: float = 1e-6,
     axis: str = DATA_AXIS,
     cross_fn: Optional[Callable] = None,
+    local_matvec_builder: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K row-sharded over ``mesh``'s ``axis`` (never materialised globally).
+
+    ``local_matvec_builder`` (stable identity) swaps the materialise-once
+    row-block matvec for a fused Gram·v kernel (no O(N²/P) residency; see
+    :func:`packed_gibbs_local_matvec`); CG trajectories then agree with
+    the default to f32 rounding, not bitwise.
 
     Bit-compatible with the dense ``cg_mll`` under the same key (same row
     dot products, partitioned).  Differentiable w.r.t. kernel params,
@@ -205,7 +247,8 @@ def sharded_cg_mll(
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
     _warn_unstable_cross_fn(cross_fn)
     fn = _mll_machinery(
-        mesh, axis, num_probes, max_iters, tol, cross_fn or _default_cross
+        mesh, axis, num_probes, max_iters, tol, cross_fn or _default_cross,
+        local_matvec_builder,
     )
     probes = jax.random.rademacher(key, (x.shape[0], num_probes), dtype=x.dtype)
     return fn(kernel, x, resid, probes, sigma2)
@@ -217,14 +260,21 @@ def sharded_cg_mll(
 
 
 @functools.lru_cache(maxsize=32)
-def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn):
+def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn, local_matvec_builder=None):
     def inner(kernel, x_local, x, x_test, resid_local, sigma2):
         nl = resid_local.shape[0]
-        k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
         b_local = cross_fn(kernel, x_local, x_test)  # (N/P, N*)
+        if local_matvec_builder is not None:
+            local_mv = local_matvec_builder(kernel, x_local, x, sigma2, axis)
 
-        def matvec(v):
-            return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+            def matvec(v):
+                return jax.lax.all_gather(local_mv(v), axis, tiled=True)
+
+        else:
+            k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+
+            def matvec(v):
+                return jax.lax.all_gather(k_local @ v, axis, tiled=True)
 
         rhs_local = jnp.concatenate([resid_local[:, None], b_local], axis=1)
         rhs = jax.lax.all_gather(rhs_local, axis, tiled=True)  # (N, 1+N*)
@@ -263,6 +313,7 @@ def sharded_cg_posterior(
     tol: float = 1e-6,
     axis: str = DATA_AXIS,
     cross_fn: Optional[Callable] = None,
+    local_matvec_builder: Optional[Callable] = None,
 ):
     """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
     mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, all train-side solves by
@@ -271,8 +322,12 @@ def sharded_cg_posterior(
     The replicated footprint is O(N·N*) (the solve block) — chunk
     ``x_test`` for large test sets; the N² Gram stays sharded.  Add the
     caller's mean function / observation noise outside.
+    ``local_matvec_builder`` as in :func:`sharded_cg_mll` (fused Gram·v,
+    no O(N²/P) row-block residency).
     """
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
     _warn_unstable_cross_fn(cross_fn)
-    fn = _posterior_machinery(mesh, axis, max_iters, tol, cross_fn or _default_cross)
+    fn = _posterior_machinery(
+        mesh, axis, max_iters, tol, cross_fn or _default_cross, local_matvec_builder
+    )
     return fn(kernel, x, x, x_test, resid, sigma2)

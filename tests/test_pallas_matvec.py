@@ -129,6 +129,60 @@ def test_lazy_posterior_fused_matvec_matches_panels(rng):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-3, atol=1e-4)
 
 
+def _jnp_local_matvec_builder(kernel, x_local, x, sigma2, axis):
+    """Same contract as packed_gibbs_local_matvec's builder but pure jnp —
+    CI can't run interpret-mode Pallas inside an 8-device shard_map (it
+    hangs; CLAUDE.md quirk), so the sharded-path WIRING (ridge indexing,
+    all_gather placement, machinery cache keying, gradients) is tested
+    with this oracle and the kernel itself by the single-chip tests +
+    tools/check_tpu.py on hardware."""
+    kb = _packed_cross(kernel, x_local, x)
+    nl = x_local.shape[0]
+
+    def matvec(v):
+        i0 = jax.lax.axis_index(axis) * nl
+        return kb @ v + sigma2 * jax.lax.dynamic_slice_in_dim(v, i0, nl)
+
+    return matvec
+
+
+def test_sharded_mll_local_matvec_builder_matches_default(rng):
+    """parallel/sharded_cg.py with local_matvec_builder: a builder-form
+    local Gram·v (no row-block residency in the matvec) walks the same
+    CG trajectory as the materialise-once default on the 8-device
+    virtual mesh — value and gradients, to f32 rounding (the builder adds
+    the σ² ridge AFTER the dot instead of folding it into the row, so
+    the trajectories are not bitwise)."""
+    from nonstationary_precip_tpu.parallel import make_mesh
+    from nonstationary_precip_tpu.parallel.sharded_cg import sharded_cg_mll
+
+    n = 256
+    x = jnp.asarray(rng.uniform(-2, 2, size=(n, _D)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    le = jnp.asarray(0.2 * rng.normal(size=(n, _D)), jnp.float32)
+    aug = jnp.concatenate([x, le], 1)
+    s2 = jnp.asarray(0.3, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    gibbs = GibbsKernel()
+    mesh = make_mesh(len(jax.devices()))
+    kw = dict(num_probes=8, max_iters=64, tol=1e-7, cross_fn=_packed_cross)
+
+    def f(a, s, builder):
+        return sharded_cg_mll(
+            gibbs, a, y, key, s, mesh, local_matvec_builder=builder, **kw
+        )
+
+    vp, (gp_a, gp_s) = jax.value_and_grad(f, argnums=(0, 1))(aug, s2, None)
+    vf, (gf_a, gf_s) = jax.value_and_grad(f, argnums=(0, 1))(
+        aug, s2, _jnp_local_matvec_builder
+    )
+    assert abs(float(vf - vp)) < 1e-4 * abs(float(vp))
+    np.testing.assert_allclose(
+        np.asarray(gf_a), np.asarray(gp_a), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(float(gf_s), float(gp_s), rtol=2e-3)
+
+
 def test_exact_gp_mll_fused_stationary_builder(rng):
     """ExactGP.mll(block=..., matvec_builder=stationary_matvec_builder)
     rides the fused RBF matvec and matches the plain lazy path."""

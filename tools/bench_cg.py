@@ -138,11 +138,54 @@ def _loss_lazyf(params, x, y, key):
     )
 
 
+# --- nonstationary Gibbs rows: trainable PER-POINT lengthscale field, the
+# flagship kernel (reference models/gibbs_kernels.py) at large N ----------
+
+_GIBBS_D = 2
+
+
+def _gibbs_cross(kern, xa, xb):
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+    d = _GIBBS_D
+    return gibbs_gram_reference(
+        xa[:, :d], jnp.exp(xa[:, d:]), xb[:, :d], jnp.exp(xb[:, d:])
+    )
+
+
+def _loss_lazyg(params, x, y, key, matvec_builder=None):
+    n = y.shape[0]
+    aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+    return (
+        -lazy_cg_mll(
+            None, aug, y, key, jnp.exp(params["log_noise"]),
+            block=LAZY_BLOCK, num_probes=8, max_iters=64, tol=1e-6,
+            cross_fn=_gibbs_cross, matvec_builder=matvec_builder,
+        )
+        / n
+    )
+
+
+def _loss_lazygf(params, x, y, key):
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+    )
+
+    return _loss_lazyg(
+        params, x, y, key, matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D)
+    )
+
+
 def bench(n, only=None):
     x, y = _data(n)
     params0 = {
         "log_ell": jnp.asarray(0.0, jnp.float32),
         "log_s": jnp.asarray(0.0, jnp.float32),
+        "log_noise": jnp.asarray(-2.0, jnp.float32),
+    }
+    # gibbs rows train an (N, D) per-point lengthscale FIELD
+    params0_g = {
+        "log_ell_pp": jnp.zeros((n, _GIBBS_D), jnp.float32),
         "log_noise": jnp.asarray(-2.0, jnp.float32),
     }
     opt = optax.adam(1e-2)
@@ -164,11 +207,11 @@ def bench(n, only=None):
 
         return run
 
-    def timed(run):
+    def timed(run, p0):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(params0)[1])
+            jax.block_until_ready(run(p0)[1])
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -177,6 +220,8 @@ def bench(n, only=None):
         # the row that CAN exist there — is already on disk
         "lazy": lambda p: _loss_lazy(p, x, y, key),
         "lazyf": lambda p: _loss_lazyf(p, x, y, key),
+        "lazyg": lambda p: _loss_lazyg(p, x, y, key),
+        "lazygf": lambda p: _loss_lazygf(p, x, y, key),
         "chol": lambda p: _loss_chol(p, x, y),
         "cg": lambda p: _loss_cg(p, x, y, key),
     }
@@ -184,8 +229,9 @@ def bench(n, only=None):
     for name, loss_fn in losses.items():
         if only and name not in only:
             continue
+        p0 = params0_g if name.startswith("lazyg") else params0
         try:
-            _bench_row(name, n, loss_fn, scanned, timed, steps, params0)
+            _bench_row(name, n, loss_fn, scanned, timed, steps, p0)
         except Exception as e:  # e.g. dense-row RESOURCE_EXHAUSTED
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
@@ -198,7 +244,7 @@ def _bench_row(name, n, loss_fn, scanned, timed, steps, params0):
     jax.block_until_ready(vals)
     jax.block_until_ready(run2(params0)[1])  # warm the 2S program too
     t_compile = time.perf_counter() - t_compile
-    ms_per_step = (timed(run2) - timed(run1)) / steps * 1e3
+    ms_per_step = (timed(run2, params0) - timed(run1, params0)) / steps * 1e3
     log(
         f"{name}-{n}",
         ms_per_step=round(ms_per_step, 3),
