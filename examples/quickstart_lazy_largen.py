@@ -20,7 +20,11 @@ static shapes, fixed-length scans, rematerialisation instead of an
 
 At N = 32768 in f32 the dense Gram alone is 4 GiB; the lazy path's
 panels at block=2048 are 256 MiB — the demo stays small so it runs
-anywhere, but nothing in the code changes at scale.
+anywhere, but nothing in the code changes at scale.  On TPU hardware,
+``matvec_builder=ops.pallas_matvec.packed_gibbs_matvec_builder(d)``
+fuses the Gram·v so even the row panel never touches HBM (2.0× measured
+on the Gibbs per-point-lengthscale kernel at N ≥ 8192, DESIGN.md §15;
+for RBF the XLA panels are faster — keep the default there).
 
 Run: python examples/quickstart_lazy_largen.py   (CPU, <1 min)
 """

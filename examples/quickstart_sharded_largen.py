@@ -16,6 +16,13 @@ runs over a TPU pod slice unchanged.
      (bit-compatible: same row dot products, merely partitioned),
   3. predict: sharded posterior vs the dense Cholesky posterior.
 
+On TPU hardware, pass ``local_matvec_builder=parallel.sharded_cg.
+packed_gibbs_local_matvec(d)`` to fuse the Gram·v (ops/pallas_matvec.py)
+— the (N/P, N) row-block then never exists either, dropping per-device
+peak memory to O(N·(D+R)) (2.0× measured on the Gibbs kernel single-chip,
+DESIGN.md §15; Pallas cannot run on the CPU mesh, so this demo keeps the
+default path).
+
 Run: python examples/quickstart_sharded_largen.py   (CPU, <1 min)
 """
 

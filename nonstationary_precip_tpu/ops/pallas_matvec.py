@@ -41,14 +41,19 @@ one cheap elementwise add at the caller.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 512
-TILE_N = 1024
+# (512, 2048) measured best on v5e at N=16384 — 3.49 ms/matvec vs 3.78
+# (512×1024), 4.46 (256×512); 1024×1024 VMEM-OOMs (scoped 19.1M > 16M,
+# temporaries scale with the sublane dim).  DESIGN.md §15 sweep; env
+# overrides are for re-probing only.
+TILE_M = int(os.environ.get("NSGP_MATVEC_TM", "512"))
+TILE_N = int(os.environ.get("NSGP_MATVEC_TN", "2048"))
 _FEAT = 128
 _MAX_D = 8
 _MAX_R = 128
