@@ -153,14 +153,16 @@ def _gibbs_cross(kern, xa, xb):
     )
 
 
-def _loss_lazyg(params, x, y, key, matvec_builder=None):
+def _loss_lazyg(params, x, y, key, matvec_builder=None, precond_rank=0,
+                max_iters=64):
     n = y.shape[0]
     aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
     return (
         -lazy_cg_mll(
             None, aug, y, key, jnp.exp(params["log_noise"]),
-            block=LAZY_BLOCK, num_probes=8, max_iters=64, tol=1e-6,
+            block=LAZY_BLOCK, num_probes=8, max_iters=max_iters, tol=1e-6,
             cross_fn=_gibbs_cross, matvec_builder=matvec_builder,
+            precond_rank=precond_rank,
         )
         / n
     )
@@ -173,6 +175,37 @@ def _loss_lazygf(params, x, y, key):
 
     return _loss_lazyg(
         params, x, y, key, matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D)
+    )
+
+
+def _loss_lazygfp(params, x, y, key):
+    # rank-50 pivoted-Cholesky/Woodbury preconditioner, SAME 64-iteration
+    # budget as lazygf: the unpreconditioned rows are materially
+    # unconverged at this budget for N >= 4096 (tools/probe_precond.py:
+    # relres@64 = 0.18 at 8192 vs 9e-7 preconditioned at iteration 24),
+    # so this row is both the honest estimator and — via lazygfp32 — the
+    # cheaper one.
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+    )
+
+    return _loss_lazyg(
+        params, x, y, key, matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+        precond_rank=50,
+    )
+
+
+def _loss_lazygfp32(params, x, y, key):
+    # equal-ACCURACY speed row: rank 50 converges by iteration ~14-32
+    # (2048-16384, init pose), so a 32-iteration budget already beats the
+    # 64-iteration unpreconditioned row on both axes there
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+    )
+
+    return _loss_lazyg(
+        params, x, y, key, matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+        precond_rank=50, max_iters=32,
     )
 
 
@@ -222,6 +255,8 @@ def bench(n, only=None):
         "lazyf": lambda p: _loss_lazyf(p, x, y, key),
         "lazyg": lambda p: _loss_lazyg(p, x, y, key),
         "lazygf": lambda p: _loss_lazygf(p, x, y, key),
+        "lazygfp": lambda p: _loss_lazygfp(p, x, y, key),
+        "lazygfp32": lambda p: _loss_lazygfp32(p, x, y, key),
         "chol": lambda p: _loss_chol(p, x, y),
         "cg": lambda p: _loss_cg(p, x, y, key),
     }
