@@ -22,6 +22,7 @@ avoiding the (N², D) HBM intermediates of the broadcast formulation.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -59,6 +60,34 @@ def gibbs_gram_reference(x1, ell1, x2, ell2):
     diff = x1[:, None, :] - x2[None, :, :]
     quad = jnp.sum(diff**2 / sq_sum, axis=-1)
     return pref * jnp.exp(-quad)
+
+
+@functools.lru_cache(maxsize=8)
+def packed_gibbs_cross(d: int):
+    """cross_fn (stable identity — the lazy/sharded CG machinery caches on
+    it) for the packed-payload convention those paths use: rows are
+    ``x_aug = concat([x, log_ell], 1)`` with the split point ``d`` static.
+
+    ``kernel`` is the RAW outputscale (softplus-raw scalar, may be None for
+    the unscaled Gram): passing it as the lazy path's kernel pytree makes
+    s² trainable through ``lazy_cg_mll``'s panel pullback, while the
+    per-point lengthscale field trains through the x-cotangent (it rides
+    the payload columns).  Counterpart of the fused forward matvec
+    ``ops.pallas_matvec.scaled_packed_gibbs_matvec_builder`` — the two MUST
+    compute the same operator (the lazy backward rebuilds panels through
+    this function)."""
+
+    def cross(raw_s2, xa, xb):
+        from nonstationary_precip_tpu.utils.transforms import positive
+
+        k = gibbs_gram_reference(
+            xa[:, :d], jnp.exp(xa[:, d:]), xb[:, :d], jnp.exp(xb[:, d:])
+        )
+        if raw_s2 is None:
+            return k
+        return positive(raw_s2) * k
+
+    return cross
 
 
 def gibbs_diag(x: jnp.ndarray, ell: jnp.ndarray) -> jnp.ndarray:

@@ -113,6 +113,89 @@ class GibbsExactGP:
         prior_term = self.prior.log_prob(x, self.log_ell, prior_chols)
         return -(logp + prior_term) / n
 
+    def prior_pre_matrixfree(self, x, key, **kw):
+        """Hoisted state for :meth:`loss_matrixfree` — the matrix-free
+        analogue of passing ``prior.gram_pre(x)`` to :meth:`loss`: per-dim
+        pivoted-Cholesky preconditioner factors + the frozen prior's
+        constant SLQ logdet (``LogNormalProcess.gram_pre_lazy``).  Compute
+        ONCE per fit (loop-invariant); O(N·rank) memory."""
+        return self.prior.gram_pre_lazy(x, key, **kw)
+
+    def loss_matrixfree(
+        self,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        key,
+        prior_pre,
+        *,
+        block: int = 2048,
+        num_probes: int = 8,
+        max_iters: int = 64,
+        tol: float = 1e-6,
+        precond_rank: int = 50,
+        fused_matvec: bool = True,
+        prior_max_iters: int = 64,
+    ) -> jnp.ndarray:
+        """:meth:`loss` for LARGE N: the same MAP estimand, but no N×N
+        matrix — data-Gram OR prior-Gram — ever materialises, so training
+        runs past the dense path's HBM wall (dense Cholesky compile-fails
+        at 32768 and the dense Gram OOMs at 65536 on a v5e;
+        tools/bench_cg.json).
+
+        The MLL term is the matrix-free BBMM estimator
+        (``ops/lazy_cg.lazy_cg_mll``): mBCG solves with the fused Gram·v
+        Pallas matvec (``scaled_packed_gibbs_matvec_builder`` — 2× the
+        panel path on chip, DESIGN.md §15) and a per-step rank-
+        ``precond_rank`` pivoted-Cholesky/Woodbury preconditioner —
+        unpreconditioned CG is materially unconverged at 64 iterations for
+        N ≥ 4096 on this kernel (tools/probe_precond.py).  This is the
+        estimator the reference trains large N under
+        (``gpytorch.settings.max_cg_iterations``, reference
+        ``experiments/spatial_exp.py:199``), with the same stochastic
+        logdet/trace machinery.  The prior term reuses the SAME contract
+        the dense path's ``prior_chols`` hoist does — frozen prior — via
+        ``prior_pre`` (:meth:`prior_pre_matrixfree`, once per fit): exact
+        CG quadratic each step, constant logdet.
+
+        Gradients flow to the lengthscale field (packed into the payload
+        columns), raw_outputscale (through the kernel pytree) and the
+        noise (panel diagonal).  Same 1/N scaling as :meth:`loss`; the
+        value differs from the dense loss only by the estimator noise
+        (SLQ logdet), the gradients by the standard BBMM trace estimator.
+        """
+        from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
+
+        n = y.shape[-1]
+        d = x.shape[-1]
+        aug = jnp.concatenate([x, self.log_ell], axis=1)
+        builder = None
+        if fused_matvec:
+            from nonstationary_precip_tpu.ops.pallas_matvec import (
+                scaled_packed_gibbs_matvec_builder,
+            )
+
+            builder = scaled_packed_gibbs_matvec_builder(d)
+        logp = lazy_cg_mll(
+            self.raw_outputscale,
+            aug,
+            y,
+            key,
+            self.likelihood.noise,
+            block=block,
+            num_probes=num_probes,
+            max_iters=max_iters,
+            tol=tol,
+            precond_rank=precond_rank,
+            cross_fn=packed_gibbs_cross(d),
+            matvec_builder=builder,
+        )
+        prior_term = self.prior.log_prob_matrixfree(
+            x, self.log_ell, prior_pre,
+            block=block, max_iters=prior_max_iters, tol=tol,
+        )
+        return -(logp + prior_term) / n
+
     # -- prediction ---------------------------------------------------------
 
     def posterior(self, x_train, y_train, x_new, *, noiseless: bool = True) -> MVN:

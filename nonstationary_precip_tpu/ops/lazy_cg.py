@@ -327,6 +327,142 @@ def lazy_cg_mll(
 
 
 # ---------------------------------------------------------------------------
+# frozen-operator primitives: quadratic form and SLQ logdet
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _quad_machinery(block, max_iters, tol, use_precond, cross_fn):
+    """Matrix-free diffᵀ(K + σ²I)⁻¹diff with the exact-at-convergence
+    pullback d/d·diff = 2(K + σ²I)⁻¹diff.  The operator (kernel, x, σ², the
+    preconditioner factor) is treated as FROZEN — its cotangents are zero
+    by contract, which is exactly the frozen-prior semantics every
+    reference experiment runs under (spatial_exp.py:166-167)."""
+
+    def fwd(kernel, x, diff, sigma2, lpc):
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        minv = _woodbury(lpc, sigma2) if use_precond else None
+        res = mbcg(matvec, diff[:, None], max_iters=max_iters, tol=tol, precond=minv)
+        alpha = res.x[:, 0]
+        q = jnp.dot(diff, alpha)
+        q = jnp.where(jnp.any(res.broke), jnp.nan, q)
+        zeros = jax.tree.map(jnp.zeros_like, (kernel, x, sigma2, lpc))
+        return q, (alpha, zeros)
+
+    def bwd(saved, g):
+        alpha, (kz, xz, sz, lz) = saved
+        return (kz, xz, 2.0 * g * alpha, sz, lz)
+
+    @jax.custom_vjp
+    def quad(kernel, x, diff, sigma2, lpc):
+        return fwd(kernel, x, diff, sigma2, lpc)[0]
+
+    quad.defvjp(fwd, bwd)
+    return quad
+
+
+def lazy_cg_quad(
+    kernel,
+    x: jnp.ndarray,
+    diff: jnp.ndarray,
+    sigma2,
+    *,
+    lpc: Optional[jnp.ndarray] = None,
+    block: int = 1024,
+    max_iters: int = 64,
+    tol: float = 1e-6,
+    cross_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """diffᵀ (K(x, x) + σ²I)⁻¹ diff without materialising K: one mBCG solve
+    over lazy row panels.
+
+    Differentiable in ``diff`` ONLY, with the linearised-at-the-solution
+    pullback 2·K⁻¹diff — exact when CG converged (the custom VJP makes
+    iteration count a non-event for autodiff).  kernel/x/σ²/lpc are frozen
+    by contract: this is the per-step prior quadratic of MAP training with
+    a frozen latent-process prior, where the logdet is a constant and only
+    the quad term carries gradients.
+
+    ``lpc``: hoisted pivoted-Cholesky factor (N, rank) of the NOISE-FREE K
+    (see :func:`lazy_pivoted_cholesky`) — loop-invariant for a frozen
+    operator, so build it once per fit and pass it in; without it the
+    prior's tiny 1e-4 jitter makes plain CG stall at large N."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    use_precond = lpc is not None
+    fn = _quad_machinery(block, max_iters, tol, use_precond, cross)
+    if lpc is None:
+        lpc = jnp.zeros((n, 0), x.dtype)
+    return fn(
+        kernel,
+        jax.lax.stop_gradient(x),
+        diff,
+        jax.lax.stop_gradient(sigma2),
+        jax.lax.stop_gradient(lpc),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _logdet_machinery(block, num_probes, max_iters, tol, use_precond, cross_fn):
+    def logdet(kernel, x, sigma2, lpc, key):
+        n = x.shape[0]
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        if use_precond:
+            minv = _woodbury(lpc, sigma2)
+            probes = sample_precond_probes(key, lpc, sigma2, num_probes)
+            probe_w = jnp.sum(probes * minv(probes), axis=0)
+            base = precond_logdet(lpc, sigma2, n)
+        else:
+            minv = None
+            probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
+            probe_w = jnp.sum(probes * probes, axis=0)
+            base = jnp.asarray(0.0, x.dtype)
+        res = mbcg(matvec, probes, max_iters=max_iters, tol=tol, precond=minv)
+        est = base + lanczos_logdet(res.alphas, res.betas, probe_w)
+        return jnp.where(jnp.any(res.broke), jnp.nan, est)
+
+    return logdet
+
+
+def lazy_slq_logdet(
+    kernel,
+    x: jnp.ndarray,
+    key: jax.Array,
+    sigma2,
+    *,
+    lpc: Optional[jnp.ndarray] = None,
+    block: int = 1024,
+    num_probes: int = 16,
+    max_iters: int = 128,
+    tol: float = 1e-10,
+    cross_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """Stochastic Lanczos-quadrature estimate of log det(K(x, x) + σ²I),
+    matrix-free (same estimator ``lazy_cg_mll`` embeds, exposed standalone
+    for the hoist-once case: a FROZEN operator's logdet is a constant of
+    training, so compute it once per fit, not once per step).  Not
+    differentiable — wrap in stop_gradient semantics by construction
+    (use :func:`lazy_cg_mll` when the operator trains).  ``lpc`` as in
+    :func:`lazy_cg_quad` — with the preconditioner the estimate is also
+    far more accurate, since SLQ only has to capture K's spectrum
+    *relative to P*."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    use_precond = lpc is not None
+    fn = _logdet_machinery(block, num_probes, max_iters, tol, use_precond, cross)
+    if lpc is None:
+        lpc = jnp.zeros((n, 0), x.dtype)
+    args = (kernel, x, sigma2, lpc)
+    return fn(*jax.tree.map(jax.lax.stop_gradient, args), key)
+
+
+# ---------------------------------------------------------------------------
 # posterior (prediction — deterministic, no probes)
 # ---------------------------------------------------------------------------
 

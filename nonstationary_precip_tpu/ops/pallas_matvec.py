@@ -272,6 +272,29 @@ def packed_gibbs_matvec_builder(d: int):
     return builder
 
 
+@functools.lru_cache(maxsize=8)
+def scaled_packed_gibbs_matvec_builder(d: int):
+    """Like :func:`packed_gibbs_matvec_builder` but honours ``kernel`` as
+    the RAW outputscale (softplus raw scalar): v ↦ s²·K_gibbs v + σ²v.
+    Forward-only counterpart of ``kernels.gibbs.packed_gibbs_cross(d)`` —
+    the lazy custom-VJP backward rebuilds panels through that cross_fn,
+    which is where the s² (and lengthscale) gradients come from."""
+    from nonstationary_precip_tpu.utils.transforms import positive
+
+    def builder(raw_s2, x_aug, sigma2):
+        x, le = x_aug[:, :d], x_aug[:, d:]
+        ell = jnp.exp(le)
+        mv = make_gibbs_matvec(x, ell, x, ell)  # packed once per loss eval
+        s2 = positive(raw_s2)
+
+        def matvec(v):
+            return s2 * mv(v) + sigma2 * v
+
+        return matvec
+
+    return builder
+
+
 def stationary_matvec_builder(kernel, x, sigma2):
     """Builder for ``ExactGP``'s default kernels: RBF or Scale(RBF)
     pytrees (kernels/stationary.py).  Module-level, so its identity is

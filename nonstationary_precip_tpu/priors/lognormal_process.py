@@ -37,6 +37,13 @@ from nonstationary_precip_tpu.utils.transforms import positive, raw_init
 _COND_JITTER = 1e-4  # reference: gibbs_kernels.py:88,107
 
 
+def _dim_cross(params, xa, xb):
+    """Scale(RBF-ARD) cross-Gram of ONE prior output dim — module-level so
+    its identity is stable (the lazy-CG machinery caches on cross_fn)."""
+    ell, s2 = params
+    return s2 * jnp.exp(-0.5 * sq_dist(xa / ell, xb / ell))
+
+
 @pytree_dataclass(static=("active_dims",))
 class LogNormalProcess:
     """D independent GP priors on log-lengthscale fields.
@@ -169,6 +176,104 @@ class LogNormalProcess:
             jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1
         )
         return kinv, logdet
+
+    def gram_pre_lazy(
+        self,
+        x: jnp.ndarray,
+        key: jax.Array,
+        *,
+        rank: int = 50,
+        block: int = 1024,
+        num_probes: int = 16,
+        max_iters: int = 256,
+        tol: float = 1e-10,
+    ):
+        """Matrix-free counterpart of ``gram_pre`` for LARGE N, where the
+        D (N, N) prior Grams no longer fit: per-dim pivoted-Cholesky
+        factors (the loop-invariant CG preconditioner for the per-step
+        quad solves — essential, the 1e-4 jitter makes plain CG stall) and
+        an SLQ logdet estimate (a CONSTANT of training for a frozen
+        prior).  O(N·rank) memory; compute once per fit.
+
+        Returns ``(lpc (D, N, rank), logdet (D,))`` — feed to
+        :meth:`log_prob_matrixfree`."""
+        from nonstationary_precip_tpu.ops.lazy_cg import (
+            lazy_pivoted_cholesky,
+            lazy_slq_logdet,
+        )
+
+        xs = self._slice(x)
+        ell = positive(self.raw_lengthscale)  # (D, D_in)
+        s2 = positive(self.raw_outputscale)  # (D,)
+        jitter = jnp.asarray(_COND_JITTER, x.dtype)
+        lpcs, logdets = [], []
+        for dim in range(self.mean_const.shape[0]):
+            params = (ell[dim], s2[dim])
+            lpc = jax.lax.stop_gradient(
+                lazy_pivoted_cholesky(params, xs, rank, cross_fn=_dim_cross)
+            )
+            logdet = lazy_slq_logdet(
+                params,
+                xs,
+                jax.random.fold_in(key, dim),
+                jitter,
+                lpc=lpc,
+                block=block,
+                num_probes=num_probes,
+                max_iters=max_iters,
+                tol=tol,
+                cross_fn=_dim_cross,
+            )
+            lpcs.append(lpc)
+            logdets.append(logdet)
+        return jnp.stack(lpcs), jnp.stack(logdets)
+
+    def log_prob_matrixfree(
+        self,
+        x: jnp.ndarray,
+        log_ell: jnp.ndarray,
+        pre,
+        *,
+        block: int = 1024,
+        max_iters: int = 64,
+        tol: float = 1e-6,
+    ) -> jnp.ndarray:
+        """:meth:`log_prob` for LARGE N under the FROZEN-prior contract
+        (every reference experiment freezes the prior,
+        spatial_exp.py:166-167): the quadratic runs as one preconditioned
+        matrix-free CG solve per dim (``ops.lazy_cg.lazy_cg_quad`` — its
+        custom VJP makes the log_ell gradient the exact 2K⁻¹diff at
+        convergence), the logdet is the hoisted constant from
+        :meth:`gram_pre_lazy`.  Value matches ``log_prob`` up to the SLQ
+        logdet estimate (a constant offset: |Δloss| stopping, gradients
+        and trajectories are unaffected); prior-hyper gradients are ZERO
+        by design."""
+        import math
+
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_quad
+
+        lpc, logdet = pre
+        n = x.shape[-2]
+        xs = self._slice(x)
+        ell = positive(self.raw_lengthscale)
+        s2 = positive(self.raw_outputscale)
+        jitter = jnp.asarray(_COND_JITTER, x.dtype)
+        diff = log_ell.T - self.mean(x).T  # (D, N)
+        lp = 0.0
+        for dim in range(self.mean_const.shape[0]):
+            quad = lazy_cg_quad(
+                (ell[dim], s2[dim]),
+                xs,
+                diff[dim],
+                jitter,
+                lpc=lpc[dim],
+                block=block,
+                max_iters=max_iters,
+                tol=tol,
+                cross_fn=_dim_cross,
+            )
+            lp = lp - 0.5 * (quad + logdet[dim] + n * math.log(2.0 * math.pi))
+        return lp / n
 
     def log_prob(
         self, x: jnp.ndarray, log_ell: jnp.ndarray, chols=None

@@ -1,0 +1,232 @@
+"""Model-level matrix-free Gibbs MAP training (GibbsExactGP.loss_matrixfree)
+vs the dense oracles.
+
+Covers the three new pieces end-to-end:
+  * ``lazy_cg_quad``       — exact-at-convergence quadratic + pullback,
+  * ``lazy_slq_logdet``    — hoisted frozen-operator logdet estimate,
+  * ``LogNormalProcess.{gram_pre_lazy, log_prob_matrixfree}`` and
+    ``GibbsExactGP.loss_matrixfree`` — the same MAP estimand as the dense
+    ``loss`` with no N×N residency (data OR prior Gram).
+
+With ``precond_rank=0`` and the same key the matrix-free MLL term is
+bit-compatible with the dense ``ops/bbmm.cg_mll`` (test_lazy_cg.py), so
+the full-loss check here composes that dense estimator with the exact
+prior term and compares values AND gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nonstationary_precip_tpu.kernels.gibbs import (
+    gibbs_gram_reference,
+    packed_gibbs_cross,
+)
+from nonstationary_precip_tpu.models.gibbs_gp import GibbsExactGP
+from nonstationary_precip_tpu.ops.bbmm import cg_mll
+from nonstationary_precip_tpu.ops.lazy_cg import (
+    lazy_cg_quad,
+    lazy_pivoted_cholesky,
+    lazy_slq_logdet,
+)
+from nonstationary_precip_tpu.priors.lognormal_process import (
+    _COND_JITTER,
+    LogNormalProcess,
+    _dim_cross,
+)
+from nonstationary_precip_tpu.utils.transforms import positive
+
+
+def _xy(n=160, d=2, seed=7, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), dtype)
+    y = jnp.asarray(
+        np.sin(2 * np.asarray(x[:, 0])) + 0.1 * rng.normal(size=n), dtype
+    )
+    return x, y
+
+
+def _prior(dtype=jnp.float64):
+    return LogNormalProcess.create(
+        2, mean=float(np.log(0.3)), outputscale=1.0, lengthscale=1.3, dtype=dtype
+    )
+
+
+def test_packed_gibbs_cross_scales():
+    x, _ = _xy(n=48)
+    rng = np.random.default_rng(3)
+    le = jnp.asarray(rng.normal(scale=0.2, size=x.shape), jnp.float64)
+    aug = jnp.concatenate([x, le], axis=1)
+    raw = jnp.asarray(0.4, jnp.float64)
+    got = packed_gibbs_cross(2)(raw, aug[:20], aug)
+    want = positive(raw) * gibbs_gram_reference(
+        x[:20], jnp.exp(le[:20]), x, jnp.exp(le)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+    got_u = packed_gibbs_cross(2)(None, aug[:20], aug)
+    np.testing.assert_allclose(
+        np.asarray(got_u), np.asarray(want / positive(raw)), rtol=1e-12
+    )
+
+
+def test_lazy_cg_quad_value_and_grad_match_dense():
+    x, _ = _xy(n=192)
+    params = (jnp.asarray([1.3, 1.3], jnp.float64), jnp.asarray(1.0, jnp.float64))
+    rng = np.random.default_rng(11)
+    diff = jnp.asarray(rng.normal(size=192), jnp.float64)
+    jitter = jnp.asarray(_COND_JITTER, jnp.float64)
+    lpc = lazy_pivoted_cholesky(params, x, 16, cross_fn=_dim_cross)
+
+    def quad_mf(dv):
+        return lazy_cg_quad(
+            params, x, dv, jitter, lpc=lpc, block=64,
+            max_iters=400, tol=1e-13, cross_fn=_dim_cross,
+        )
+
+    k = _dim_cross(params, x, x) + jitter * jnp.eye(192, dtype=jnp.float64)
+    sol = jnp.linalg.solve(k, diff)
+    q_dense = float(diff @ sol)
+    q_mf, g_mf = jax.value_and_grad(quad_mf)(diff)
+    np.testing.assert_allclose(float(q_mf), q_dense, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_mf), np.asarray(2.0 * sol), rtol=1e-6)
+
+
+def test_lazy_slq_logdet_tracks_dense():
+    x, _ = _xy(n=192)
+    params = (jnp.asarray([1.3, 1.3], jnp.float64), jnp.asarray(1.0, jnp.float64))
+    jitter = jnp.asarray(_COND_JITTER, jnp.float64)
+    lpc = lazy_pivoted_cholesky(params, x, 24, cross_fn=_dim_cross)
+    est = lazy_slq_logdet(
+        params, x, jax.random.PRNGKey(2), jitter, lpc=lpc, block=64,
+        num_probes=32, max_iters=300, tol=1e-12, cross_fn=_dim_cross,
+    )
+    k = _dim_cross(params, x, x) + jitter * jnp.eye(192, dtype=jnp.float64)
+    exact = float(jnp.linalg.slogdet(k)[1])
+    # rank-24 preconditioner leaves a near-identity-relative remainder:
+    # SLQ only estimates the small gap
+    assert abs(float(est) - exact) < 0.02 * abs(exact) + 0.5
+
+
+def test_prior_log_prob_matrixfree_matches_dense():
+    x, _ = _xy(n=128)
+    prior = _prior()
+    rng = np.random.default_rng(5)
+    log_ell = prior.mean(x) + jnp.asarray(
+        rng.normal(scale=0.3, size=(128, 2)), jnp.float64
+    )
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(9), rank=24, block=64,
+        num_probes=32, max_iters=300, tol=1e-12,
+    )
+
+    def lp_mf(le):
+        return prior.log_prob_matrixfree(
+            x, le, pre, block=64, max_iters=400, tol=1e-13
+        )
+
+    v_mf, g_mf = jax.value_and_grad(lp_mf)(log_ell)
+    v_dense, g_dense = jax.value_and_grad(
+        lambda le: prior.log_prob(x, le)
+    )(log_ell)
+    # gradients are exact (quad CG converged; logdet constant)
+    np.testing.assert_allclose(
+        np.asarray(g_mf), np.asarray(g_dense), rtol=1e-6, atol=1e-9
+    )
+    # value differs only by the SLQ logdet estimate
+    assert abs(float(v_mf - v_dense)) < 0.02 * abs(float(v_dense)) + 0.05
+
+
+def test_gibbs_loss_matrixfree_matches_dense_composition():
+    """Same key, precond_rank=0: the matrix-free MLL is bit-compatible with
+    the dense cg_mll, so value and gradients of the full MAP loss must
+    match the dense composition (exact prior quad; logdet constant)."""
+    n = 160
+    x, y = _xy(n=n)
+    prior = _prior()
+    model = GibbsExactGP.create(x, prior, noise=0.1, outputscale=1.0, dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    model = model.replace(
+        log_ell=model.log_ell
+        + jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float64)
+    )
+    key = jax.random.PRNGKey(21)
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(22), rank=24, block=80,
+        num_probes=32, max_iters=300, tol=1e-12,
+    )
+
+    def loss_mf(le, raw_s2, raw_noise):
+        m = model.replace(
+            log_ell=le,
+            raw_outputscale=raw_s2,
+            likelihood=model.likelihood.replace(raw_noise=raw_noise),
+        )
+        return m.loss_matrixfree(
+            x, y, key, pre, block=80, num_probes=8, max_iters=400,
+            tol=1e-13, precond_rank=0, fused_matvec=False,
+            prior_max_iters=400,
+        )
+
+    def loss_dense(le, raw_s2, raw_noise):
+        from nonstationary_precip_tpu.models.likelihoods import GaussianLikelihood
+
+        s2 = positive(raw_s2)
+        noise = GaussianLikelihood(raw_noise=raw_noise).noise
+        ell = jnp.exp(le)
+        k = s2 * gibbs_gram_reference(x, ell, x, ell) + noise * jnp.eye(
+            n, dtype=jnp.float64
+        )
+        mll = cg_mll(k, y, key, noise, num_probes=8, max_iters=400, tol=1e-13)
+        return -(mll + prior.log_prob(x, le)) / n
+
+    args = (model.log_ell, model.raw_outputscale, model.likelihood.raw_noise)
+    v_mf, g_mf = jax.value_and_grad(loss_mf, argnums=(0, 1, 2))(*args)
+    v_d, g_d = jax.value_and_grad(loss_dense, argnums=(0, 1, 2))(*args)
+    # value: constant SLQ-logdet offset on the prior term only (÷n²)
+    assert abs(float(v_mf - v_d)) < 0.02 * abs(float(v_d)) + 5e-3
+    for a, b in zip(g_mf, g_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-8
+        )
+
+
+def test_gibbs_loss_matrixfree_trains_under_jit_scan():
+    import optax
+
+    n = 256
+    x, y = _xy(n=n, dtype=jnp.float32)
+    prior = _prior(dtype=jnp.float32)
+    model = GibbsExactGP.create(x, prior, noise=0.1, outputscale=1.0)
+    key = jax.random.PRNGKey(0)
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(1), rank=10, block=64, num_probes=8,
+        max_iters=64, tol=1e-6,
+    )
+    opt = optax.adam(1e-2)
+    mask = model.trainable(train_noise=True, train_scale=True)
+
+    @jax.jit
+    def run(m):
+        st = opt.init(m)
+
+        def body(carry, i):
+            mm, s = carry
+            val, g = jax.value_and_grad(
+                lambda q: q.loss_matrixfree(
+                    x, y, jax.random.fold_in(key, i), pre, block=64,
+                    num_probes=4, max_iters=48, tol=1e-6, precond_rank=10,
+                    fused_matvec=False, prior_max_iters=48,
+                )
+            )(mm)
+            g = jax.tree.map(
+                lambda gr, tr: jnp.where(tr, gr, 0.0), g, mask
+            )
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(mm, up), s), val
+
+        (m, _), vals = jax.lax.scan(body, (m, st), jnp.arange(20))
+        return m, vals
+
+    _, vals = run(model)
+    vals = np.asarray(vals)
+    assert np.all(np.isfinite(vals))
+    assert vals[-1] < vals[0]
