@@ -223,6 +223,67 @@ class GibbsExactGP:
     def predictive(self, x_train, y_train, x_new) -> MVN:
         return self.posterior(x_train, y_train, x_new, noiseless=False)
 
+    def posterior_matrixfree(
+        self,
+        x_train,
+        y_train,
+        x_new,
+        prior_pre,
+        *,
+        noiseless: bool = True,
+        block: int = 2048,
+        max_iters: int = 512,
+        tol: float = 1e-8,
+        precond_rank: int = 50,
+        fused_matvec: bool = True,
+    ) -> MVN:
+        """:meth:`posterior` for LARGE N: the same manual-conditioning
+        estimand, train Gram never materialised.  The lengthscale field at
+        x_new comes from the prior's matrix-free conditional mean (reusing
+        ``prior_pre``'s preconditioner factors — the conditioning Gram IS
+        the prior Gram), then the train-side solves run as one
+        preconditioned mBCG with 1+N* right-hand sides over the fused
+        Gram·v matvec (``ops/lazy_cg.lazy_cg_posterior``).  Deterministic
+        (no probes).  Footprint O(block·N + N·N*): chunk x_new for very
+        large test sets.  Keeps the reference's +1e-4 I stabiliser on the
+        predictive covariance (nonstationary_models.py:45-62)."""
+        from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_posterior
+
+        d = x_train.shape[-1]
+        ell2 = self.prior.conditional_mean_matrixfree(
+            x_new, (x_train, jnp.exp(self.log_ell)), prior_pre,
+            block=block, max_iters=max_iters, tol=tol,
+        )
+        aug = jnp.concatenate([x_train, self.log_ell], axis=1)
+        aug_new = jnp.concatenate([x_new, jnp.log(ell2)], axis=1)
+        builder = None
+        if fused_matvec:
+            from nonstationary_precip_tpu.ops.pallas_matvec import (
+                scaled_packed_gibbs_matvec_builder,
+            )
+
+            builder = scaled_packed_gibbs_matvec_builder(d)
+        mean, cov = lazy_cg_posterior(
+            self.raw_outputscale,
+            aug,
+            y_train,
+            aug_new,
+            self.likelihood.noise,
+            block=block,
+            max_iters=max_iters,
+            tol=tol,
+            precond_rank=precond_rank,
+            cross_fn=packed_gibbs_cross(d),
+            matvec_builder=builder,
+        )
+        cov = cov + 1e-4 * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+        if not noiseless:
+            cov = cov + self.likelihood.noise * jnp.eye(
+                cov.shape[-1], dtype=cov.dtype
+            )
+        return MVN(mean, cov)
+
     def lengthscale_field(self, x_train, x_new=None):
         """Trained (or conditionally extended) lengthscale field, (N, D) —
         the quantity spatial_exp.py maps over the basin (:243-274)."""

@@ -177,6 +177,63 @@ class LogNormalProcess:
         )
         return kinv, logdet
 
+    def conditional_mean_matrixfree(
+        self,
+        x: jnp.ndarray,
+        given: Tuple[jnp.ndarray, jnp.ndarray],
+        pre,
+        *,
+        block: int = 1024,
+        max_iters: int = 256,
+        tol: float = 1e-10,
+    ) -> jnp.ndarray:
+        """:meth:`conditional_mean` for LARGE conditioning sets: the
+        (Ng, Ng) conditioning solves run as preconditioned matrix-free CG
+        (``pre`` = :meth:`gram_pre_lazy` of the SAME x_g — the lpc factors
+        are reused; the logdet half is ignored), and the (N, Ng) cross
+        Gram is consumed in row panels of x so it never fully
+        materialises either.  Deterministic; same 1e-4 jitter semantics
+        as the dense path.  Not differentiable (predict-time only)."""
+        from nonstationary_precip_tpu.ops.bbmm import mbcg
+        from nonstationary_precip_tpu.ops.lazy_cg import (
+            _lazy_matvec,
+            _woodbury,
+            check_divisible,
+        )
+
+        xg, ell_g = given
+        lpc, _ = pre
+        xgs = jax.lax.stop_gradient(self._slice(xg))
+        xs = self._slice(x)
+        ng = xgs.shape[0]
+        blk = min(block, ng)
+        check_divisible(ng, blk, "x_g", "row-panel block")
+        ell = positive(self.raw_lengthscale)
+        s2 = positive(self.raw_outputscale)
+        jitter = jnp.asarray(_COND_JITTER, x.dtype)
+        resid = jnp.log(ell_g).T - self.mean(xg).T  # (D, Ng)
+        mus = []
+        for dim in range(self.mean_const.shape[0]):
+            params = (ell[dim], s2[dim])
+            matvec = _lazy_matvec(params, xgs, jitter, blk, _dim_cross)
+            minv = _woodbury(jax.lax.stop_gradient(lpc[dim]), jitter)
+            res = mbcg(
+                matvec, resid[dim][:, None],
+                max_iters=max_iters, tol=tol, precond=minv,
+            )
+            alpha = jnp.where(jnp.any(res.broke), jnp.nan, res.x[:, 0])
+            # k(x, x_g) @ alpha in row panels of x — O(block·Ng) transient
+            nt = xs.shape[0]
+            tb = min(block, nt)
+            pad = (-nt) % tb
+            xp = jnp.concatenate([xs, jnp.zeros((pad, xs.shape[1]), xs.dtype)])
+            panels = xp.reshape(-1, tb, xs.shape[1])
+            proj = jax.lax.map(
+                lambda xb: _dim_cross(params, xb, xgs) @ alpha, panels
+            ).reshape(-1)[:nt]
+            mus.append(self.mean_const[dim] + proj)
+        return jnp.exp(jnp.stack(mus)).T
+
     def gram_pre_lazy(
         self,
         x: jnp.ndarray,

@@ -189,6 +189,53 @@ def test_gibbs_loss_matrixfree_matches_dense_composition():
         )
 
 
+def test_conditional_mean_matrixfree_matches_dense():
+    x, _ = _xy(n=128)
+    xs, _ = _xy(n=40, seed=99)
+    prior = _prior()
+    rng = np.random.default_rng(17)
+    ell_g = jnp.exp(
+        prior.mean(x) + jnp.asarray(rng.normal(scale=0.3, size=(128, 2)), jnp.float64)
+    )
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(3), rank=24, block=64,
+        num_probes=8, max_iters=200, tol=1e-12,
+    )
+    got = prior.conditional_mean_matrixfree(
+        xs, (x, ell_g), pre, block=64, max_iters=400, tol=1e-13
+    )
+    want = prior.conditional_mean(xs, (x, ell_g))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_gibbs_posterior_matrixfree_matches_dense():
+    n = 128
+    x, y = _xy(n=n)
+    xs, _ = _xy(n=32, seed=41)
+    prior = _prior()
+    model = GibbsExactGP.create(x, prior, noise=0.1, outputscale=1.3, dtype=jnp.float64)
+    rng = np.random.default_rng(23)
+    model = model.replace(
+        log_ell=model.log_ell
+        + jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float64)
+    )
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(4), rank=24, block=64,
+        num_probes=8, max_iters=200, tol=1e-12,
+    )
+    mf = model.posterior_matrixfree(
+        x, y, xs, pre, block=64, max_iters=600, tol=1e-12,
+        precond_rank=16, fused_matvec=False,
+    )
+    dense = model.posterior(x, y, xs)
+    np.testing.assert_allclose(
+        np.asarray(mf.mean), np.asarray(dense.mean), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf.cov), np.asarray(dense.cov), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_gibbs_loss_matrixfree_trains_under_jit_scan():
     import optax
 
