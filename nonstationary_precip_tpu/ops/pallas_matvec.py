@@ -84,6 +84,31 @@ def _pad_v(v, n_pad):
 # ---------------------------------------------------------------------------
 
 
+def _contract(tile, v, precision):
+    """tile (TM, TN) f32 · v (TN, R) f32 → (TM, R) f32 under the chosen
+    contraction mode.  'high3' is the manual bf16 hi/lo 3-pass split
+    (hi·hi + hi·lo + lo·hi ≈ XLA's 'high', which Mosaic cannot lower):
+    per-element error ~1e-5 vs HIGHEST's exact-f32 six passes — enough
+    for CG at the shipped iteration budgets (tools/
+    probe_matvec_precision.py), NOT for exact Gram algebra."""
+    if precision == "high3":
+        f32 = jnp.float32
+        th = tile.astype(jnp.bfloat16)
+        tl = (tile - th.astype(f32)).astype(jnp.bfloat16)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(f32)).astype(jnp.bfloat16)
+        dflt = jax.lax.Precision("default")
+        return (
+            jnp.dot(th, vh, preferred_element_type=f32, precision=dflt)
+            + jnp.dot(th, vl, preferred_element_type=f32, precision=dflt)
+            + jnp.dot(tl, vh, preferred_element_type=f32, precision=dflt)
+        )
+    return jnp.dot(
+        tile, v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision(precision),
+    )
+
+
 def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
     ratio = None
     quad = None
@@ -100,9 +125,7 @@ def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
         ratio = r if ratio is None else ratio * r
         quad = q if quad is None else quad + q
     tile = jnp.sqrt(ratio) * jnp.exp(-quad)
-    acc = jnp.dot(
-        tile, v_ref[:], preferred_element_type=jnp.float32, precision=precision
-    )
+    acc = _contract(tile, v_ref[:], precision)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -141,19 +164,21 @@ def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
     ``precision`` controls the tile·v MXU contraction only (the Gram
     tile itself is exact f32 VPU work): 'highest' = six bf16 passes
     (matches the package's pinned default — the f32-exact choice),
-    'default' = one (tile rounded to bf16, ~4e-3 relative — fine for CG
-    whose matvec tolerance dominates, wrong for anything needing exact
-    Gram algebra).  Mosaic has no 'high' lowering."""
+    'default' = one pass (tile rounded to bf16 — measured DIVERGENT
+    inside preconditioned mBCG: the ~4e-3·√N operator perturbation
+    exceeds σ², tools/probe_matvec_precision.py), 'high3' = manual
+    3-pass bf16 hi/lo split (~1e-5 — CG-safe at the shipped budgets,
+    wrong for exact Gram algebra).  Mosaic has no 'high' lowering."""
     n1, d = x1.shape
     n2 = x2.shape[0]
     if d > _MAX_D:
         raise ValueError(f"gibbs matvec: D ≤ {_MAX_D}")
+    if precision not in ("highest", "default", "high3"):
+        raise ValueError(f"precision must be highest/default/high3, got {precision!r}")
     n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
     p1 = _pack_rows(x1, ell1, n1p)
     p2t = _pack_rows(x2, ell2, n2p).T
-    body = functools.partial(
-        _gibbs_kernel, d=d, precision=jax.lax.Precision(precision)
-    )
+    body = functools.partial(_gibbs_kernel, d=d, precision=precision)
 
     def matvec(v):
         r = v.shape[-1]
@@ -193,9 +218,7 @@ def _rbf_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, precision):
     b2 = p2t_ref[8:9, :]
     quad = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     tile = jnp.exp(-0.5 * quad)
-    acc = jnp.dot(
-        tile, v_ref[:], preferred_element_type=jnp.float32, precision=precision
-    )
+    acc = _contract(tile, v_ref[:], precision)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -224,11 +247,13 @@ def make_rbf_matvec(x1, x2, ell, precision: str = "highest"):
     only — the quadratic-form matmul is always exact)."""
     if x1.shape[-1] > _MAX_D:
         raise ValueError(f"rbf matvec: D ≤ {_MAX_D}")
+    if precision not in ("highest", "default", "high3"):
+        raise ValueError(f"precision must be highest/default/high3, got {precision!r}")
     n1, n2 = x1.shape[0], x2.shape[0]
     n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
     p1 = _pack_scaled(x1 / ell, n1p)
     p2t = _pack_scaled(x2 / ell, n2p).T
-    body = functools.partial(_rbf_kernel, precision=jax.lax.Precision(precision))
+    body = functools.partial(_rbf_kernel, precision=precision)
 
     def matvec(v):
         r = v.shape[-1]

@@ -62,6 +62,26 @@ def test_matvec_shape_limits(rng):
         pm.rbf_gram_matvec(x1, x2, jnp.ones((2,), jnp.float32), v)
 
 
+def test_gibbs_matvec_high3_contraction(rng):
+    """Manual 3-pass bf16 contraction ('high3'): ~1e-5 relative vs the
+    exact-f32 oracle — loose band here; the convergence story is in
+    tools/probe_matvec_precision.py."""
+    x1, e1, x2, e2, v = _gibbs_data(rng, 256, 512, 2, 9)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pm.gibbs_gram_matvec(x1, e1, x2, e2, v, precision="high3"))
+    ref = np.asarray(gibbs_gram_reference(x1, e1, x2, e2) @ v)
+    denom = np.linalg.norm(ref)
+    assert np.linalg.norm(ours - ref) / denom < 1e-4
+
+
+def test_matvec_precision_validated(rng):
+    x1, e1, x2, e2, v = _gibbs_data(rng, 16, 16, 2, 1)
+    with pytest.raises(ValueError, match="precision"):
+        pm.gibbs_gram_matvec(x1, e1, x2, e2, v, precision="high")
+    with pytest.raises(ValueError, match="precision"):
+        pm.rbf_gram_matvec(x1, x2, jnp.ones((2,), jnp.float32), v, precision="hi")
+
+
 def test_stationary_builder_rejects_unsupported_kernel():
     with pytest.raises(TypeError, match="RBF"):
         pm.stationary_matvec_builder(

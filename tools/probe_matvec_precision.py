@@ -219,7 +219,7 @@ def run_tpu(sizes):
         x, y, log_ell, s2 = _data(n)
         ell = jnp.exp(log_ell)
         row = {}
-        for tag in ("highest", "default"):
+        for tag in ("highest", "default", "high3"):
             mv = make_gibbs_matvec(x, ell, x, ell, precision=tag)
 
             def step(v):
@@ -230,16 +230,16 @@ def run_tpu(sizes):
             ms = timeit_scanned(step, v0, steps=10)
             row[f"matvec_ms_{tag}"] = round(ms, 3)
             # parity of one matvec against the highest-precision kernel
-            if tag == "default":
+            if tag != "highest":
                 ref = make_gibbs_matvec(x, ell, x, ell, precision="highest")(v0)
                 got = mv(v0)
-                row["matvec_rel_err"] = float(
+                row[f"matvec_rel_err_{tag}"] = float(
                     jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref)
                 )
-        if row["matvec_ms_default"] > 0:
-            row["speedup"] = round(
-                row["matvec_ms_highest"] / row["matvec_ms_default"], 3
-            )
+                if ms > 0:
+                    row[f"speedup_{tag}"] = round(
+                        row["matvec_ms_highest"] / ms, 3
+                    )
         _log(results, f"tpu-{n}", **row)
 
 
