@@ -135,6 +135,7 @@ class GibbsExactGP:
         precond_rank: int = 50,
         fused_matvec: bool = True,
         prior_max_iters: int = 64,
+        matvec_precision: str = "highest",
     ) -> jnp.ndarray:
         """:meth:`loss` for LARGE N: the same MAP estimand, but no N×N
         matrix — data-Gram OR prior-Gram — ever materialises, so training
@@ -162,6 +163,10 @@ class GibbsExactGP:
         noise (panel diagonal).  Same 1/N scaling as :meth:`loss`; the
         value differs from the dense loss only by the estimator noise
         (SLQ logdet), the gradients by the standard BBMM trace estimator.
+        ``matvec_precision`` is a re-probe knob only: keep 'highest' —
+        'high3' measured SLOWER (0.96× at 16384; decomposition VPU cost
+        exceeds the saved MXU passes) and 'default' DIVERGES inside
+        preconditioned mBCG (tools/probe_matvec_precision.py, DESIGN §17).
         """
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
@@ -175,7 +180,7 @@ class GibbsExactGP:
                 scaled_packed_gibbs_matvec_builder,
             )
 
-            builder = scaled_packed_gibbs_matvec_builder(d)
+            builder = scaled_packed_gibbs_matvec_builder(d, matvec_precision)
         logp = lazy_cg_mll(
             self.raw_outputscale,
             aug,

@@ -278,16 +278,18 @@ def rbf_gram_matvec(x1, x2, ell, v, precision: str = "highest"):
 
 
 @functools.lru_cache(maxsize=8)
-def packed_gibbs_matvec_builder(d: int):
+def packed_gibbs_matvec_builder(d: int, precision: str = "highest"):
     """Builder for the packed-payload Gibbs convention used by the lazy
     and sharded paths: x_aug = concat([x, log_ell], 1).  Returns
     builder(kernel, x_aug, sigma2) -> matvec; ``kernel`` (the stateless
-    GibbsKernel) is unused — all state rides x_aug."""
+    GibbsKernel) is unused — all state rides x_aug.  ``precision`` as in
+    :func:`make_gibbs_matvec` ('high3' halves the contraction's MXU
+    passes; never pass 'default' for CG — measured divergent)."""
 
     def builder(kernel, x_aug, sigma2):
         x, le = x_aug[:, :d], x_aug[:, d:]
         ell = jnp.exp(le)
-        mv = make_gibbs_matvec(x, ell, x, ell)  # packed once per loss eval
+        mv = make_gibbs_matvec(x, ell, x, ell, precision)  # packed once
 
         def matvec(v):
             return mv(v) + sigma2 * v
@@ -298,7 +300,7 @@ def packed_gibbs_matvec_builder(d: int):
 
 
 @functools.lru_cache(maxsize=8)
-def scaled_packed_gibbs_matvec_builder(d: int):
+def scaled_packed_gibbs_matvec_builder(d: int, precision: str = "highest"):
     """Like :func:`packed_gibbs_matvec_builder` but honours ``kernel`` as
     the RAW outputscale (softplus raw scalar): v ↦ s²·K_gibbs v + σ²v.
     Forward-only counterpart of ``kernels.gibbs.packed_gibbs_cross(d)`` —
@@ -309,7 +311,7 @@ def scaled_packed_gibbs_matvec_builder(d: int):
     def builder(raw_s2, x_aug, sigma2):
         x, le = x_aug[:, :d], x_aug[:, d:]
         ell = jnp.exp(le)
-        mv = make_gibbs_matvec(x, ell, x, ell)  # packed once per loss eval
+        mv = make_gibbs_matvec(x, ell, x, ell, precision)  # packed once
         s2 = positive(raw_s2)
 
         def matvec(v):

@@ -209,6 +209,22 @@ def _loss_lazygfp32(params, x, y, key):
     )
 
 
+def _loss_lazygfp32h3(params, x, y, key):
+    # lazygfp32 with the 'high3' matvec contraction — measured SLOWER
+    # than HIGHEST at the kernel level (0.96x at 16384: the hi/lo
+    # decomposition's VPU cost exceeds the 3 saved MXU passes,
+    # tools/probe_matvec_precision.py), kept runnable for re-probing only
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+    )
+
+    return _loss_lazyg(
+        params, x, y, key,
+        matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D, "high3"),
+        precond_rank=50, max_iters=32,
+    )
+
+
 def bench(n, only=None):
     x, y = _data(n)
     params0 = {
@@ -257,6 +273,7 @@ def bench(n, only=None):
         "lazygf": lambda p: _loss_lazygf(p, x, y, key),
         "lazygfp": lambda p: _loss_lazygfp(p, x, y, key),
         "lazygfp32": lambda p: _loss_lazygfp32(p, x, y, key),
+        "lazygfp32h3": lambda p: _loss_lazygfp32h3(p, x, y, key),
         "chol": lambda p: _loss_chol(p, x, y),
         "cg": lambda p: _loss_cg(p, x, y, key),
     }
@@ -264,6 +281,8 @@ def bench(n, only=None):
     for name, loss_fn in losses.items():
         if only and name not in only:
             continue
+        if name == "lazygfp32h3" and not only:
+            continue  # known-slower re-probe row: runs only when named
         p0 = params0_g if name.startswith("lazyg") else params0
         try:
             _bench_row(name, n, loss_fn, scanned, timed, steps, p0)
