@@ -163,10 +163,11 @@ class GibbsExactGP:
         noise (panel diagonal).  Same 1/N scaling as :meth:`loss`; the
         value differs from the dense loss only by the estimator noise
         (SLQ logdet), the gradients by the standard BBMM trace estimator.
-        ``matvec_precision`` is a re-probe knob only: keep 'highest' —
-        'high3' measured SLOWER (0.96× at 16384; decomposition VPU cost
-        exceeds the saved MXU passes) and 'default' DIVERGES inside
-        preconditioned mBCG (tools/probe_matvec_precision.py, DESIGN §17).
+        ``matvec_precision`` is a re-probe knob: 'highest' (default,
+        exact f32) is the shipped choice — 'high3' measures only 1.06×
+        end-to-end, 'vpu' is perf-neutral, and 'default' DIVERGES inside
+        preconditioned mBCG (tools/probe_matvec_precision.py,
+        DESIGN §17-18).
         """
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll

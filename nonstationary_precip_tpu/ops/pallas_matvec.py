@@ -57,6 +57,9 @@ TILE_N = int(os.environ.get("NSGP_MATVEC_TN", "2048"))
 _FEAT = 128
 _MAX_D = 8
 _MAX_R = 128
+# 'vpu' contraction cost is ~2·R full-tile ops vs HIGHEST's fixed 6 MXU
+# passes — only sensible at small R (mBCG rhs = 1 + num_probes)
+_VPU_R_MAX = 32
 
 
 def _ceil_to(n, t):
@@ -109,24 +112,50 @@ def _contract(tile, v, precision):
     )
 
 
-def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
-    ratio = None
-    quad = None
-    for k in range(d):
-        a = p1_ref[:, k : k + 1]  # (TM, 1)
-        b = p2t_ref[k : k + 1, :]  # (1, TN)
-        l1 = p1_ref[:, 8 + k : 9 + k]
-        l2 = p2t_ref[8 + k : 9 + k, :]
-        ss = l1 * l1 + l2 * l2  # (TM, TN)
-        inv_ss = 1.0 / ss
-        r = 2.0 * (l1 * l2) * inv_ss
-        diff = a - b
-        q = (diff * diff) * inv_ss
-        ratio = r if ratio is None else ratio * r
-        quad = q if quad is None else quad + q
-    tile = jnp.sqrt(ratio) * jnp.exp(-quad)
-    acc = _contract(tile, v_ref[:], precision)
+def _gibbs_tile(p1_ref, p2t_ref, *, d: int):
+    if d == 2:
+        # flagship fast path: factor the two per-dim reciprocals and the
+        # full-tile sqrt into ONE rsqrt.  With p = ss₁·ss₂,
+        #   √ratio = √(∏ 2ℓ₁ℓ₂) · p^(−½)          (numerator separates
+        #            into a (TM,1)·(1,TN) outer product — small-axis work)
+        #   quad   = (diff₁²·ss₂ + diff₂²·ss₁) · p⁻¹,  p⁻¹ = (p^(−½))².
+        # Same estimand to f32 rounding; saves ~25% of the tile-build VPU
+        # ops that bound this kernel (DESIGN §17 roofline).
+        a0, a1 = p1_ref[:, 0:1], p1_ref[:, 1:2]
+        b0, b1 = p2t_ref[0:1, :], p2t_ref[1:2, :]
+        l10, l11 = p1_ref[:, 8:9], p1_ref[:, 9:10]
+        l20, l21 = p2t_ref[8:9, :], p2t_ref[9:10, :]
+        ss0 = l10 * l10 + l20 * l20  # (TM, TN)
+        ss1 = l11 * l11 + l21 * l21
+        p = ss0 * ss1
+        rs = jax.lax.rsqrt(p)
+        inv_p = rs * rs
+        num_row = 2.0 * jnp.sqrt(l10 * l11)  # (TM, 1): √ on the small axis
+        num_col = jnp.sqrt(l20 * l21)  # (1, TN)
+        d0 = a0 - b0
+        d1 = a1 - b1
+        quadnum = (d0 * d0) * ss1 + (d1 * d1) * ss0
+        tile = (num_row * num_col) * rs * jnp.exp(-quadnum * inv_p)
+    else:
+        ratio = None
+        quad = None
+        for k in range(d):
+            a = p1_ref[:, k : k + 1]  # (TM, 1)
+            b = p2t_ref[k : k + 1, :]  # (1, TN)
+            l1 = p1_ref[:, 8 + k : 9 + k]
+            l2 = p2t_ref[8 + k : 9 + k, :]
+            ss = l1 * l1 + l2 * l2  # (TM, TN)
+            inv_ss = 1.0 / ss
+            r = 2.0 * (l1 * l2) * inv_ss
+            diff = a - b
+            q = (diff * diff) * inv_ss
+            ratio = r if ratio is None else ratio * r
+            quad = q if quad is None else quad + q
+        tile = jnp.sqrt(ratio) * jnp.exp(-quad)
+    return tile
 
+
+def _accumulate(out_ref, acc):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[:] = acc
@@ -134,6 +163,34 @@ def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
     @pl.when(pl.program_id(1) > 0)
     def _acc():
         out_ref[:] += acc
+
+
+def _gibbs_kernel(p1_ref, p2t_ref, v_ref, out_ref, *, d: int, precision):
+    tile = _gibbs_tile(p1_ref, p2t_ref, d=d)
+    _accumulate(out_ref, _contract(tile, v_ref[:], precision))
+
+
+def _contract_vpu(tile, vt_ref, r: int):
+    """Exact-f32 small-R contraction on the VPU: per-column broadcast
+    multiply + lane reduction, scattered into the padded output lanes via
+    one-hot masks (Mosaic-legal; jnp.concatenate of (TM, 1) strips is
+    not).  Everything stays in f32 (8, 128) tiles — none of the
+    f32→bf16 relayouts that dominate the manual 'high3' split — and the
+    arithmetic is the same estimand as 'highest' up to summation order.
+    Cost ~2·R ops/element vs the 6 MXU passes of HIGHEST, so it wins
+    only at small R (mBCG's 1+probes right-hand sides)."""
+    tm = tile.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _MAX_R), 1)
+    acc = jnp.zeros((tm, _MAX_R), jnp.float32)
+    for i in range(r):
+        s = jnp.sum(tile * vt_ref[i : i + 1, :], axis=1, keepdims=True)
+        acc = acc + jnp.where(lane == i, s, 0.0)
+    return acc
+
+
+def _gibbs_kernel_vpu(p1_ref, p2t_ref, vt_ref, out_ref, *, d: int, r: int):
+    tile = _gibbs_tile(p1_ref, p2t_ref, d=d)
+    _accumulate(out_ref, _contract_vpu(tile, vt_ref, r))
 
 
 def _matvec_call(kernel_body, p1, p2t, vp, n1p, n2p):
@@ -153,6 +210,24 @@ def _matvec_call(kernel_body, p1, p2t, vp, n1p, n2p):
     )(p1, p2t, vp)
 
 
+def _matvec_call_vpu(kernel_body, p1, p2t, vt, n1p, n2p):
+    rp = vt.shape[0]
+    grid = (n1p // TILE_M, n2p // TILE_N)
+    return pl.pallas_call(
+        kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, TILE_N), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_M, _MAX_R), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n1p, _MAX_R), jnp.float32),
+    )(p1, p2t, vt)
+
+
 def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
     """Pack the row payloads ONCE and return ``matvec(v) = K(x1, x2) @ v``.
 
@@ -168,23 +243,36 @@ def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
     inside preconditioned mBCG: the ~4e-3·√N operator perturbation
     exceeds σ², tools/probe_matvec_precision.py), 'high3' = manual
     3-pass bf16 hi/lo split (~1e-5 — CG-safe at the shipped budgets,
-    wrong for exact Gram algebra).  Mosaic has no 'high' lowering."""
+    wrong for exact Gram algebra).  Mosaic has no 'high' lowering.
+    'vpu' = exact-f32 per-column VPU contraction (same estimand as
+    'highest' up to summation order), R ≤ 32 — wins when R is small
+    enough that ~2·R VPU ops/element undercut the 6 MXU passes."""
     n1, d = x1.shape
     n2 = x2.shape[0]
     if d > _MAX_D:
         raise ValueError(f"gibbs matvec: D ≤ {_MAX_D}")
-    if precision not in ("highest", "default", "high3"):
-        raise ValueError(f"precision must be highest/default/high3, got {precision!r}")
+    if precision not in ("highest", "default", "high3", "vpu"):
+        raise ValueError(
+            f"precision must be highest/default/high3/vpu, got {precision!r}"
+        )
     n1p, n2p = _ceil_to(n1, TILE_M), _ceil_to(n2, TILE_N)
     p1 = _pack_rows(x1, ell1, n1p)
     p2t = _pack_rows(x2, ell2, n2p).T
-    body = functools.partial(_gibbs_kernel, d=d, precision=precision)
 
     def matvec(v):
         r = v.shape[-1]
         if r > _MAX_R:
             raise ValueError(f"gibbs matvec: R ≤ {_MAX_R}")
-        out = _matvec_call(body, p1, p2t, _pad_v(v, n2p), n1p, n2p)
+        if precision == "vpu":
+            if r > _VPU_R_MAX:
+                raise ValueError(f"gibbs matvec vpu: R ≤ {_VPU_R_MAX}")
+            rp = _ceil_to(r, 8)
+            vt = jnp.zeros((rp, n2p), v.dtype).at[:r, :n2].set(v.T)
+            body = functools.partial(_gibbs_kernel_vpu, d=d, r=r)
+            out = _matvec_call_vpu(body, p1, p2t, vt, n1p, n2p)
+        else:
+            body = functools.partial(_gibbs_kernel, d=d, precision=precision)
+            out = _matvec_call(body, p1, p2t, _pad_v(v, n2p), n1p, n2p)
         return out[:n1, :r]
 
     return matvec

@@ -74,6 +74,32 @@ def test_gibbs_matvec_high3_contraction(rng):
     assert np.linalg.norm(ours - ref) / denom < 1e-4
 
 
+@pytest.mark.parametrize(
+    "n1,n2,d,r",
+    [
+        (40, 64, 2, 1),  # padding path, single column
+        (700, 1500, 2, 9),  # flagship: d=2 fast-path tile, mBCG R
+        (300, 520, 3, 16),  # generic-d tile, R at a sublane boundary
+    ],
+)
+def test_gibbs_matvec_vpu_contraction(rng, n1, n2, d, r):
+    """'vpu' small-R contraction: exact f32 (same estimand as 'highest'
+    up to summation order) — oracle band as tight as the default path."""
+    x1, e1, x2, e2, v = _gibbs_data(rng, n1, n2, d, r)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(
+            pm.gibbs_gram_matvec(x1, e1, x2, e2, v, precision="vpu")
+        )
+    ref = np.asarray(gibbs_gram_reference(x1, e1, x2, e2) @ v)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_gibbs_matvec_vpu_r_limit(rng):
+    x1, e1, x2, e2, v = _gibbs_data(rng, 16, 16, 2, 33)
+    with pytest.raises(ValueError, match="R"):
+        pm.gibbs_gram_matvec(x1, e1, x2, e2, v, precision="vpu")
+
+
 def test_matvec_precision_validated(rng):
     x1, e1, x2, e2, v = _gibbs_data(rng, 16, 16, 2, 1)
     with pytest.raises(ValueError, match="precision"):

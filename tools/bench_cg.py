@@ -210,10 +210,10 @@ def _loss_lazygfp32(params, x, y, key):
 
 
 def _loss_lazygfp32h3(params, x, y, key):
-    # lazygfp32 with the 'high3' matvec contraction — measured SLOWER
-    # than HIGHEST at the kernel level (0.96x at 16384: the hi/lo
-    # decomposition's VPU cost exceeds the 3 saved MXU passes,
-    # tools/probe_matvec_precision.py), kept runnable for re-probing only
+    # lazygfp32 with the 'high3' matvec contraction — after the d=2 tile
+    # fast path it measures 1.12x on the matvec but only 1.06x end-to-end
+    # (107.3 vs 113.6 ms at 16384, DESIGN §18): too marginal to change
+    # the numerics default, kept runnable for re-probing
     from nonstationary_precip_tpu.ops.pallas_matvec import (
         packed_gibbs_matvec_builder,
     )

@@ -219,7 +219,7 @@ def run_tpu(sizes):
         x, y, log_ell, s2 = _data(n)
         ell = jnp.exp(log_ell)
         row = {}
-        for tag in ("highest", "default", "high3"):
+        for tag in ("highest", "default", "high3", "vpu"):
             mv = make_gibbs_matvec(x, ell, x, ell, precision=tag)
 
             def step(v):
