@@ -134,6 +134,7 @@ class GibbsExactGP:
         tol: float = 1e-6,
         precond_rank: int = 50,
         fused_matvec: bool = True,
+        fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
         matvec_precision: str = "highest",
     ) -> jnp.ndarray:
@@ -168,6 +169,14 @@ class GibbsExactGP:
         end-to-end, 'vpu' is perf-neutral, and 'default' DIVERGES inside
         preconditioned mBCG (tools/probe_matvec_precision.py,
         DESIGN §17-18).
+
+        ``fused_bwd`` (defaults to ``fused_matvec``) reroutes the MLL
+        gradient through the fused Pallas backward panel sweep
+        (``ops/pallas_matvec.packed_gibbs_panel_vjp``): the jax.vjp
+        panel scan — 26-28% of the training step — collapses to one
+        kernel launch (measured 1.29-1.32× end-to-end, DESIGN §19);
+        gradients agree with the scan to f32 rounding, the derivation
+        is f64-exact vs autodiff.
         """
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
@@ -182,6 +191,15 @@ class GibbsExactGP:
             )
 
             builder = scaled_packed_gibbs_matvec_builder(d, matvec_precision)
+        panel_vjp = None
+        if fused_bwd is None:
+            fused_bwd = fused_matvec  # Pallas backward rides with the Pallas forward
+        if fused_bwd:
+            from nonstationary_precip_tpu.ops.pallas_matvec import (
+                packed_gibbs_panel_vjp,
+            )
+
+            panel_vjp = packed_gibbs_panel_vjp(d)
         logp = lazy_cg_mll(
             self.raw_outputscale,
             aug,
@@ -195,6 +213,7 @@ class GibbsExactGP:
             precond_rank=precond_rank,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
+            panel_vjp=panel_vjp,
         )
         prior_term = self.prior.log_prob_matrixfree(
             x, self.log_ell, prior_pre,

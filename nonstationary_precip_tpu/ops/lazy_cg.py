@@ -170,7 +170,8 @@ def lazy_pivoted_cholesky(
 
 @functools.lru_cache(maxsize=32)
 def _mll_machinery(
-    block, num_probes, max_iters, tol, precond_rank, cross_fn, matvec_builder
+    block, num_probes, max_iters, tol, precond_rank, cross_fn, matvec_builder,
+    panel_vjp=None,
 ):
     """Per-settings compiled machinery; lru_cache keeps the custom_vjp
     identity stable so jitted callers don't retrace across steps."""
@@ -214,6 +215,17 @@ def _mll_machinery(
 
     def core_bwd(saved, g):
         kernel, x, sigma2, alpha, solves, rights = saved
+        if panel_vjp is not None:
+            # fused Pallas sweep: K tiles + the rank-(1+2R) cotangent
+            # assembled in VMEM, pullbacks reduced in-register — the
+            # whole (block, N)-panel HBM round-trip of the scan below
+            # disappears (ops/pallas_matvec.packed_gibbs_panel_vjp)
+            kg, xgrad, s2g = panel_vjp(
+                kernel, x, sigma2, alpha, solves, rights, g
+            )
+            rbar = -g * alpha
+            return (kg, xgrad, rbar, jnp.zeros_like(rights),
+                    s2g, jnp.zeros((x.shape[0], precond_rank), x.dtype))
         n, d = x.shape
         nb = n // block
         r = rights.shape[-1]
@@ -286,6 +298,7 @@ def lazy_cg_mll(
     precond_rank: int = 0,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
+    panel_vjp: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K never materialised (peak memory O(block·N), see module docstring).
@@ -304,14 +317,22 @@ def lazy_cg_mll(
     Gram·v kernels keep the panel out of HBM entirely; CG trajectories
     then agree with the panel path to f32 rounding, not bitwise.  The
     backward still rebuilds panels through ``cross_fn``, so both must
-    compute the same kernel."""
+    compute the same kernel.
+
+    ``panel_vjp`` (stable identity) swaps the backward panel scan for a
+    fused sweep with the contract
+    ``(kernel, x, alpha?, …) -> (kernel_grad, x_grad, sigma2_grad)`` —
+    see ``ops/pallas_matvec.packed_gibbs_panel_vjp``.  It MUST compute
+    the pullback of the same operator as ``cross_fn`` (the forward is
+    unchanged; only the gradient path reroutes)."""
     n = x.shape[0]
     block = min(block, n)
     check_divisible(n, block, "x", "row-panel block")
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
     fn = _mll_machinery(
-        block, num_probes, max_iters, tol, precond_rank, cross, matvec_builder
+        block, num_probes, max_iters, tol, precond_rank, cross, matvec_builder,
+        panel_vjp,
     )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(

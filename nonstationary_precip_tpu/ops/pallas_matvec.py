@@ -112,7 +112,9 @@ def _contract(tile, v, precision):
     )
 
 
-def _gibbs_tile(p1_ref, p2t_ref, *, d: int):
+def _gibbs_tile_parts(p1_ref, p2t_ref, *, d: int):
+    """Build the (TM, TN) Gibbs tile; also return the per-dim diffs and
+    squared-sum fields the backward kernel reuses ([d_k], [ss_k])."""
     if d == 2:
         # flagship fast path: factor the two per-dim reciprocals and the
         # full-tile sqrt into ONE rsqrt.  With p = ss₁·ss₂,
@@ -136,23 +138,30 @@ def _gibbs_tile(p1_ref, p2t_ref, *, d: int):
         d1 = a1 - b1
         quadnum = (d0 * d0) * ss1 + (d1 * d1) * ss0
         tile = (num_row * num_col) * rs * jnp.exp(-quadnum * inv_p)
-    else:
-        ratio = None
-        quad = None
-        for k in range(d):
-            a = p1_ref[:, k : k + 1]  # (TM, 1)
-            b = p2t_ref[k : k + 1, :]  # (1, TN)
-            l1 = p1_ref[:, 8 + k : 9 + k]
-            l2 = p2t_ref[8 + k : 9 + k, :]
-            ss = l1 * l1 + l2 * l2  # (TM, TN)
-            inv_ss = 1.0 / ss
-            r = 2.0 * (l1 * l2) * inv_ss
-            diff = a - b
-            q = (diff * diff) * inv_ss
-            ratio = r if ratio is None else ratio * r
-            quad = q if quad is None else quad + q
-        tile = jnp.sqrt(ratio) * jnp.exp(-quad)
-    return tile
+        return tile, [d0, d1], [ss0, ss1]
+    ratio = None
+    quad = None
+    ds, sss = [], []
+    for k in range(d):
+        a = p1_ref[:, k : k + 1]  # (TM, 1)
+        b = p2t_ref[k : k + 1, :]  # (1, TN)
+        l1 = p1_ref[:, 8 + k : 9 + k]
+        l2 = p2t_ref[8 + k : 9 + k, :]
+        ss = l1 * l1 + l2 * l2  # (TM, TN)
+        inv_ss = 1.0 / ss
+        r = 2.0 * (l1 * l2) * inv_ss
+        diff = a - b
+        q = (diff * diff) * inv_ss
+        ratio = r if ratio is None else ratio * r
+        quad = q if quad is None else quad + q
+        ds.append(diff)
+        sss.append(ss)
+    tile = jnp.sqrt(ratio) * jnp.exp(-quad)
+    return tile, ds, sss
+
+
+def _gibbs_tile(p1_ref, p2t_ref, *, d: int):
+    return _gibbs_tile_parts(p1_ref, p2t_ref, d=d)[0]
 
 
 def _accumulate(out_ref, acc):
@@ -285,6 +294,137 @@ def gibbs_gram_matvec(x1, ell1, x2, ell2, v, precision: str = "highest"):
     VJP).  Inside an iteration loop use :func:`make_gibbs_matvec` so the
     payload packing happens once."""
     return make_gibbs_matvec(x1, ell1, x2, ell2, precision)(v)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward panel sweep for lazy_cg_mll's custom VJP
+# ---------------------------------------------------------------------------
+
+# the backward tile keeps ~5 (TM, TN) f32 fields live (K, Ŵ, P, d_k,
+# ss_k), so it runs at a smaller tile than the forward matvec to stay
+# inside the 16 MB scoped-VMEM budget; env overrides for re-probing
+TILE_BM = int(os.environ.get("NSGP_MATVEC_BTM", "256"))
+TILE_BN = int(os.environ.get("NSGP_MATVEC_BTN", "1024"))
+
+
+def _gibbs_panel_bwd_kernel(p1_ref, p2t_ref, f1_ref, f2t_ref, out_ref, *, d, fw):
+    """Row-side gradients of sum(Ŵ ⊙ K) for the Gibbs Gram, one tile at
+    a time: K built in VMEM (shared tile algebra), the rank-(1+2R)
+    cotangent Ŵ assembled ON the MXU from the lane-packed factor
+    buffers (never in HBM), and the per-dim x/ℓ pullbacks reduced
+    in-register.  Output lanes (TM, 128): k → ∂/∂x_k, 8+k → ∂/∂ℓ_k
+    (raw ℓ, chain rules live at the caller), 16 → rowsum(Ŵ ⊙ K) (the
+    outputscale pullback).  Accumulated across the column grid."""
+    tile, ds, sss = _gibbs_tile_parts(p1_ref, p2t_ref, d=d)
+    w = jnp.dot(
+        f1_ref[:, 0:fw], f2t_ref[0:fw, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pmat = w * tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _FEAT), 1)
+    sp = jnp.sum(pmat, axis=1, keepdims=True)  # (TM, 1)
+    acc = jnp.where(lane == 16, sp, 0.0)
+    for k in range(d):
+        inv_ss = 1.0 / sss[k]
+        dk = ds[k]
+        gx = -2.0 * jnp.sum(pmat * (dk * inv_ss), axis=1, keepdims=True)
+        l1 = p1_ref[:, 8 + k : 9 + k]  # (TM, 1)
+        # ∂logK/∂ℓ₁ₖ = 1/(2ℓ₁ₖ) + ℓ₁ₖ·inv_ss·(2d²·inv_ss − 1)
+        t = jnp.sum(
+            pmat * (inv_ss * (2.0 * (dk * dk) * inv_ss - 1.0)),
+            axis=1, keepdims=True,
+        )
+        gl = sp / (2.0 * l1) + l1 * t
+        acc = acc + jnp.where(lane == k, gx, 0.0) + jnp.where(lane == 8 + k, gl, 0.0)
+    _accumulate(out_ref, acc)
+
+
+def packed_gibbs_panel_grads(x, ell, alpha, solves, rights):
+    """One fused sweep of the BBMM backward over the UNSCALED Gibbs Gram:
+    row-side pullbacks of sum(Ŵ ⊙ K(x,x)) where
+
+        Ŵ = ½ααᵀ − (¼/R)(S Zᵀ + Z Sᵀ),   S = solves, Z = rights
+
+    (``ops/lazy_cg.py::core_bwd``'s kbar, exactly).  Returns
+    ``(gx (N, d), gell (N, d), sp (N,))`` with sp the rowsums of Ŵ ⊙ K
+    (so ``sp.sum()`` is the outputscale pullback).  Because K(x,x) and Ŵ
+    are both symmetric, the caller's TOTAL gradient is 2× the row-side
+    one — no transposed sweep needed.  Raw-ℓ, unscaled, un-g'd: all
+    chain rules (exp(log ℓ), s², the scalar loss cotangent) live at the
+    caller.  Forward-only by design (this IS a backward)."""
+    n, d = x.shape
+    r = solves.shape[-1]
+    n1p, n2p = _ceil_to(n, TILE_BM), _ceil_to(n, TILE_BN)
+    p1 = _pack_rows(x, ell, n1p)
+    p2t = _pack_rows(x, ell, n2p).T
+    c = 0.25 / r
+    f1 = (
+        jnp.zeros((n1p, _FEAT), x.dtype)
+        .at[:n, 0].set(0.5 * alpha)
+        .at[:n, 1 : 1 + r].set(-c * solves)
+        .at[:n, 1 + r : 1 + 2 * r].set(-c * rights)
+    )
+    f2 = (
+        jnp.zeros((n2p, _FEAT), x.dtype)
+        .at[:n, 0].set(alpha)
+        .at[:n, 1 : 1 + r].set(rights)
+        .at[:n, 1 + r : 1 + 2 * r].set(solves)
+    )
+    fw = min(_ceil_to(1 + 2 * r, 8), _FEAT)
+    body = functools.partial(_gibbs_panel_bwd_kernel, d=d, fw=fw)
+    grid = (n1p // TILE_BM, n2p // TILE_BN)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n1p, _FEAT), jnp.float32),
+    )(p1, p2t, f1, f2.T)
+    return out[:n, 0:d], out[:n, 8 : 8 + d], out[:n, 16]
+
+
+@functools.lru_cache(maxsize=8)
+def packed_gibbs_panel_vjp(d: int):
+    """Fused replacement for ``lazy_cg_mll``'s backward panel scan, for
+    the packed-payload Gibbs convention (``kernels.gibbs.
+    packed_gibbs_cross(d)``'s operator, scaled or not — branches on
+    ``kernel is None`` exactly as the cross does).  Contract (see
+    ``ops/lazy_cg.py::core_bwd``):
+
+        panel_vjp(kernel, aug, sigma2, alpha, solves, rights, g)
+            -> (kernel_grad, aug_grad, sigma2_grad)
+
+    Valid ONLY for the symmetric K(aug, aug) MLL pullback (which is the
+    only way core_bwd is ever invoked): total = 2× the row-side sweep.
+    σ²'s pullback is the trace identity g·tr(Ŵ) — O(N·R) host algebra,
+    no panel needed."""
+    from nonstationary_precip_tpu.utils.transforms import positive
+
+    def panel_vjp(kernel, aug, sigma2, alpha, solves, rights, g):
+        x, le = aug[:, :d], aug[:, d:]
+        ell = jnp.exp(le)
+        gx, gl, sp = packed_gibbs_panel_grads(x, ell, alpha, solves, rights)
+        gaug = 2.0 * g * jnp.concatenate([gx, gl * ell], axis=1)
+        r = solves.shape[-1]
+        s2g = g * (
+            0.5 * jnp.dot(alpha, alpha)
+            - (0.5 / r) * jnp.sum(solves * rights)
+        )
+        if kernel is None:
+            return None, gaug, s2g
+        s2, pullback = jax.vjp(positive, kernel)
+        (kg,) = pullback(g * jnp.sum(sp))
+        return kg, s2 * gaug, s2g
+
+    return panel_vjp
 
 
 # ---------------------------------------------------------------------------

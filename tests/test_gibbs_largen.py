@@ -236,6 +236,51 @@ def test_gibbs_posterior_matrixfree_matches_dense():
     )
 
 
+def test_gibbs_loss_matrixfree_fused_bwd_matches_scan_bwd():
+    """fused_bwd=True (the Pallas panel_vjp sweep, interpret mode here)
+    reroutes only the MLL gradient path: the loss value is bit-identical
+    and every trained gradient (per-point log-ℓ field, outputscale,
+    noise) matches the jax.vjp panel scan to f32 rounding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 256
+    x, y = _xy(n=n, dtype=jnp.float32)
+    prior = _prior(dtype=jnp.float32)
+    model = GibbsExactGP.create(x, prior, noise=0.1, outputscale=1.0)
+    rng = np.random.default_rng(3)
+    model = model.replace(
+        log_ell=model.log_ell
+        + jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float32)
+    )
+    key = jax.random.PRNGKey(5)
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(6), rank=10, block=64, num_probes=8,
+        max_iters=64, tol=1e-6,
+    )
+
+    def loss(m, fused):
+        return m.loss_matrixfree(
+            x, y, key, pre, block=64, num_probes=8, max_iters=64,
+            tol=1e-7, precond_rank=10, fused_matvec=fused,
+            fused_bwd=fused, prior_max_iters=48,
+        )
+
+    v0, g0 = jax.value_and_grad(lambda m: loss(m, False))(model)
+    with pltpu.force_tpu_interpret_mode():
+        v1, g1 = jax.value_and_grad(lambda m: loss(m, True))(model)
+    assert abs(float(v1 - v0)) < 1e-5 * abs(float(v0))
+    np.testing.assert_allclose(
+        np.asarray(g1.log_ell), np.asarray(g0.log_ell), rtol=2e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        float(g1.raw_outputscale), float(g0.raw_outputscale), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(g1.likelihood.raw_noise), float(g0.likelihood.raw_noise),
+        rtol=2e-3,
+    )
+
+
 def test_gibbs_loss_matrixfree_trains_under_jit_scan():
     import optax
 

@@ -152,6 +152,44 @@ def test_lazy_mll_fused_matvec_matches_panels(rng):
     np.testing.assert_allclose(float(gf_s), float(gp_s), rtol=2e-3)
 
 
+@pytest.mark.parametrize("scaled", [False, True])
+def test_lazy_mll_fused_panel_vjp_matches_scan(rng, scaled):
+    """panel_vjp (the fused Pallas backward sweep) reroutes ONLY the
+    gradient path: the value is bit-identical and every gradient —
+    payload (x AND log-ℓ lanes), outputscale, noise — matches the
+    jax.vjp panel scan to f32 rounding.  The derivation itself is
+    verified exact in f64 against autodiff of sum(Ŵ⊙K) (DESIGN §19)."""
+    n = 256
+    x = jnp.asarray(rng.uniform(-2, 2, size=(n, _D)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    le = jnp.asarray(0.2 * rng.normal(size=(n, _D)), jnp.float32)
+    aug = jnp.concatenate([x, le], 1)
+    s2 = jnp.asarray(0.3, jnp.float32)
+    raw = jnp.asarray(0.8, jnp.float32) if scaled else None
+    key = jax.random.PRNGKey(3)
+    from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+
+    kw = dict(
+        block=128, num_probes=8, max_iters=64, tol=1e-7,
+        cross_fn=packed_gibbs_cross(_D),
+    )
+    argnums = (0, 1, 2) if scaled else (1, 2)
+
+    def f(k, a, s, pvjp):
+        return lazy_cg_mll(k, a, y, key, s, panel_vjp=pvjp, **kw)
+
+    vp, gp = jax.value_and_grad(f, argnums=argnums)(raw, aug, s2, None)
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(f, argnums=argnums)(
+            raw, aug, s2, pm.packed_gibbs_panel_vjp(_D)
+        )
+    assert float(vf) == float(vp)  # forward untouched
+    for a, b in zip(gp, gf):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=5e-4
+        )
+
+
 def test_lazy_posterior_fused_matvec_matches_panels(rng):
     n, nt = 256, 16
     x = jnp.asarray(rng.uniform(-2, 2, size=(n, _D)), jnp.float32)

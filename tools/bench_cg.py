@@ -209,6 +209,30 @@ def _loss_lazygfp32(params, x, y, key):
     )
 
 
+def _loss_lazygfp32b(params, x, y, key):
+    # lazygfp32 + the fused Pallas BACKWARD panel sweep (panel_vjp):
+    # the jax.vjp panel scan (26-28% of the step, tools/probe_lazy_bwd)
+    # replaced by one kernel that assembles the rank-17 cotangent in VMEM
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+        packed_gibbs_panel_vjp,
+    )
+
+    n = y.shape[0]
+    aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+    return (
+        -lazy_cg_mll(
+            None, aug, y, key, jnp.exp(params["log_noise"]),
+            block=LAZY_BLOCK, num_probes=8, max_iters=32, tol=1e-6,
+            cross_fn=_gibbs_cross,
+            matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+            panel_vjp=packed_gibbs_panel_vjp(_GIBBS_D),
+            precond_rank=50,
+        )
+        / n
+    )
+
+
 def _loss_lazygfp32h3(params, x, y, key):
     # lazygfp32 with the 'high3' matvec contraction — after the d=2 tile
     # fast path it measures 1.12x on the matvec but only 1.06x end-to-end
@@ -273,6 +297,7 @@ def bench(n, only=None):
         "lazygf": lambda p: _loss_lazygf(p, x, y, key),
         "lazygfp": lambda p: _loss_lazygfp(p, x, y, key),
         "lazygfp32": lambda p: _loss_lazygfp32(p, x, y, key),
+        "lazygfp32b": lambda p: _loss_lazygfp32b(p, x, y, key),
         "lazygfp32h3": lambda p: _loss_lazygfp32h3(p, x, y, key),
         "chol": lambda p: _loss_chol(p, x, y),
         "cg": lambda p: _loss_cg(p, x, y, key),

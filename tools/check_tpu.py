@@ -345,6 +345,49 @@ def check_gram_matvec():
     )
 
 
+def check_panel_bwd():
+    """Fused BBMM backward panel sweep (ops/pallas_matvec.py::
+    packed_gibbs_panel_grads): in-kernel Ŵ assembly + x/ℓ pullback
+    reductions must match the dense oracle on chip."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram
+    from nonstationary_precip_tpu.ops import pallas_matvec as pm
+
+    rng = np.random.default_rng(19)
+    n, d, r = 1500, 2, 8
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(size=(n, d)) * 0.3) + 0.2, jnp.float32)
+    alpha = jnp.asarray(rng.normal(size=n), jnp.float32)
+    solves = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+    rights = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+    gx, gl, sp = jax.jit(pm.packed_gibbs_panel_grads)(
+        x, ell, alpha, solves, rights
+    )
+
+    @jax.jit
+    def oracle():
+        w = 0.5 * jnp.outer(alpha, alpha) - (0.25 / r) * (
+            solves @ rights.T + rights @ solves.T
+        )
+        gx_t, gl_t = jax.grad(
+            lambda xx, ee: jnp.sum(w * gibbs_gram(xx, ee, xx, ee)),
+            argnums=(0, 1),
+        )(x, ell)
+        return gx_t, gl_t, jnp.sum(w * gibbs_gram(x, ell, x, ell))
+
+    gx_t, gl_t, wk_t = oracle()
+    scale = float(jnp.max(jnp.abs(gx_t))) + 1e-12
+    rel = max(
+        _maxdiff(2 * gx, gx_t) / scale,
+        _maxdiff(2 * gl, gl_t) / (float(jnp.max(jnp.abs(gl_t))) + 1e-12),
+    )
+    spd = abs(float(jnp.sum(sp) - wk_t)) / (abs(float(wk_t)) + 1e-12)
+    report(
+        "fused panel bwd 1500 (gx, gl, sum)",
+        _finite(gx) and _finite(gl) and rel < 1e-3 and spd < 1e-4,
+        f"rel maxdiff {rel:.2e}  scale-sum rel {spd:.2e}",
+    )
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}", flush=True)
@@ -360,6 +403,7 @@ def main():
     check_vmem_chol()
     check_streaming2()
     check_gram_matvec()
+    check_panel_bwd()
     check_elbo()
     dt = time.time() - t0
     if FAILURES:
