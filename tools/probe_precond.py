@@ -66,7 +66,8 @@ def probe(n: int, trained: bool):
     pose = "trained" if trained else "init"
     print(f"\n== gibbs N={n} pose={pose} sigma2={float(s2):.4f} ==")
     print(f"{'rank':>5} {'iters(y)':>9} {'iters(max)':>10} {'relres@64':>10}")
-    for rank in (0, 10, 20, 50):
+    ranks = (0, 10, 20, 50) if n <= 8192 else (50, 100)
+    for rank in ranks:
         if rank == 0:
             minv = None
             probes = jax.random.rademacher(key, (n, 8), dtype=jnp.float32)
