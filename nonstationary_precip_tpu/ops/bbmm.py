@@ -45,6 +45,7 @@ class CGResult(NamedTuple):
     residnorm: jnp.ndarray  # (R,) final RELATIVE residual norms (/ ||b||)
     iters: jnp.ndarray    # (R,) iterations to convergence (= T if never)
     broke: jnp.ndarray    # (R,) True where CG hit pᵀKp ≤ 0 before converging
+    resnorm_hist: jnp.ndarray  # (T, R) relative residual after each iteration
 
 
 def mbcg(
@@ -132,6 +133,9 @@ def mbcg(
         residnorm=jnp.linalg.norm(res, axis=0) / safe_bnorm,
         iters=iters,
         broke=broke,
+        # already a scan output — XLA dead-code-eliminates it at every
+        # call site that doesn't consume it (convergence probes do)
+        resnorm_hist=resnorms / safe_bnorm[None, :],
     )
 
 

@@ -51,6 +51,23 @@ class TestMBCG:
         assert float(jnp.max(jnp.abs(res.x[:, 0] - e0))) < 1e-7
         assert int(res.iters[0]) < int(res.iters[1])
 
+    def test_resnorm_history_is_consistent(self):
+        # the (T, R) relative-residual history (convergence probes read
+        # it): last row == the returned final residnorm, frozen columns
+        # hold their value, and the entry at iters-1 is below tol
+        k, _ = _rbf_psd(150, seed=7)
+        rng = np.random.default_rng(8)
+        b = jnp.asarray(rng.normal(size=(150, 3)))
+        res = mbcg(lambda v: k @ v, b, max_iters=250, tol=1e-9)
+        hist = np.asarray(res.resnorm_hist)
+        assert hist.shape == (250, 3)
+        np.testing.assert_allclose(hist[-1], np.asarray(res.residnorm), rtol=1e-6)
+        for j, it in enumerate(np.asarray(res.iters)):
+            assert it < 250  # converged
+            assert hist[it - 1, j] < 1e-9
+            # frozen after convergence
+            np.testing.assert_allclose(hist[it - 1 :, j], hist[-1, j], rtol=1e-6)
+
     def test_preconditioner_cuts_iterations(self):
         # low-rank-plus-noise structure: exactly what pivoted Cholesky captures
         n = 300

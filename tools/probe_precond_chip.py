@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""ON-CHIP iterations-to-tolerance probe for the preconditioned lazy CG
+path at flagship sizes (tools/probe_precond.py's question, answered with
+the fused Gram·v matvec on the TPU so N=32768/65536 are cheap — the
+dense CPU probe caps out around 8192 on this 1-core host).
+
+For each (N, pose, rank) cell: ONE mbcg at max_iters=200 records the
+full relative-residual history (CGResult.resnorm_hist), so one program
+answers both "iterations to 1e-6/1e-2" and "relres at the shipped
+budgets {16, 24, 32, 48, 64}".  Decision input for the fixed-budget
+choice in GibbsExactGP.loss_matrixfree (32-iter rank-50 shipped,
+DESIGN.md §16): if rank 100 cuts iters-to-accuracy enough at large N,
+drop the budget; each saved iteration is ~40 ms/step at 65536.
+
+Run ALONE (never share the TPU):  python tools/probe_precond_chip.py [N ...]
+Writes tools/probe_precond_chip.json (merging, like bench_cg).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference  # noqa: E402
+from nonstationary_precip_tpu.ops.bbmm import (  # noqa: E402
+    mbcg,
+    sample_precond_probes,
+    woodbury_precond,
+)
+from nonstationary_precip_tpu.ops.lazy_cg import lazy_pivoted_cholesky  # noqa: E402
+from nonstationary_precip_tpu.ops.pallas_matvec import (  # noqa: E402
+    packed_gibbs_matvec_builder,
+)
+
+OUT = Path(__file__).parent / "probe_precond_chip.json"
+results = json.loads(OUT.read_text()) if OUT.exists() else {}
+D = 2
+CHECKPOINTS = (16, 24, 32, 48, 64)
+
+
+def _cross(kern, xa, xb):
+    return gibbs_gram_reference(
+        xa[:, :D], jnp.exp(xa[:, D:]), xb[:, :D], jnp.exp(xb[:, D:])
+    )
+
+
+def _data(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
+    y = jnp.sin(2 * x[:, 0]) * jnp.cos(x[:, 1]) + 0.1 * jnp.asarray(
+        rng.normal(size=n), jnp.float32
+    )
+    return x, y
+
+
+def _cell(aug, y, s2, rank, key):
+    """iters-to-tol + residual checkpoints, all on chip in one program."""
+
+    def run(aug, y, s2, key):
+        matvec = packed_gibbs_matvec_builder(D)(None, aug, s2)
+        if rank > 0:
+            lpc = lazy_pivoted_cholesky(None, aug, rank, _cross)
+            minv = woodbury_precond(lpc, s2)
+            probes = sample_precond_probes(key, lpc, s2, 8)
+        else:
+            minv = None
+            probes = jax.random.rademacher(key, (aug.shape[0], 8), jnp.float32)
+        rhs = jnp.concatenate([y[:, None], probes], axis=1)
+        res = mbcg(matvec, rhs, max_iters=200, tol=1e-6, precond=minv)
+        hist_max = jnp.max(res.resnorm_hist, axis=1)  # worst column per iter
+        return res.iters, hist_max
+
+    iters, hist = jax.jit(run)(aug, y, s2, key)
+    iters = np.asarray(iters)
+    hist = np.asarray(hist)
+    return {
+        "iters_y": int(iters[0]),
+        "iters_max": int(iters.max()),
+        "relres_at": {str(k): float(hist[k - 1]) for k in CHECKPOINTS},
+    }
+
+
+def probe(n: int, trained: bool):
+    x, y = _data(n)
+    if trained:
+        log_ell = 0.5 * jnp.sin(x)
+        s2 = jnp.asarray(np.exp(-4.0), jnp.float32)
+    else:
+        log_ell = jnp.zeros_like(x)
+        s2 = jnp.asarray(np.exp(-2.0), jnp.float32)
+    aug = jnp.concatenate([x, log_ell], axis=1)
+    key = jax.random.PRNGKey(5)
+    pose = "trained" if trained else "init"
+    ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
+    for rank in ranks:
+        cell = _cell(aug, y, s2, rank, key)
+        name = f"{n}-{pose}-r{rank}"
+        results[name] = cell
+        print(name, cell, flush=True)
+        OUT.write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [16384]
+    for n in sizes:
+        for trained in (False, True):
+            probe(n, trained)
