@@ -233,6 +233,39 @@ def _loss_lazygfp32b(params, x, y, key):
     )
 
 
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=16)
+def _loss_lazygfpb_rb(rank: int, iters: int):
+    # (rank, budget)-parameterised lazygfp32b: the on-chip convergence
+    # probe (tools/probe_precond_chip.py) showed iterations-to-tolerance
+    # scales with N at fixed rank (16384 trained pose: rank-50 needs 135
+    # iters, rank-100 23, rank-150 9) — so the honest converged config is
+    # N-dependent.  lru_cache keeps the function identity jit-stable.
+    def loss(params, x, y, key):
+        from nonstationary_precip_tpu.ops.pallas_matvec import (
+            packed_gibbs_matvec_builder,
+            packed_gibbs_panel_vjp,
+        )
+
+        n = y.shape[0]
+        aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+        return (
+            -lazy_cg_mll(
+                None, aug, y, key, jnp.exp(params["log_noise"]),
+                block=LAZY_BLOCK, num_probes=8, max_iters=iters, tol=1e-6,
+                cross_fn=_gibbs_cross,
+                matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+                panel_vjp=packed_gibbs_panel_vjp(_GIBBS_D),
+                precond_rank=rank,
+            )
+            / n
+        )
+
+    return loss
+
+
 def _loss_lazygfp32h3(params, x, y, key):
     # lazygfp32 with the 'high3' matvec contraction — after the d=2 tile
     # fast path it measures 1.12x on the matvec but only 1.06x end-to-end
@@ -302,6 +335,16 @@ def bench(n, only=None):
         "chol": lambda p: _loss_chol(p, x, y),
         "cg": lambda p: _loss_cg(p, x, y, key),
     }
+    # (rank, budget)-tuned rows, named lazygfpb-r<rank>-i<iters>: run only
+    # when named explicitly, e.g.  python tools/bench_cg.py 16384 lazygfpb-r100-i24
+    for req in only or ():
+        if req.startswith("lazygfpb-r"):
+            r_s, i_s = req[len("lazygfpb-") :].split("-")
+            rank, iters = int(r_s[1:]), int(i_s[1:])
+            fn = _loss_lazygfpb_rb(rank, iters)
+            losses[req] = (
+                lambda p, fn=fn: fn(p, x, y, key)
+            )
     steps = _steps(n)
     for name, loss_fn in losses.items():
         if only and name not in only:
