@@ -130,9 +130,9 @@ class GibbsExactGP:
         *,
         block: int = 2048,
         num_probes: int = 8,
-        max_iters: int = 64,
+        max_iters: int | None = None,
         tol: float = 1e-6,
-        precond_rank: int = 50,
+        precond_rank: int = 150,
         fused_matvec: bool = True,
         fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
@@ -150,7 +150,17 @@ class GibbsExactGP:
         panel path on chip, DESIGN.md §15) and a per-step rank-
         ``precond_rank`` pivoted-Cholesky/Woodbury preconditioner —
         unpreconditioned CG is materially unconverged at 64 iterations for
-        N ≥ 4096 on this kernel (tools/probe_precond.py).  This is the
+        N ≥ 4096 on this kernel (tools/probe_precond.py).  The defaults
+        (rank 150; budget auto = 16 iterations for N ≤ 32768, 32 above)
+        are the measured converged-at-trained-pose configs from the
+        on-chip sweep (tools/probe_precond_chip.json: rank 50 stalls at
+        relres ≈ 0.14–1.1 for N ≥ 16384 where rank 150 reaches 1e-6 by
+        iteration 9–30; rank 200 showed a stall anomaly at 65536, so 150
+        is the shipped ceiling) — rank is nearly free (O(N·R²) setup,
+        O(N·R) per iteration, both ≪ one O(N²) matvec) while every saved
+        iteration is ~40 ms/step at 65536, so prefer raising rank over
+        raising the budget.  Validate on new data with
+        ``mbcg``'s residual history, not by eye.  This is the
         estimator the reference trains large N under
         (``gpytorch.settings.max_cg_iterations``, reference
         ``experiments/spatial_exp.py:199``), with the same stochastic
@@ -183,6 +193,9 @@ class GibbsExactGP:
 
         n = y.shape[-1]
         d = x.shape[-1]
+        if max_iters is None:
+            max_iters = 16 if n <= 32768 else 32
+        precond_rank = min(precond_rank, n)
         aug = jnp.concatenate([x, self.log_ell], axis=1)
         builder = None
         if fused_matvec:
@@ -257,9 +270,9 @@ class GibbsExactGP:
         *,
         noiseless: bool = True,
         block: int = 2048,
-        max_iters: int = 512,
+        max_iters: int = 64,
         tol: float = 1e-8,
-        precond_rank: int = 50,
+        precond_rank: int = 150,
         fused_matvec: bool = True,
     ) -> MVN:
         """:meth:`posterior` for LARGE N: the same manual-conditioning
@@ -271,11 +284,20 @@ class GibbsExactGP:
         Gram·v matvec (``ops/lazy_cg.lazy_cg_posterior``).  Deterministic
         (no probes).  Footprint O(block·N + N·N*): chunk x_new for very
         large test sets.  Keeps the reference's +1e-4 I stabiliser on the
-        predictive covariance (nonstationary_models.py:45-62)."""
+        predictive covariance (nonstationary_models.py:45-62).
+
+        ``mbcg`` is a fixed-length scan (converged columns freeze but the
+        matvecs keep running), so ``max_iters`` is paid in full every
+        call — the rank-150/64-iteration defaults come from the on-chip
+        convergence sweep (tools/probe_precond_chip.json: ≤ 30 iterations
+        to 1e-6 at every probed N ≤ 65536; 64 leaves margin for the
+        harder noiseless solve), replacing the old 512-iteration/rank-50
+        budget that spent ~16× the needed matvecs."""
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_posterior
 
         d = x_train.shape[-1]
+        precond_rank = min(precond_rank, y_train.shape[-1])
         ell2 = self.prior.conditional_mean_matrixfree(
             x_new, (x_train, jnp.exp(self.log_ell)), prior_pre,
             block=block, max_iters=max_iters, tol=tol,
