@@ -11,9 +11,13 @@ HBM.  The demo runs on a VIRTUAL 8-device CPU mesh (set before jax
 initialises), so it works on any machine; on real hardware the same code
 runs over a TPU pod slice unchanged.
 
-  1. train: Adam on the sharded stochastic MLL, one compiled scan,
+  1. train: Adam on the sharded stochastic MLL, one compiled scan — with
+     the rank-32 pivoted-Cholesky/Woodbury preconditioner (the factor is
+     replicated math built OUTSIDE the shard_map; on the trained
+     nonstationary pose unpreconditioned CG stalls outright, so the
+     preconditioned estimator is the config large-N training ships),
   2. parity: the sharded objective vs the dense single-device CG path
-     (bit-compatible: same row dot products, merely partitioned),
+     under the same key and preconditioner rank,
   3. predict: sharded posterior vs the dense Cholesky posterior.
 
 On TPU hardware, pass ``local_matvec_builder=parallel.sharded_cg.
@@ -85,7 +89,8 @@ def main(n=2048, num_steps=25):
 
     def loss(k):
         return -sharded_cg_mll(
-            k, x, y, key, s2, mesh, num_probes=8, max_iters=100, tol=1e-6
+            k, x, y, key, s2, mesh,
+            num_probes=8, max_iters=32, tol=1e-6, precond_rank=32,
         )
 
     def step(carry, _):
@@ -103,9 +108,12 @@ def main(n=2048, num_steps=25):
         f"loss {float(vals[0]):.4f} -> {float(vals[-1]):.4f}"
     )
 
-    # --- 2. sharded == dense CG (same probe key) ---------------------------
+    # --- 2. sharded == dense CG (same probe key + preconditioner rank) -----
     k_dense = kernel(x) + s2 * jnp.eye(n, dtype=jnp.float32)
-    dense = float(cg_mll(k_dense, y, key, s2, num_probes=8, max_iters=100, tol=1e-6))
+    dense = float(cg_mll(
+        k_dense, y, key, s2,
+        num_probes=8, max_iters=32, tol=1e-6, precond_rank=32,
+    ))
     sharded = float(loss(kernel))
     dmll = abs(-sharded - dense)
     print(f"sharded vs dense CG MLL |Δ| = {dmll:.2e}")
@@ -113,7 +121,7 @@ def main(n=2048, num_steps=25):
 
     # --- 3. sharded posterior vs dense Cholesky ----------------------------
     mean, cov = sharded_cg_posterior(
-        kernel, x, y, xs, s2, mesh, max_iters=400, tol=1e-8
+        kernel, x, y, xs, s2, mesh, max_iters=60, tol=1e-8, precond_rank=32
     )
     chol = jnp.linalg.cholesky(k_dense)
     sol = jax.scipy.linalg.cho_solve((chol, True), y)

@@ -33,10 +33,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from nonstationary_precip_tpu.ops.bbmm import lanczos_logdet, mbcg
+from nonstationary_precip_tpu.ops.bbmm import (
+    lanczos_logdet,
+    mbcg,
+    precond_logdet,
+    sample_precond_probes,
+)
 from nonstationary_precip_tpu.ops.lazy_cg import (
+    _woodbury,
     check_divisible as _shared_check_divisible,
     default_cross as _default_cross,
+    lazy_pivoted_cholesky,
     warn_unstable_cross_fn as _warn_unstable_cross_fn,
 )
 from nonstationary_precip_tpu.parallel.mesh import DATA_AXIS
@@ -97,7 +104,8 @@ def packed_gibbs_local_matvec(d: int):
 
 @functools.lru_cache(maxsize=32)
 def _mll_machinery(
-    mesh, axis, num_probes, max_iters, tol, cross_fn, local_matvec_builder=None
+    mesh, axis, num_probes, max_iters, tol, cross_fn, local_matvec_builder=None,
+    precond_rank=0,
 ):
     """Per-(mesh, settings) compiled machinery; lru_cache keeps function
     identity stable so jitted callers don't retrace across steps.
@@ -108,7 +116,7 @@ def _mll_machinery(
     it sees a new cross_fn identity more than once — define cross_fn at
     module scope (or cache it yourself) so the identity is stable."""
 
-    def fwd_inner(kernel, x_local, x, resid, probes, sigma2):
+    def fwd_inner(kernel, x_local, x, resid, probes, sigma2, lpc):
         if local_matvec_builder is not None:
             # fused Gram·v: no (N/P, N) row-block residency at all
             local_mv = local_matvec_builder(kernel, x_local, x, sigma2, axis)
@@ -122,14 +130,22 @@ def _mll_machinery(
             def matvec(v):
                 return jax.lax.all_gather(k_local @ v, axis, tiled=True)
 
+        # P⁻¹ applies to REPLICATED (N, R) vectors — O(N·rank) identical
+        # math on every device, no collectives (the factor rides in
+        # replicated; the estimator is frozen, like the single-chip path)
+        minv = (
+            _woodbury(lpc, jax.lax.stop_gradient(sigma2))
+            if precond_rank > 0
+            else None
+        )
         rhs = jnp.concatenate([resid[:, None], probes], axis=1)
-        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
         return res.x, res.alphas, res.betas, jnp.any(res.broke)
 
     fwd_sm = shard_map(
         fwd_inner,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P(), P()),
+        in_specs=(P(), P(axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -176,32 +192,54 @@ def _mll_machinery(
     )
 
     @jax.custom_vjp
-    def mll(kernel, x, resid, probes, sigma2):
-        val, _ = mll_fwd(kernel, x, resid, probes, sigma2)
+    def mll(kernel, x, resid, probes, sigma2, lpc):
+        val, _ = mll_fwd(kernel, x, resid, probes, sigma2, lpc)
         return val
 
-    def mll_fwd(kernel, x, resid, probes, sigma2):
+    def mll_fwd(kernel, x, resid, probes, sigma2, lpc):
         n = resid.shape[0]
-        sols, alphas, betas, broke = fwd_sm(kernel, x, x, resid, probes, sigma2)
+        sols, alphas, betas, broke = fwd_sm(
+            kernel, x, x, resid, probes, sigma2, lpc
+        )
         alpha = sols[:, 0]
         probe_solves = sols[:, 1:]
-        probe_w = jnp.sum(probes * probes, axis=0)  # = n for Rademacher
-        logdet = lanczos_logdet(alphas[:, 1:], betas[:, 1:], probe_w)
+        if precond_rank > 0:
+            # replicated O(N·rank) math — runs outside the shard_map.
+            # rights = P⁻¹z keeps BOTH estimators unbiased for z ~ N(0, P):
+            # E[z (P⁻¹z)ᵀ] = I (trace-identity gradient) and
+            # E[zᵀP⁻¹z] per probe weights the Lanczos quadrature of
+            # log det(P⁻¹K); the preconditioner's own logdet is exact.
+            s2 = jax.lax.stop_gradient(sigma2)
+            rights = _woodbury(lpc, s2)(probes)
+            probe_w = jnp.sum(probes * rights, axis=0)
+            logdet_p = precond_logdet(lpc, s2, n)
+        else:
+            rights = probes  # E[z zᵀ] = I for Rademacher
+            probe_w = jnp.sum(probes * probes, axis=0)  # = n exactly
+            logdet_p = jnp.asarray(0.0, resid.dtype)
+        logdet = logdet_p + lanczos_logdet(alphas[:, 1:], betas[:, 1:], probe_w)
         val = (
             -0.5 * jnp.dot(resid, alpha)
             - 0.5 * logdet
             - 0.5 * n * jnp.log(jnp.asarray(2.0 * jnp.pi, resid.dtype))
         )
         val = jnp.where(broke, jnp.nan, val)
-        return val, (kernel, x, sigma2, alpha, probe_solves, probes)
+        return val, (kernel, x, sigma2, alpha, probe_solves, rights)
 
     def mll_bwd(saved, g):
-        kernel, x, sigma2, alpha, probe_solves, probes = saved
+        kernel, x, sigma2, alpha, probe_solves, rights = saved
         kgrad, xl_grad, xf_grad, s2grad = bwd_sm(
-            kernel, x, x, sigma2, alpha, alpha, probe_solves, probe_solves, probes, g
+            kernel, x, x, sigma2, alpha, alpha, probe_solves, probe_solves, rights, g
         )
         rbar = -g * alpha
-        return (kgrad, xl_grad + xf_grad, rbar, jnp.zeros_like(probes), s2grad)
+        return (
+            kgrad,
+            xl_grad + xf_grad,
+            rbar,
+            jnp.zeros_like(rights),
+            s2grad,
+            jnp.zeros((x.shape[0], precond_rank), x.dtype),
+        )
 
     mll.defvjp(mll_fwd, mll_bwd)
     return mll
@@ -221,6 +259,7 @@ def sharded_cg_mll(
     axis: str = DATA_AXIS,
     cross_fn: Optional[Callable] = None,
     local_matvec_builder: Optional[Callable] = None,
+    precond_rank: int = 0,
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K row-sharded over ``mesh``'s ``axis`` (never materialised globally).
@@ -236,9 +275,20 @@ def sharded_cg_mll(
     the ``x`` gradient is what lets row-aligned kernel state train
     through this path (Gibbs per-point lengthscales: pack them into the
     sharded rows, ``x_aug = concat([x, log_ell], 1)``, and unpack in
-    ``cross_fn``).  No preconditioner
-    (pivoted Cholesky needs global diagonal argmax; at sharded scale run
-    more iterations instead).  The mesh axis size must divide N.
+    ``cross_fn``).  The mesh axis size must divide N.
+
+    ``precond_rank > 0`` enables the SAME pivoted-Cholesky/Woodbury
+    preconditioner as the single-chip paths: the (N, rank) factor and
+    the N(0, P) probes are replicated math (O(N·rank²) build,
+    O(N·rank) per application — trivial next to one O(N²/P) matvec), so
+    they run OUTSIDE the shard_map with no collectives at all, and the
+    per-iteration P⁻¹ apply acts on the already-replicated CG vectors
+    inside it.  This matters beyond speed: on the trained nonstationary
+    Gibbs pose, UNpreconditioned CG stalls outright (relres ≈ 0.9 after
+    200 iterations at N = 65536, tools/probe_precond_chip.json) where
+    rank 150 reaches 1e-6 in ≤ 30 — "more iterations" cannot substitute.
+    Matches ``ops/lazy_cg.lazy_cg_mll``'s estimator exactly (N(0, P)
+    probes, P⁻¹-weighted trace identity, exact preconditioner logdet).
 
     ``cross_fn`` must have a stable identity across calls (module-level
     function, not a per-call closure) — machinery is cached per identity
@@ -246,12 +296,26 @@ def sharded_cg_mll(
     """
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
     _warn_unstable_cross_fn(cross_fn)
+    cross = cross_fn or _default_cross
     fn = _mll_machinery(
-        mesh, axis, num_probes, max_iters, tol, cross_fn or _default_cross,
-        local_matvec_builder,
+        mesh, axis, num_probes, max_iters, tol, cross,
+        local_matvec_builder, precond_rank,
     )
-    probes = jax.random.rademacher(key, (x.shape[0], num_probes), dtype=x.dtype)
-    return fn(kernel, x, resid, probes, sigma2)
+    if precond_rank > 0:
+        # frozen estimator state, replicated (see docstring) — built from
+        # the global x exactly as the single-chip lazy path builds it
+        lpc = jax.lax.stop_gradient(
+            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+        )
+        probes = sample_precond_probes(
+            key, lpc, jax.lax.stop_gradient(sigma2), num_probes
+        )
+    else:
+        lpc = jnp.zeros((x.shape[0], 0), x.dtype)
+        probes = jax.random.rademacher(
+            key, (x.shape[0], num_probes), dtype=x.dtype
+        )
+    return fn(kernel, x, resid, probes, sigma2, lpc)
 
 
 # ---------------------------------------------------------------------------
@@ -260,8 +324,11 @@ def sharded_cg_mll(
 
 
 @functools.lru_cache(maxsize=32)
-def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn, local_matvec_builder=None):
-    def inner(kernel, x_local, x, x_test, resid_local, sigma2):
+def _posterior_machinery(
+    mesh, axis, max_iters, tol, cross_fn, local_matvec_builder=None,
+    precond_rank=0,
+):
+    def inner(kernel, x_local, x, x_test, resid_local, sigma2, lpc):
         nl = resid_local.shape[0]
         b_local = cross_fn(kernel, x_local, x_test)  # (N/P, N*)
         if local_matvec_builder is not None:
@@ -276,9 +343,10 @@ def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn, local_matvec_buil
             def matvec(v):
                 return jax.lax.all_gather(k_local @ v, axis, tiled=True)
 
+        minv = _woodbury(lpc, sigma2) if precond_rank > 0 else None
         rhs_local = jnp.concatenate([resid_local[:, None], b_local], axis=1)
         rhs = jax.lax.all_gather(rhs_local, axis, tiled=True)  # (N, 1+N*)
-        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
         i0 = jax.lax.axis_index(axis) * nl
         alpha_l = jax.lax.dynamic_slice_in_dim(res.x[:, 0], i0, nl)
         solves_l = jax.lax.dynamic_slice_in_dim(res.x[:, 1:], i0, nl)
@@ -295,7 +363,7 @@ def _posterior_machinery(mesh, axis, max_iters, tol, cross_fn, local_matvec_buil
     return shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(), P(axis), P()),
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -314,6 +382,7 @@ def sharded_cg_posterior(
     axis: str = DATA_AXIS,
     cross_fn: Optional[Callable] = None,
     local_matvec_builder: Optional[Callable] = None,
+    precond_rank: int = 0,
 ):
     """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
     mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, all train-side solves by
@@ -323,11 +392,20 @@ def sharded_cg_posterior(
     ``x_test`` for large test sets; the N² Gram stays sharded.  Add the
     caller's mean function / observation noise outside.
     ``local_matvec_builder`` as in :func:`sharded_cg_mll` (fused Gram·v,
-    no O(N²/P) row-block residency).
+    no O(N²/P) row-block residency).  ``precond_rank > 0`` as in
+    :func:`sharded_cg_mll` (replicated Woodbury — ``mbcg`` is a
+    fixed-length scan, so pair it with a matching ``max_iters`` cut:
+    rank 150 reaches 1e-6 in ≤ 30 iterations at every probed N ≤ 65536
+    where the unpreconditioned solve stalls, tools/probe_precond_chip).
     """
     _check_divisible(x.shape[0], mesh.shape[axis], "x")
     _warn_unstable_cross_fn(cross_fn)
+    cross = cross_fn or _default_cross
     fn = _posterior_machinery(
-        mesh, axis, max_iters, tol, cross_fn or _default_cross, local_matvec_builder
+        mesh, axis, max_iters, tol, cross, local_matvec_builder, precond_rank
     )
-    return fn(kernel, x, x, x_test, resid, sigma2)
+    if precond_rank > 0:
+        lpc = lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+    else:
+        lpc = jnp.zeros((x.shape[0], 0), x.dtype)
+    return fn(kernel, x, x, x_test, resid, sigma2, lpc)

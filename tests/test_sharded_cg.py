@@ -93,6 +93,75 @@ def test_sharded_posterior_matches_cholesky():
     np.testing.assert_allclose(np.asarray(cov_sh), np.asarray(cov_ref), atol=1e-7)
 
 
+def test_sharded_mll_preconditioned_matches_dense():
+    """precond_rank > 0: the replicated pivoted-Cholesky factor and the
+    N(0, P) probes make the sharded estimator track the dense
+    preconditioned ``cg_mll`` (same pivots to rounding in f64, same
+    probe construction under the same key)."""
+    kernel, x, y, _, s2 = _setup()
+    mesh = make_mesh(N_DEV)
+    key = jax.random.PRNGKey(22)
+    val_sh = jax.jit(
+        lambda k, yy, ss: sharded_cg_mll(
+            k, x, yy, key, ss, mesh,
+            num_probes=16, max_iters=300, tol=1e-12, precond_rank=8,
+        )
+    )(kernel, y, s2)
+    k_dense = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    val_dense = cg_mll(
+        k_dense, y, key, s2,
+        num_probes=16, max_iters=300, tol=1e-12, precond_rank=8,
+    )
+    assert abs(float(val_sh - val_dense)) < 1e-6
+    exact = (
+        -0.5 * y @ jnp.linalg.solve(k_dense, y)
+        - 0.5 * jnp.linalg.slogdet(k_dense)[1]
+        - 0.5 * x.shape[0] * jnp.log(2 * jnp.pi)
+    )
+    assert abs(float(val_sh - exact)) < 0.02 * abs(float(exact)) + 1.0
+
+
+def test_sharded_mll_preconditioned_grads_match_dense():
+    kernel, x, y, _, s2 = _setup(n=160)
+    mesh = make_mesh(N_DEV)
+    key = jax.random.PRNGKey(23)
+
+    def f_sh(k, yy, ss):
+        return sharded_cg_mll(
+            k, x, yy, key, ss, mesh,
+            num_probes=16, max_iters=200, tol=1e-12, precond_rank=8,
+        )
+
+    def f_dense(k, yy, ss):
+        km = k(x) + ss * jnp.eye(x.shape[0], dtype=jnp.float64)
+        return cg_mll(
+            km, yy, key, ss,
+            num_probes=16, max_iters=200, tol=1e-12, precond_rank=8,
+        )
+
+    gs = jax.jit(jax.grad(f_sh, argnums=(0, 1)))(kernel, y, s2)
+    gd = jax.jit(jax.grad(f_dense, argnums=(0, 1)))(kernel, y, s2)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_posterior_preconditioned_matches_cholesky():
+    kernel, x, y, xs, s2 = _setup()
+    mesh = make_mesh(N_DEV)
+    mean_sh, cov_sh = jax.jit(
+        lambda k, yy: sharded_cg_posterior(
+            k, x, yy, xs, s2, mesh, max_iters=120, tol=1e-13, precond_rank=8
+        )
+    )(kernel, y)
+    k_xx = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    k_sx = kernel(xs, x)
+    sol = jnp.linalg.solve(k_xx, jnp.concatenate([y[:, None], k_sx.T], axis=1))
+    mean_ref = k_sx @ sol[:, 0]
+    cov_ref = kernel(xs) - k_sx @ sol[:, 1:]
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cov_sh), np.asarray(cov_ref), atol=1e-7)
+
+
 def test_sharded_cg_rejects_indivisible_n():
     kernel, x, y, _, s2 = _setup(n=240)
     mesh = make_mesh(N_DEV)
