@@ -144,11 +144,18 @@ def lazy_pivoted_cholesky(
     materialising it: the diagonal comes from vmapped single-point
     evaluations, each pivot row from one (1, N) cross-Gram build.  Same
     greedy recursion as ``ops/bbmm.pivoted_cholesky`` (which needs the
-    dense matrix), so the two agree to rounding given the same pivots."""
+    dense matrix), so the two agree to rounding given the same pivots.
+
+    The recursion runs as a ``fori_loop`` (static trip count ⇒ still
+    reverse-differentiable), not a Python loop: unrolled at rank 150 it
+    duplicated the pivot step ~150× in the HLO, which is pure compile
+    time on axon's remote service — the float ops and their order are
+    identical, so results are bitwise the same as the unrolled form."""
     n = x.shape[0]
-    d = jax.vmap(lambda xi: cross_fn(kernel, xi[None], xi[None])[0, 0])(x)
-    l = jnp.zeros((n, rank), x.dtype)
-    for j in range(rank):
+    d0 = jax.vmap(lambda xi: cross_fn(kernel, xi[None], xi[None])[0, 0])(x)
+
+    def step(j, carry):
+        l, d = carry
         piv = jnp.argmax(d)
         dmax = d[piv]
         xp = jax.lax.dynamic_slice_in_dim(x, piv, 1)
@@ -157,9 +164,14 @@ def lazy_pivoted_cholesky(
         resid = krow - l @ lrow
         col = resid / jnp.sqrt(jnp.maximum(dmax, jitter))
         col = jnp.where(d > 0.0, col, 0.0)
-        l = l.at[:, j].set(col)
+        l = jax.lax.dynamic_update_slice_in_dim(l, col[:, None], j, axis=1)
         d = jnp.maximum(d - col * col, 0.0)
         d = d * (1.0 - (jnp.arange(n) == piv).astype(d.dtype))
+        return l, d
+
+    l, _ = jax.lax.fori_loop(
+        0, rank, step, (jnp.zeros((n, rank), x.dtype), d0)
+    )
     return l
 
 

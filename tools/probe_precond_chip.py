@@ -91,7 +91,7 @@ def _cell(aug, y, s2, rank, key):
     }
 
 
-def probe(n: int, trained: bool):
+def probe(n: int, trained: bool, ranks=None):
     x, y = _data(n)
     if trained:
         log_ell = 0.5 * jnp.sin(x)
@@ -102,7 +102,8 @@ def probe(n: int, trained: bool):
     aug = jnp.concatenate([x, log_ell], axis=1)
     key = jax.random.PRNGKey(5)
     pose = "trained" if trained else "init"
-    ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
+    if ranks is None:
+        ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
     for rank in ranks:
         cell = _cell(aug, y, s2, rank, key)
         name = f"{n}-{pose}-r{rank}"
@@ -112,7 +113,15 @@ def probe(n: int, trained: bool):
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [16384]
+    # usage: probe_precond_chip.py [N ...] [rNNN ...] [trained|init]
+    # rank args (r300 r400) and a pose filter restrict the sweep
+    args = sys.argv[1:]
+    sizes = [int(a) for a in args if a.isdigit()] or [16384]
+    ranks = tuple(int(a[1:]) for a in args if a.startswith("r")) or None
+    poses = [a == "trained" for a in args if a in ("trained", "init")] or [
+        False,
+        True,
+    ]
     for n in sizes:
-        for trained in (False, True):
-            probe(n, trained)
+        for trained in poses:
+            probe(n, trained, ranks=ranks)
