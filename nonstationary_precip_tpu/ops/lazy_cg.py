@@ -139,12 +139,24 @@ def lazy_pivoted_cholesky(
     rank: int,
     cross_fn: Callable = default_cross,
     jitter: float = 1e-8,
+    key=None,
 ):
     """Rank-``rank`` pivoted Cholesky of the NOISE-FREE K(x, x) without
     materialising it: the diagonal comes from vmapped single-point
     evaluations, each pivot row from one (1, N) cross-Gram build.  Same
     greedy recursion as ``ops/bbmm.pivoted_cholesky`` (which needs the
     dense matrix), so the two agree to rounding given the same pivots.
+
+    ``key=None`` (default) uses the classic GREEDY pivot (argmax of the
+    residual diagonal).  Passing a PRNG key switches to RPCholesky
+    (Chen, Epperly, Tropp & Webber 2022): each pivot is SAMPLED with
+    probability proportional to the residual diagonal.  Randomised
+    pivoting is near-optimal in trace norm and, unlike greedy, does not
+    collapse on slowly-decaying spectra — DESIGN.md §20's measured
+    anomaly where a rank-400 greedy factor preconditions WORSE than
+    rank-200 (near-breakdown columns late in the greedy sequence).
+    Everything downstream (Woodbury solve, probe sampling, logdet
+    correction) is pivot-rule agnostic.
 
     The recursion runs as a ``fori_loop`` (static trip count ⇒ still
     reverse-differentiable), not a Python loop: unrolled at rank 150 it
@@ -156,7 +168,14 @@ def lazy_pivoted_cholesky(
 
     def step(j, carry):
         l, d = carry
-        piv = jnp.argmax(d)
+        if key is None:
+            piv = jnp.argmax(d)
+        else:
+            # RPCholesky: P(piv = i) ∝ d_i.  Exhausted pivots have d = 0
+            # exactly (zeroed below) ⇒ log gives -inf ⇒ probability 0.
+            piv = jax.random.categorical(
+                jax.random.fold_in(key, j), jnp.log(d)
+            )
         dmax = d[piv]
         xp = jax.lax.dynamic_slice_in_dim(x, piv, 1)
         krow = cross_fn(kernel, xp, x)[0]  # (N,)
@@ -308,6 +327,7 @@ def lazy_cg_mll(
     max_iters: int = 100,
     tol: float = 1e-6,
     precond_rank: int = 0,
+    precond_key: Optional[jax.Array] = None,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
     panel_vjp: Optional[Callable] = None,
@@ -320,7 +340,10 @@ def lazy_cg_mll(
     (the noise rides the panel diagonal here, so — unlike the dense path,
     whose K already contains it — its unbiased trace-identity gradient
     falls out of the same pullback).  ``precond_rank > 0`` enables the
-    pivoted-Cholesky/Woodbury preconditioner, built lazily too.
+    pivoted-Cholesky/Woodbury preconditioner, built lazily too;
+    ``precond_key`` switches its pivot rule from greedy to RPCholesky
+    (see ``lazy_pivoted_cholesky``) — same estimand, different
+    variance-reduction factor.
     ``block`` must divide N (it is clamped to N first, so N ≤ block
     always works).
 
@@ -348,7 +371,9 @@ def lazy_cg_mll(
     )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+            lazy_pivoted_cholesky(
+                kernel, x, precond_rank, cross, key=precond_key
+            )
         )
         probes = sample_precond_probes(
             key, lpc, jax.lax.stop_gradient(sigma2), num_probes

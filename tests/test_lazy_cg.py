@@ -91,6 +91,66 @@ def test_lazy_pivoted_cholesky_matches_dense():
     )
 
 
+def test_lazy_rp_cholesky_factor_is_valid():
+    """RPCholesky (key= sampled pivots) must produce a factor of the SAME
+    quality class as greedy: residual K − LLᵀ is PSD to rounding, trace
+    error comparable, and exhausted pivots are never re-selected (their
+    residual diagonal is exactly zero ⇒ sampling probability zero)."""
+    kernel, x, _, _, _ = _setup(n=96)
+    rank = 24
+    k_dense = kernel(x)
+    l_greedy = lazy_pivoted_cholesky(kernel, x, rank)
+    l_rpc = jax.jit(
+        lambda k: lazy_pivoted_cholesky(k, x, rank, key=jax.random.PRNGKey(3))
+    )(kernel)
+    assert not np.allclose(np.asarray(l_rpc), np.asarray(l_greedy))
+    for l in (l_greedy, l_rpc):
+        resid = k_dense - l @ l.T
+        evals = np.linalg.eigvalsh(np.asarray(resid))
+        assert evals.min() > -1e-9
+    tr_g = float(jnp.trace(k_dense - l_greedy @ l_greedy.T))
+    tr_r = float(jnp.trace(k_dense - l_rpc @ l_rpc.T))
+    assert tr_r < 4.0 * max(tr_g, 1e-12) + 1e-9
+    # each column introduces a NEW pivot: the pivot row of column j is
+    # zeroed in the residual, so no two columns share their peak index
+    piv_rows = np.argmax(np.abs(np.asarray(l_rpc)), axis=0)
+    assert len(set(piv_rows.tolist())) == rank
+
+
+def test_lazy_mll_preconditioned_rpc_matches_dense_value():
+    """The MLL estimator is pivot-rule agnostic: an RPCholesky factor in
+    the Woodbury preconditioner changes the variance-reduction detail,
+    not the estimand — the preconditioned value must still track the
+    dense-Cholesky exact MLL."""
+    kernel, x, y, _, s2 = _setup()
+    from nonstationary_precip_tpu.ops.lazy_cg import _woodbury
+
+    key = jax.random.PRNGKey(21)
+    lpc = lazy_pivoted_cholesky(kernel, x, 8, key=jax.random.PRNGKey(5))
+    k_dense = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    # preconditioned solve with the RPC factor reproduces the exact solve
+    sol = _woodbury(lpc, s2)(y[:, None])
+    p_dense = lpc @ lpc.T + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(sol[:, 0]),
+        np.asarray(jnp.linalg.solve(p_dense, y)),
+        atol=1e-8,
+    )
+    val = jax.jit(
+        lambda k, yy, ss: lazy_cg_mll(
+            k, x, yy, key, ss, block=80,
+            num_probes=16, max_iters=300, tol=1e-12, precond_rank=8,
+            precond_key=jax.random.PRNGKey(5),
+        )
+    )(kernel, y, s2)
+    exact = (
+        -0.5 * y @ jnp.linalg.solve(k_dense, y)
+        - 0.5 * jnp.linalg.slogdet(k_dense)[1]
+        - 0.5 * x.shape[0] * jnp.log(2 * jnp.pi)
+    )
+    assert abs(float(val - exact)) < 0.02 * abs(float(exact)) + 1.0
+
+
 def test_lazy_mll_preconditioned_matches_dense():
     kernel, x, y, _, s2 = _setup()
     key = jax.random.PRNGKey(21)

@@ -64,13 +64,14 @@ def _data(n, seed=0):
     return x, y
 
 
-def _cell(aug, y, s2, rank, key):
+def _cell(aug, y, s2, rank, key, rpc=False):
     """iters-to-tol + residual checkpoints, all on chip in one program."""
 
     def run(aug, y, s2, key):
         matvec = packed_gibbs_matvec_builder(D)(None, aug, s2)
         if rank > 0:
-            lpc = lazy_pivoted_cholesky(None, aug, rank, _cross)
+            pkey = jax.random.PRNGKey(17) if rpc else None
+            lpc = lazy_pivoted_cholesky(None, aug, rank, _cross, key=pkey)
             minv = woodbury_precond(lpc, s2)
             probes = sample_precond_probes(key, lpc, s2, 8)
         else:
@@ -91,7 +92,7 @@ def _cell(aug, y, s2, rank, key):
     }
 
 
-def probe(n: int, trained: bool, ranks=None):
+def probe(n: int, trained: bool, ranks=None, rpc=False):
     x, y = _data(n)
     if trained:
         log_ell = 0.5 * jnp.sin(x)
@@ -105,23 +106,25 @@ def probe(n: int, trained: bool, ranks=None):
     if ranks is None:
         ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
     for rank in ranks:
-        cell = _cell(aug, y, s2, rank, key)
-        name = f"{n}-{pose}-r{rank}"
+        cell = _cell(aug, y, s2, rank, key, rpc=rpc)
+        name = f"{n}-{pose}-r{rank}" + ("-rpc" if rpc else "")
         results[name] = cell
         print(name, cell, flush=True)
         OUT.write_text(json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":
-    # usage: probe_precond_chip.py [N ...] [rNNN ...] [trained|init]
-    # rank args (r300 r400) and a pose filter restrict the sweep
+    # usage: probe_precond_chip.py [N ...] [rNNN ...] [trained|init] [rpc]
+    # rank args (r300 r400) and a pose filter restrict the sweep;
+    # 'rpc' switches the factor to randomly-pivoted Cholesky
     args = sys.argv[1:]
     sizes = [int(a) for a in args if a.isdigit()] or [16384]
-    ranks = tuple(int(a[1:]) for a in args if a.startswith("r")) or None
+    ranks = tuple(int(a[1:]) for a in args if a.startswith("r") and a != "rpc") or None
+    rpc = "rpc" in args
     poses = [a == "trained" for a in args if a in ("trained", "init")] or [
         False,
         True,
     ]
     for n in sizes:
         for trained in poses:
-            probe(n, trained, ranks=ranks)
+            probe(n, trained, ranks=ranks, rpc=rpc)
