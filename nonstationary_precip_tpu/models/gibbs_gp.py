@@ -133,6 +133,7 @@ class GibbsExactGP:
         max_iters: int | None = None,
         tol: float = 1e-6,
         precond_rank: int = 150,
+        precond_key=None,
         fused_matvec: bool = True,
         fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
@@ -224,6 +225,7 @@ class GibbsExactGP:
             max_iters=max_iters,
             tol=tol,
             precond_rank=precond_rank,
+            precond_key=precond_key,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
             panel_vjp=panel_vjp,
@@ -273,6 +275,7 @@ class GibbsExactGP:
         max_iters: int = 64,
         tol: float = 1e-8,
         precond_rank: int = 150,
+        precond_key=None,
         fused_matvec: bool = True,
     ) -> MVN:
         """:meth:`posterior` for LARGE N: the same manual-conditioning
@@ -321,6 +324,7 @@ class GibbsExactGP:
             max_iters=max_iters,
             tol=tol,
             precond_rank=precond_rank,
+            precond_key=precond_key,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
         )

@@ -557,6 +557,7 @@ def lazy_cg_posterior(
     max_iters: int = 1000,
     tol: float = 1e-6,
     precond_rank: int = 0,
+    precond_key: Optional[jax.Array] = None,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
 ):
@@ -577,7 +578,9 @@ def lazy_cg_posterior(
     fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross, matvec_builder)
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+            lazy_pivoted_cholesky(
+                kernel, x, precond_rank, cross, key=precond_key
+            )
         )
         s2 = jax.lax.stop_gradient(sigma2)
     else:

@@ -260,6 +260,7 @@ def sharded_cg_mll(
     cross_fn: Optional[Callable] = None,
     local_matvec_builder: Optional[Callable] = None,
     precond_rank: int = 0,
+    precond_key=None,
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K row-sharded over ``mesh``'s ``axis`` (never materialised globally).
@@ -305,7 +306,9 @@ def sharded_cg_mll(
         # frozen estimator state, replicated (see docstring) — built from
         # the global x exactly as the single-chip lazy path builds it
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+            lazy_pivoted_cholesky(
+                kernel, x, precond_rank, cross, key=precond_key
+            )
         )
         probes = sample_precond_probes(
             key, lpc, jax.lax.stop_gradient(sigma2), num_probes
@@ -383,6 +386,7 @@ def sharded_cg_posterior(
     cross_fn: Optional[Callable] = None,
     local_matvec_builder: Optional[Callable] = None,
     precond_rank: int = 0,
+    precond_key=None,
 ):
     """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
     mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, all train-side solves by
@@ -405,7 +409,9 @@ def sharded_cg_posterior(
         mesh, axis, max_iters, tol, cross, local_matvec_builder, precond_rank
     )
     if precond_rank > 0:
-        lpc = lazy_pivoted_cholesky(kernel, x, precond_rank, cross)
+        lpc = lazy_pivoted_cholesky(
+            kernel, x, precond_rank, cross, key=precond_key
+        )
     else:
         lpc = jnp.zeros((x.shape[0], 0), x.dtype)
     return fn(kernel, x, x, x_test, resid, sigma2, lpc)

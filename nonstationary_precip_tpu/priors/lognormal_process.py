@@ -244,6 +244,7 @@ class LogNormalProcess:
         num_probes: int = 16,
         max_iters: int = 256,
         tol: float = 1e-10,
+        precond_key=None,
     ):
         """Matrix-free counterpart of ``gram_pre`` for LARGE N, where the
         D (N, N) prior Grams no longer fit: per-dim pivoted-Cholesky
@@ -267,7 +268,9 @@ class LogNormalProcess:
         for dim in range(self.mean_const.shape[0]):
             params = (ell[dim], s2[dim])
             lpc = jax.lax.stop_gradient(
-                lazy_pivoted_cholesky(params, xs, rank, cross_fn=_dim_cross)
+                lazy_pivoted_cholesky(
+                    params, xs, rank, cross_fn=_dim_cross, key=precond_key
+                )
             )
             logdet = lazy_slq_logdet(
                 params,
