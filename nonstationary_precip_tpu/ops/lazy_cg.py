@@ -194,6 +194,86 @@ def lazy_pivoted_cholesky(
     return l
 
 
+def lazy_nystrom_factor(
+    kernel,
+    x: jnp.ndarray,
+    rank: int,
+    cross_fn: Callable = default_cross,
+    key=None,
+    block: int = 4096,
+    ridge: float = 1e-5,
+):
+    """Rank-``rank`` Nyström factor of the NOISE-FREE K(x, x):
+    L = K(x, m) chol(K(m, m) + δI)⁻ᵀ with ``rank`` landmark points m,
+    so LLᵀ = K(x,m) (K(m,m)+δI)⁻¹ K(m,x) — the classic Nyström
+    approximation.  Same (N, rank) contract as
+    :func:`lazy_pivoted_cholesky`, so it drops into the same
+    Woodbury/logdet/probe machinery (``P = LLᵀ + σ²I``).
+
+    Why it exists next to pivoted Cholesky: the pivoted recursion
+    subtracts ``rank`` rank-1 updates SEQUENTIALLY in f32 — by a few
+    hundred columns the residual diagonal is rounding noise and the late
+    columns actively degrade the preconditioner (measured: at the
+    N=65536/131072 trained pose, rank 400 preconditions WORSE than rank
+    200 under both greedy and RPCholesky pivoting,
+    tools/probe_precond_chip.json).  The Nyström factor has no cascade:
+    one (N, rank) cross build (panelled, ``lax.map``) + one rank×rank
+    Cholesky + one triangular solve, all MXU-parallel — numerically flat
+    in rank and ~rank× faster to build, which is what makes rank ≥ 1024
+    practical where the slowly-decaying spectrum needs it.
+
+    Landmarks: a uniform random subset without replacement (``key``;
+    deterministic stride of a fixed permutation when ``key=None``).
+
+    Stability: at large-N density the landmark Gram K(m, m) is
+    numerically singular in f32 (its Cholesky NaN'd on chip at
+    N = 65536 / rank 512 while f64 CPU sailed through), so the inverse
+    square root comes from an eigendecomposition with sub-cutoff
+    directions ZEROED — λ < ``ridge``·λmax contributes a zero column
+    rather than amplified noise.  LLᵀ is then the Nyström approximation
+    restricted to the numerically trustworthy subspace: still PSD,
+    still ≼ K, and the preconditioner only has to be SPD (the MLL
+    machinery uses the EXACT logdet/sampler of whatever P results)."""
+    n = x.shape[0]
+    rank = min(rank, n)
+    if key is None:
+        idx = (jnp.arange(rank) * (n // rank)) % n
+    else:
+        idx = jax.random.permutation(key, n)[:rank]
+    x_lm = jnp.take(x, idx, axis=0)
+    w = cross_fn(kernel, x_lm, x_lm)
+    lam, v = jnp.linalg.eigh(w)  # ascending
+    cutoff = ridge * lam[-1]
+    inv_sqrt = jnp.where(lam > cutoff, 1.0 / jnp.sqrt(jnp.maximum(lam, cutoff)), 0.0)
+    proj = v * inv_sqrt[None, :]  # (rank, rank): W^{-1/2} on the kept subspace
+
+    block = min(block, n)
+    nb = -(-n // block)  # ceil: trailing panel zero-padded, sliced off below
+    pad = nb * block - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    panels = xp.reshape(-1, block, x.shape[1])
+
+    def body(x_blk):
+        c_blk = cross_fn(kernel, x_blk, x_lm)  # (B, rank)
+        return c_blk @ proj
+
+    l = jax.lax.map(body, panels).reshape(-1, rank)[:n]
+    return l
+
+
+def _build_precond_factor(precond, kernel, x, rank, cross, key):
+    """Dispatch the (N, rank) preconditioner factor build.  Everything
+    downstream (Woodbury apply, exact logdet, N(0, P) probes) only sees
+    P = LLᵀ + σ²I, so the estimator is factor-rule agnostic."""
+    if precond == "pivchol":
+        return lazy_pivoted_cholesky(kernel, x, rank, cross, key=key)
+    if precond == "nystrom":
+        return lazy_nystrom_factor(kernel, x, rank, cross, key=key)
+    raise ValueError(
+        f"precond must be 'pivchol' or 'nystrom', got {precond!r}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MLL (differentiable w.r.t. kernel params, x, resid, sigma2)
 # ---------------------------------------------------------------------------
@@ -328,6 +408,7 @@ def lazy_cg_mll(
     tol: float = 1e-6,
     precond_rank: int = 0,
     precond_key: Optional[jax.Array] = None,
+    precond: str = "pivchol",
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
     panel_vjp: Optional[Callable] = None,
@@ -343,7 +424,11 @@ def lazy_cg_mll(
     pivoted-Cholesky/Woodbury preconditioner, built lazily too;
     ``precond_key`` switches its pivot rule from greedy to RPCholesky
     (see ``lazy_pivoted_cholesky``) — same estimand, different
-    variance-reduction factor.
+    variance-reduction factor.  ``precond='nystrom'`` swaps the factor
+    for :func:`lazy_nystrom_factor` (numerically flat in rank — the
+    choice for rank ≥ ~200, where the sequential pivoted recursion's
+    f32 cascade degrades the factor; ``precond_key`` then selects the
+    landmark subset).
     ``block`` must divide N (it is clamped to N first, so N ≤ block
     always works).
 
@@ -371,8 +456,8 @@ def lazy_cg_mll(
     )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(
-                kernel, x, precond_rank, cross, key=precond_key
+            _build_precond_factor(
+                precond, kernel, x, precond_rank, cross, precond_key
             )
         )
         probes = sample_precond_probes(
@@ -558,6 +643,7 @@ def lazy_cg_posterior(
     tol: float = 1e-6,
     precond_rank: int = 0,
     precond_key: Optional[jax.Array] = None,
+    precond: str = "pivchol",
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
 ):
@@ -578,8 +664,8 @@ def lazy_cg_posterior(
     fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross, matvec_builder)
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(
-                kernel, x, precond_rank, cross, key=precond_key
+            _build_precond_factor(
+                precond, kernel, x, precond_rank, cross, precond_key
             )
         )
         s2 = jax.lax.stop_gradient(sigma2)

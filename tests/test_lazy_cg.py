@@ -117,6 +117,67 @@ def test_lazy_rp_cholesky_factor_is_valid():
     assert len(set(piv_rows.tolist())) == rank
 
 
+def test_lazy_nystrom_factor_preconditions():
+    """The Nyström factor L = K(x,m) chol(K(m,m)+δI)⁻ᵀ must satisfy the
+    Woodbury contract: K − LLᵀ PSD to rounding (Nyström residual is a
+    Schur complement), P = LLᵀ + σ²I solved exactly by _woodbury, and a
+    preconditioned CG must beat the unpreconditioned one at equal
+    iterations.  Padding path: n chosen indivisible by block."""
+    from nonstationary_precip_tpu.ops.bbmm import mbcg
+    from nonstationary_precip_tpu.ops.lazy_cg import (
+        _woodbury,
+        lazy_nystrom_factor,
+    )
+
+    kernel, x, y, _, s2 = _setup(n=250)
+    k_dense = kernel(x)
+    for key in (None, jax.random.PRNGKey(2)):
+        l = jax.jit(
+            lambda k: lazy_nystrom_factor(k, x, 64, key=key, block=90)
+        )(kernel)
+        evals = np.linalg.eigvalsh(np.asarray(k_dense - l @ l.T))
+        assert evals.min() > -1e-9
+        p_dense = l @ l.T + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+        sol = _woodbury(l, s2)(y[:, None])
+        np.testing.assert_allclose(
+            np.asarray(sol[:, 0]),
+            np.asarray(jnp.linalg.solve(p_dense, y)),
+            atol=1e-8,
+        )
+        mv = lambda v: k_dense @ v + s2 * v  # noqa: E731
+        pre = mbcg(mv, y[:, None], max_iters=25, tol=1e-12,
+                   precond=_woodbury(l, s2))
+        nopre = mbcg(mv, y[:, None], max_iters=25, tol=1e-12)
+        exact = jnp.linalg.solve(
+            k_dense + s2 * jnp.eye(x.shape[0], dtype=jnp.float64), y
+        )
+        err_pre = float(jnp.linalg.norm(pre.x[:, 0] - exact))
+        err_no = float(jnp.linalg.norm(nopre.x[:, 0] - exact))
+        assert err_pre < err_no
+
+
+def test_lazy_mll_nystrom_precond_tracks_exact():
+    """precond='nystrom' in lazy_cg_mll: same estimand, Nyström factor in
+    the variance-reduction role — the value must track the dense-Cholesky
+    exact MLL as tightly as the pivoted-Cholesky variant does."""
+    kernel, x, y, _, s2 = _setup()
+    key = jax.random.PRNGKey(21)
+    val = jax.jit(
+        lambda k, yy, ss: lazy_cg_mll(
+            k, x, yy, key, ss, block=80,
+            num_probes=16, max_iters=300, tol=1e-12, precond_rank=24,
+            precond="nystrom",
+        )
+    )(kernel, y, s2)
+    k_dense = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    exact = (
+        -0.5 * y @ jnp.linalg.solve(k_dense, y)
+        - 0.5 * jnp.linalg.slogdet(k_dense)[1]
+        - 0.5 * x.shape[0] * jnp.log(2 * jnp.pi)
+    )
+    assert abs(float(val - exact)) < 0.02 * abs(float(exact)) + 1.0
+
+
 def test_lazy_mll_preconditioned_rpc_matches_dense_value():
     """The MLL estimator is pivot-rule agnostic: an RPCholesky factor in
     the Woodbury preconditioner changes the variance-reduction detail,

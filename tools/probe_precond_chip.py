@@ -38,7 +38,10 @@ from nonstationary_precip_tpu.ops.bbmm import (  # noqa: E402
     sample_precond_probes,
     woodbury_precond,
 )
-from nonstationary_precip_tpu.ops.lazy_cg import lazy_pivoted_cholesky  # noqa: E402
+from nonstationary_precip_tpu.ops.lazy_cg import (  # noqa: E402
+    lazy_nystrom_factor,
+    lazy_pivoted_cholesky,
+)
 from nonstationary_precip_tpu.ops.pallas_matvec import (  # noqa: E402
     packed_gibbs_matvec_builder,
 )
@@ -64,14 +67,19 @@ def _data(n, seed=0):
     return x, y
 
 
-def _cell(aug, y, s2, rank, key, rpc=False):
+def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False):
     """iters-to-tol + residual checkpoints, all on chip in one program."""
 
     def run(aug, y, s2, key):
         matvec = packed_gibbs_matvec_builder(D)(None, aug, s2)
         if rank > 0:
-            pkey = jax.random.PRNGKey(17) if rpc else None
-            lpc = lazy_pivoted_cholesky(None, aug, rank, _cross, key=pkey)
+            if nystrom:
+                lpc = lazy_nystrom_factor(
+                    None, aug, rank, _cross, key=jax.random.PRNGKey(17)
+                )
+            else:
+                pkey = jax.random.PRNGKey(17) if rpc else None
+                lpc = lazy_pivoted_cholesky(None, aug, rank, _cross, key=pkey)
             minv = woodbury_precond(lpc, s2)
             probes = sample_precond_probes(key, lpc, s2, 8)
         else:
@@ -92,7 +100,7 @@ def _cell(aug, y, s2, rank, key, rpc=False):
     }
 
 
-def probe(n: int, trained: bool, ranks=None, rpc=False):
+def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False):
     x, y = _data(n)
     if trained:
         log_ell = 0.5 * jnp.sin(x)
@@ -106,8 +114,10 @@ def probe(n: int, trained: bool, ranks=None, rpc=False):
     if ranks is None:
         ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
     for rank in ranks:
-        cell = _cell(aug, y, s2, rank, key, rpc=rpc)
-        name = f"{n}-{pose}-r{rank}" + ("-rpc" if rpc else "")
+        cell = _cell(aug, y, s2, rank, key, rpc=rpc, nystrom=nystrom)
+        name = f"{n}-{pose}-r{rank}" + ("-rpc" if rpc else "") + (
+            "-nys" if nystrom else ""
+        )
         results[name] = cell
         print(name, cell, flush=True)
         OUT.write_text(json.dumps(results, indent=2))
@@ -119,12 +129,16 @@ if __name__ == "__main__":
     # 'rpc' switches the factor to randomly-pivoted Cholesky
     args = sys.argv[1:]
     sizes = [int(a) for a in args if a.isdigit()] or [16384]
-    ranks = tuple(int(a[1:]) for a in args if a.startswith("r") and a != "rpc") or None
+    ranks = tuple(
+        int(a[1:]) for a in args
+        if a.startswith("r") and a not in ("rpc",) and a[1:].isdigit()
+    ) or None
     rpc = "rpc" in args
+    nystrom = "nystrom" in args
     poses = [a == "trained" for a in args if a in ("trained", "init")] or [
         False,
         True,
     ]
     for n in sizes:
         for trained in poses:
-            probe(n, trained, ranks=ranks, rpc=rpc)
+            probe(n, trained, ranks=ranks, rpc=rpc, nystrom=nystrom)
