@@ -134,6 +134,7 @@ class GibbsExactGP:
         tol: float = 1e-6,
         precond_rank: int = 150,
         precond_key=None,
+        precond: str = "pivchol",
         fused_matvec: bool = True,
         fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
@@ -226,6 +227,7 @@ class GibbsExactGP:
             tol=tol,
             precond_rank=precond_rank,
             precond_key=precond_key,
+            precond=precond,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
             panel_vjp=panel_vjp,
@@ -276,6 +278,7 @@ class GibbsExactGP:
         tol: float = 1e-8,
         precond_rank: int = 150,
         precond_key=None,
+        precond: str = "pivchol",
         fused_matvec: bool = True,
     ) -> MVN:
         """:meth:`posterior` for LARGE N: the same manual-conditioning
@@ -325,6 +328,7 @@ class GibbsExactGP:
             tol=tol,
             precond_rank=precond_rank,
             precond_key=precond_key,
+            precond=precond,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
         )

@@ -40,10 +40,10 @@ from nonstationary_precip_tpu.ops.bbmm import (
     sample_precond_probes,
 )
 from nonstationary_precip_tpu.ops.lazy_cg import (
+    _build_precond_factor,
     _woodbury,
     check_divisible as _shared_check_divisible,
     default_cross as _default_cross,
-    lazy_pivoted_cholesky,
     warn_unstable_cross_fn as _warn_unstable_cross_fn,
 )
 from nonstationary_precip_tpu.parallel.mesh import DATA_AXIS
@@ -261,6 +261,7 @@ def sharded_cg_mll(
     local_matvec_builder: Optional[Callable] = None,
     precond_rank: int = 0,
     precond_key=None,
+    precond: str = "pivchol",
 ) -> jnp.ndarray:
     """−½ rᵀK⁻¹r − ½ log det K − (n/2) log 2π with K = kernel(x) + σ²I,
     K row-sharded over ``mesh``'s ``axis`` (never materialised globally).
@@ -306,8 +307,8 @@ def sharded_cg_mll(
         # frozen estimator state, replicated (see docstring) — built from
         # the global x exactly as the single-chip lazy path builds it
         lpc = jax.lax.stop_gradient(
-            lazy_pivoted_cholesky(
-                kernel, x, precond_rank, cross, key=precond_key
+            _build_precond_factor(
+                precond, kernel, x, precond_rank, cross, precond_key
             )
         )
         probes = sample_precond_probes(
@@ -387,6 +388,7 @@ def sharded_cg_posterior(
     local_matvec_builder: Optional[Callable] = None,
     precond_rank: int = 0,
     precond_key=None,
+    precond: str = "pivchol",
 ):
     """(mean, cov) of the zero-mean exact-GP posterior at ``x_test``:
     mean = K*ₓ K⁻¹ r, cov = K** − K*ₓ K⁻¹ Kₓ*, all train-side solves by
@@ -409,8 +411,8 @@ def sharded_cg_posterior(
         mesh, axis, max_iters, tol, cross, local_matvec_builder, precond_rank
     )
     if precond_rank > 0:
-        lpc = lazy_pivoted_cholesky(
-            kernel, x, precond_rank, cross, key=precond_key
+        lpc = _build_precond_factor(
+            precond, kernel, x, precond_rank, cross, precond_key
         )
     else:
         lpc = jnp.zeros((x.shape[0], 0), x.dtype)
