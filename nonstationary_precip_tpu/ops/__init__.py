@@ -18,6 +18,7 @@ from nonstationary_precip_tpu.ops.bbmm import (  # noqa: F401
 from nonstationary_precip_tpu.ops.lazy_cg import (  # noqa: F401
     lazy_cg_mll,
     lazy_cg_posterior,
+    lazy_nystrom_factor,
     lazy_pivoted_cholesky,
 )
 from nonstationary_precip_tpu.ops.pallas_matvec import (  # noqa: F401

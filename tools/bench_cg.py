@@ -237,7 +237,7 @@ import functools  # noqa: E402
 
 
 @functools.lru_cache(maxsize=16)
-def _loss_lazygfpb_rb(rank: int, iters: int):
+def _loss_lazygfpb_rb(rank: int, iters: int, precond: str = "pivchol"):
     # (rank, budget)-parameterised lazygfp32b: the on-chip convergence
     # probe (tools/probe_precond_chip.py) showed iterations-to-tolerance
     # scales with N at fixed rank (16384 trained pose: rank-50 needs 135
@@ -259,6 +259,10 @@ def _loss_lazygfpb_rb(rank: int, iters: int):
                 matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
                 panel_vjp=packed_gibbs_panel_vjp(_GIBBS_D),
                 precond_rank=rank,
+                precond=precond,
+                precond_key=(
+                    jax.random.PRNGKey(17) if precond == "nystrom" else None
+                ),
             )
             / n
         )
@@ -337,11 +341,13 @@ def bench(n, only=None):
     }
     # (rank, budget)-tuned rows, named lazygfpb-r<rank>-i<iters>: run only
     # when named explicitly, e.g.  python tools/bench_cg.py 16384 lazygfpb-r100-i24
+    # nystrom rows: lazygnys-r<rank>-i<iters> (stable high-rank factor)
     for req in only or ():
-        if req.startswith("lazygfpb-r"):
-            r_s, i_s = req[len("lazygfpb-") :].split("-")
+        if req.startswith("lazygfpb-r") or req.startswith("lazygnys-r"):
+            pre = "nystrom" if req.startswith("lazygnys") else "pivchol"
+            r_s, i_s = req.split("-")[1:]
             rank, iters = int(r_s[1:]), int(i_s[1:])
-            fn = _loss_lazygfpb_rb(rank, iters)
+            fn = _loss_lazygfpb_rb(rank, iters, precond=pre)
             losses[req] = (
                 lambda p, fn=fn: fn(p, x, y, key)
             )
