@@ -135,9 +135,11 @@ class GibbsExactGP:
         precond_rank: int = 150,
         precond_key=None,
         precond: str = "pivchol",
+        precond_shift: float = 1.0,
         fused_matvec: bool = True,
         fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
+        prior_precond_shift: float = 1.0,
         matvec_precision: str = "highest",
     ) -> jnp.ndarray:
         """:meth:`loss` for LARGE N: the same MAP estimand, but no N×N
@@ -228,6 +230,7 @@ class GibbsExactGP:
             precond_rank=precond_rank,
             precond_key=precond_key,
             precond=precond,
+            precond_shift=precond_shift,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
             panel_vjp=panel_vjp,
@@ -235,6 +238,7 @@ class GibbsExactGP:
         prior_term = self.prior.log_prob_matrixfree(
             x, self.log_ell, prior_pre,
             block=block, max_iters=prior_max_iters, tol=tol,
+            precond_shift=prior_precond_shift,
         )
         return -(logp + prior_term) / n
 
@@ -279,6 +283,7 @@ class GibbsExactGP:
         precond_rank: int = 150,
         precond_key=None,
         precond: str = "pivchol",
+        precond_shift: float = 1.0,
         fused_matvec: bool = True,
     ) -> MVN:
         """:meth:`posterior` for LARGE N: the same manual-conditioning
@@ -329,6 +334,7 @@ class GibbsExactGP:
             precond_rank=precond_rank,
             precond_key=precond_key,
             precond=precond,
+            precond_shift=precond_shift,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
         )

@@ -282,7 +282,7 @@ def _build_precond_factor(precond, kernel, x, rank, cross, key):
 @functools.lru_cache(maxsize=32)
 def _mll_machinery(
     block, num_probes, max_iters, tol, precond_rank, cross_fn, matvec_builder,
-    panel_vjp=None,
+    panel_vjp=None, precond_shift=1.0,
 ):
     """Per-settings compiled machinery; lru_cache keeps the custom_vjp
     identity stable so jitted callers don't retrace across steps."""
@@ -298,12 +298,18 @@ def _mll_machinery(
             matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
         if precond_rank > 0:
             # the preconditioner parameterises the ESTIMATOR, not the
-            # estimand — frozen, exactly as in the dense path
+            # estimand — frozen, exactly as in the dense path.  Its ridge
+            # c = precond_shift·σ² may exceed σ²: every identity below is
+            # P-generic (z ~ N(0, P), P⁻¹-weighted rights, exact logdet P),
+            # and shift > 1 buys f32 Woodbury stability at large N
+            # (noise/signal ε·λmax(P)/c — at 131072 c = σ² breaks mBCG
+            # outright, c = 10σ² converges in 30 iters; DESIGN §22)
             s2 = jax.lax.stop_gradient(sigma2)
-            minv = _woodbury(lpc, s2)
+            c = s2 if precond_shift == 1.0 else precond_shift * s2
+            minv = _woodbury(lpc, c)
             probe_rights = minv(probes)  # E[z (P⁻¹z)ᵀ] = I for z ~ N(0, P)
             probe_w = jnp.sum(probes * probe_rights, axis=0)
-            logdet_p = precond_logdet(lpc, s2, n)
+            logdet_p = precond_logdet(lpc, c, n)
         else:
             minv = None
             probe_rights = probes  # E[z zᵀ] = I for Rademacher
@@ -409,6 +415,7 @@ def lazy_cg_mll(
     precond_rank: int = 0,
     precond_key: Optional[jax.Array] = None,
     precond: str = "pivchol",
+    precond_shift: float = 1.0,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
     panel_vjp: Optional[Callable] = None,
@@ -452,7 +459,7 @@ def lazy_cg_mll(
     warn_unstable_cross_fn(cross)
     fn = _mll_machinery(
         block, num_probes, max_iters, tol, precond_rank, cross, matvec_builder,
-        panel_vjp,
+        panel_vjp, precond_shift,
     )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
@@ -461,7 +468,8 @@ def lazy_cg_mll(
             )
         )
         probes = sample_precond_probes(
-            key, lpc, jax.lax.stop_gradient(sigma2), num_probes
+            key, lpc,
+            precond_shift * jax.lax.stop_gradient(sigma2), num_probes
         )
     else:
         lpc = jnp.zeros((n, 0), x.dtype)
@@ -475,7 +483,8 @@ def lazy_cg_mll(
 
 
 @functools.lru_cache(maxsize=32)
-def _quad_machinery(block, max_iters, tol, use_precond, cross_fn):
+def _quad_machinery(block, max_iters, tol, use_precond, cross_fn,
+                    precond_shift=1.0):
     """Matrix-free diffᵀ(K + σ²I)⁻¹diff with the exact-at-convergence
     pullback d/d·diff = 2(K + σ²I)⁻¹diff.  The operator (kernel, x, σ², the
     preconditioner factor) is treated as FROZEN — its cotangents are zero
@@ -484,7 +493,9 @@ def _quad_machinery(block, max_iters, tol, use_precond, cross_fn):
 
     def fwd(kernel, x, diff, sigma2, lpc):
         matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
-        minv = _woodbury(lpc, sigma2) if use_precond else None
+        minv = (
+            _woodbury(lpc, precond_shift * sigma2) if use_precond else None
+        )
         res = mbcg(matvec, diff[:, None], max_iters=max_iters, tol=tol, precond=minv)
         alpha = res.x[:, 0]
         q = jnp.dot(diff, alpha)
@@ -514,6 +525,7 @@ def lazy_cg_quad(
     block: int = 1024,
     max_iters: int = 64,
     tol: float = 1e-6,
+    precond_shift: float = 1.0,
     cross_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """diffᵀ (K(x, x) + σ²I)⁻¹ diff without materialising K: one mBCG solve
@@ -536,7 +548,8 @@ def lazy_cg_quad(
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
     use_precond = lpc is not None
-    fn = _quad_machinery(block, max_iters, tol, use_precond, cross)
+    fn = _quad_machinery(block, max_iters, tol, use_precond, cross,
+                         precond_shift)
     if lpc is None:
         lpc = jnp.zeros((n, 0), x.dtype)
     return fn(
@@ -549,15 +562,17 @@ def lazy_cg_quad(
 
 
 @functools.lru_cache(maxsize=32)
-def _logdet_machinery(block, num_probes, max_iters, tol, use_precond, cross_fn):
+def _logdet_machinery(block, num_probes, max_iters, tol, use_precond, cross_fn,
+                      precond_shift=1.0):
     def logdet(kernel, x, sigma2, lpc, key):
         n = x.shape[0]
         matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
         if use_precond:
-            minv = _woodbury(lpc, sigma2)
-            probes = sample_precond_probes(key, lpc, sigma2, num_probes)
+            c = precond_shift * sigma2
+            minv = _woodbury(lpc, c)
+            probes = sample_precond_probes(key, lpc, c, num_probes)
             probe_w = jnp.sum(probes * minv(probes), axis=0)
-            base = precond_logdet(lpc, sigma2, n)
+            base = precond_logdet(lpc, c, n)
         else:
             minv = None
             probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
@@ -581,6 +596,7 @@ def lazy_slq_logdet(
     num_probes: int = 16,
     max_iters: int = 128,
     tol: float = 1e-10,
+    precond_shift: float = 1.0,
     cross_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Stochastic Lanczos-quadrature estimate of log det(K(x, x) + σ²I),
@@ -598,7 +614,8 @@ def lazy_slq_logdet(
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
     use_precond = lpc is not None
-    fn = _logdet_machinery(block, num_probes, max_iters, tol, use_precond, cross)
+    fn = _logdet_machinery(block, num_probes, max_iters, tol, use_precond,
+                           cross, precond_shift)
     if lpc is None:
         lpc = jnp.zeros((n, 0), x.dtype)
     args = (kernel, x, sigma2, lpc)
@@ -611,13 +628,17 @@ def lazy_slq_logdet(
 
 
 @functools.lru_cache(maxsize=32)
-def _posterior_machinery(block, max_iters, tol, precond_rank, cross_fn, matvec_builder):
+def _posterior_machinery(block, max_iters, tol, precond_rank, cross_fn,
+                         matvec_builder, precond_shift=1.0):
     def posterior(kernel, x, resid, x_test, sigma2, lpc):
         if matvec_builder is not None:
             matvec = matvec_builder(kernel, x, sigma2)
         else:
             matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
-        minv = _woodbury(lpc, sigma2) if precond_rank > 0 else None
+        minv = (
+            _woodbury(lpc, precond_shift * sigma2)
+            if precond_rank > 0 else None
+        )
         b_cols = cross_fn(kernel, x, x_test)  # (N, N*)
         rhs = jnp.concatenate([resid[:, None], b_cols], axis=1)
         res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
@@ -644,6 +665,7 @@ def lazy_cg_posterior(
     precond_rank: int = 0,
     precond_key: Optional[jax.Array] = None,
     precond: str = "pivchol",
+    precond_shift: float = 1.0,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
 ):
@@ -661,7 +683,8 @@ def lazy_cg_posterior(
     check_divisible(n, block, "x", "row-panel block")
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
-    fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross, matvec_builder)
+    fn = _posterior_machinery(block, max_iters, tol, precond_rank, cross,
+                              matvec_builder, precond_shift)
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
             _build_precond_factor(

@@ -186,6 +186,7 @@ class LogNormalProcess:
         block: int = 1024,
         max_iters: int = 256,
         tol: float = 1e-10,
+        precond_shift: float = 1.0,
     ) -> jnp.ndarray:
         """:meth:`conditional_mean` for LARGE conditioning sets: the
         (Ng, Ng) conditioning solves run as preconditioned matrix-free CG
@@ -216,7 +217,9 @@ class LogNormalProcess:
         for dim in range(self.mean_const.shape[0]):
             params = (ell[dim], s2[dim])
             matvec = _lazy_matvec(params, xgs, jitter, blk, _dim_cross)
-            minv = _woodbury(jax.lax.stop_gradient(lpc[dim]), jitter)
+            minv = _woodbury(
+                jax.lax.stop_gradient(lpc[dim]), precond_shift * jitter
+            )
             res = mbcg(
                 matvec, resid[dim][:, None],
                 max_iters=max_iters, tol=tol, precond=minv,
@@ -245,6 +248,7 @@ class LogNormalProcess:
         max_iters: int = 256,
         tol: float = 1e-10,
         precond_key=None,
+        precond_shift: float = 1.0,
     ):
         """Matrix-free counterpart of ``gram_pre`` for LARGE N, where the
         D (N, N) prior Grams no longer fit: per-dim pivoted-Cholesky
@@ -282,6 +286,7 @@ class LogNormalProcess:
                 num_probes=num_probes,
                 max_iters=max_iters,
                 tol=tol,
+                precond_shift=precond_shift,
                 cross_fn=_dim_cross,
             )
             lpcs.append(lpc)
@@ -297,6 +302,7 @@ class LogNormalProcess:
         block: int = 1024,
         max_iters: int = 64,
         tol: float = 1e-6,
+        precond_shift: float = 1.0,
     ) -> jnp.ndarray:
         """:meth:`log_prob` for LARGE N under the FROZEN-prior contract
         (every reference experiment freezes the prior,
@@ -330,6 +336,7 @@ class LogNormalProcess:
                 block=block,
                 max_iters=max_iters,
                 tol=tol,
+                precond_shift=precond_shift,
                 cross_fn=_dim_cross,
             )
             lp = lp - 0.5 * (quad + logdet[dim] + n * math.log(2.0 * math.pi))

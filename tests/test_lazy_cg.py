@@ -178,6 +178,57 @@ def test_lazy_mll_nystrom_precond_tracks_exact():
     assert abs(float(val - exact)) < 0.02 * abs(float(exact)) + 1.0
 
 
+def test_lazy_mll_precond_shift_tracks_exact():
+    """P = LLᵀ + shift·σ²I with shift ≠ 1: every estimator identity is
+    P-generic (z ~ N(0,P), P⁻¹-weighted rights, exact logdet P), so the
+    MLL must track the dense-Cholesky exact value as tightly as shift=1
+    — shift changes variance reduction and f32 stability, never the
+    estimand."""
+    kernel, x, y, _, s2 = _setup()
+    key = jax.random.PRNGKey(21)
+    k_dense = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    exact = (
+        -0.5 * y @ jnp.linalg.solve(k_dense, y)
+        - 0.5 * jnp.linalg.slogdet(k_dense)[1]
+        - 0.5 * x.shape[0] * jnp.log(2 * jnp.pi)
+    )
+    for shift in (10.0, 100.0):
+        val = jax.jit(
+            lambda k, yy, ss, sh=shift: lazy_cg_mll(
+                k, x, yy, key, ss, block=80,
+                num_probes=16, max_iters=300, tol=1e-12, precond_rank=8,
+                precond_shift=sh,
+            )
+        )(kernel, y, s2)
+        assert abs(float(val - exact)) < 0.02 * abs(float(exact)) + 1.0
+
+
+def test_lazy_quad_and_logdet_precond_shift_exact():
+    """Frozen-operator primitives under shift ≠ 1: the quad is solved to
+    tolerance regardless of P (CG limit point is P-independent) and the
+    SLQ logdet's base + Lanczos correction must still sum to logdet K̂."""
+    from nonstationary_precip_tpu.ops.lazy_cg import (
+        lazy_cg_quad,
+        lazy_slq_logdet,
+    )
+
+    kernel, x, y, _, s2 = _setup(n=160)
+    lpc = lazy_pivoted_cholesky(kernel, x, 12)
+    k_dense = kernel(x) + s2 * jnp.eye(x.shape[0], dtype=jnp.float64)
+    q_exact = float(y @ jnp.linalg.solve(k_dense, y))
+    ld_exact = float(jnp.linalg.slogdet(k_dense)[1])
+    q = lazy_cg_quad(
+        kernel, x, y, s2, lpc=lpc, block=80,
+        max_iters=300, tol=1e-12, precond_shift=25.0,
+    )
+    assert abs(float(q) - q_exact) < 1e-6 * abs(q_exact)
+    ld = lazy_slq_logdet(
+        kernel, x, jax.random.PRNGKey(4), s2, lpc=lpc, block=80,
+        num_probes=32, max_iters=300, tol=1e-12, precond_shift=25.0,
+    )
+    assert abs(float(ld) - ld_exact) < 0.05 * abs(ld_exact) + 1.0
+
+
 def test_lazy_mll_preconditioned_rpc_matches_dense_value():
     """The MLL estimator is pivot-rule agnostic: an RPCholesky factor in
     the Woodbury preconditioner changes the variance-reduction detail,

@@ -237,7 +237,8 @@ import functools  # noqa: E402
 
 
 @functools.lru_cache(maxsize=16)
-def _loss_lazygfpb_rb(rank: int, iters: int, precond: str = "pivchol"):
+def _loss_lazygfpb_rb(rank: int, iters: int, precond: str = "pivchol",
+                      shift: float = 1.0):
     # (rank, budget)-parameterised lazygfp32b: the on-chip convergence
     # probe (tools/probe_precond_chip.py) showed iterations-to-tolerance
     # scales with N at fixed rank (16384 trained pose: rank-50 needs 135
@@ -260,6 +261,7 @@ def _loss_lazygfpb_rb(rank: int, iters: int, precond: str = "pivchol"):
                 panel_vjp=packed_gibbs_panel_vjp(_GIBBS_D),
                 precond_rank=rank,
                 precond=precond,
+                precond_shift=shift,
                 precond_key=(
                     jax.random.PRNGKey(17) if precond == "nystrom" else None
                 ),
@@ -341,13 +343,15 @@ def bench(n, only=None):
     }
     # (rank, budget)-tuned rows, named lazygfpb-r<rank>-i<iters>: run only
     # when named explicitly, e.g.  python tools/bench_cg.py 16384 lazygfpb-r100-i24
-    # nystrom rows: lazygnys-r<rank>-i<iters> (stable high-rank factor)
+    # nystrom rows: lazygnys-r<rank>-i<iters>[-s<shift>] (stable
+    # high-rank factor + optional Woodbury ridge multiplier, DESIGN §22)
     for req in only or ():
         if req.startswith("lazygfpb-r") or req.startswith("lazygnys-r"):
             pre = "nystrom" if req.startswith("lazygnys") else "pivchol"
-            r_s, i_s = req.split("-")[1:]
-            rank, iters = int(r_s[1:]), int(i_s[1:])
-            fn = _loss_lazygfpb_rb(rank, iters, precond=pre)
+            parts = req.split("-")[1:]
+            rank, iters = int(parts[0][1:]), int(parts[1][1:])
+            shift = float(parts[2][1:]) if len(parts) > 2 else 1.0
+            fn = _loss_lazygfpb_rb(rank, iters, precond=pre, shift=shift)
             losses[req] = (
                 lambda p, fn=fn: fn(p, x, y, key)
             )

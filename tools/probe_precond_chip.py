@@ -67,11 +67,18 @@ def _data(n, seed=0):
     return x, y
 
 
-def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False):
-    """iters-to-tol + residual checkpoints, all on chip in one program."""
+def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False, shift=1.0):
+    """iters-to-tol + residual checkpoints, all on chip in one program.
+
+    ``shift``: preconditioner ridge multiplier — P = LLᵀ + shift·σ²I.
+    shift > 1 trades conditioning (κ(P⁻¹K̂) grows ~shift) for f32
+    stability of the Woodbury apply (its noise/signal is ε·λmax(P)/c;
+    at N = 131072 with c = σ² that ratio crosses ~0.5 and mBCG breaks
+    down immediately)."""
 
     def run(aug, y, s2, key):
         matvec = packed_gibbs_matvec_builder(D)(None, aug, s2)
+        c = shift * s2
         if rank > 0:
             if nystrom:
                 lpc = lazy_nystrom_factor(
@@ -80,8 +87,8 @@ def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False):
             else:
                 pkey = jax.random.PRNGKey(17) if rpc else None
                 lpc = lazy_pivoted_cholesky(None, aug, rank, _cross, key=pkey)
-            minv = woodbury_precond(lpc, s2)
-            probes = sample_precond_probes(key, lpc, s2, 8)
+            minv = woodbury_precond(lpc, c)
+            probes = sample_precond_probes(key, lpc, c, 8)
         else:
             minv = None
             probes = jax.random.rademacher(key, (aug.shape[0], 8), jnp.float32)
@@ -100,7 +107,7 @@ def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False):
     }
 
 
-def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False):
+def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False, shift=1.0):
     x, y = _data(n)
     if trained:
         log_ell = 0.5 * jnp.sin(x)
@@ -114,10 +121,11 @@ def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False):
     if ranks is None:
         ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
     for rank in ranks:
-        cell = _cell(aug, y, s2, rank, key, rpc=rpc, nystrom=nystrom)
+        cell = _cell(aug, y, s2, rank, key, rpc=rpc, nystrom=nystrom,
+                     shift=shift)
         name = f"{n}-{pose}-r{rank}" + ("-rpc" if rpc else "") + (
             "-nys" if nystrom else ""
-        )
+        ) + (f"-s{shift:g}" if shift != 1.0 else "")
         results[name] = cell
         print(name, cell, flush=True)
         OUT.write_text(json.dumps(results, indent=2))
@@ -135,10 +143,12 @@ if __name__ == "__main__":
     ) or None
     rpc = "rpc" in args
     nystrom = "nystrom" in args
+    shift = next((float(a[1:]) for a in args if a.startswith("s")), 1.0)
     poses = [a == "trained" for a in args if a in ("trained", "init")] or [
         False,
         True,
     ]
     for n in sizes:
         for trained in poses:
-            probe(n, trained, ranks=ranks, rpc=rpc, nystrom=nystrom)
+            probe(n, trained, ranks=ranks, rpc=rpc, nystrom=nystrom,
+                  shift=shift)
