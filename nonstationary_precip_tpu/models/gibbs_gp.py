@@ -121,6 +121,37 @@ class GibbsExactGP:
         ONCE per fit (loop-invariant); O(N·rank) memory."""
         return self.prior.gram_pre_lazy(x, key, **kw)
 
+    def precond_factor(
+        self,
+        x: jnp.ndarray,
+        *,
+        rank: int = 150,
+        precond: str = "pivchol",
+        key=None,
+    ) -> jnp.ndarray:
+        """(N, rank) preconditioner factor of the DATA Gram at the
+        CURRENT parameter pose, for the stale-preconditioner hoist: pass
+        it to :meth:`loss_matrixfree` as ``precond_lpc`` and refresh every
+        k steps (e.g. at the boundaries of a nested training scan) instead
+        of rebuilding inside every step.  The mBCG estimator is unbiased
+        for ANY fixed SPD P (``ops/lazy_cg.lazy_cg_mll`` docstring), so a
+        few-steps-stale factor changes only estimator variance and CG
+        convergence margin — the per-point lengthscale field moves slowly
+        under Adam.  Measured on chip this is PERF-NEUTRAL at rank 150
+        (the build is noise next to the O(N²) matvecs; exact parity at
+        N = 16384/32768/65536, tools/bench_cg.py lazygstale rows) — use
+        it when the factor itself is needed outside the step (sharded
+        replication, fixed-P estimator studies), not to save time."""
+        from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+        from nonstationary_precip_tpu.ops.lazy_cg import build_precond_factor
+
+        d = x.shape[-1]
+        aug = jnp.concatenate([x, self.log_ell], axis=1)
+        return build_precond_factor(
+            precond, self.raw_outputscale, aug, min(rank, x.shape[0]),
+            packed_gibbs_cross(d), key,
+        )
+
     def loss_matrixfree(
         self,
         x: jnp.ndarray,
@@ -136,6 +167,7 @@ class GibbsExactGP:
         precond_key=None,
         precond: str = "pivchol",
         precond_shift: float = 1.0,
+        precond_lpc: jnp.ndarray | None = None,
         fused_matvec: bool = True,
         fused_bwd: bool | None = None,
         prior_max_iters: int = 64,
@@ -191,6 +223,11 @@ class GibbsExactGP:
         kernel launch (measured 1.29-1.32× end-to-end, DESIGN §19);
         gradients agree with the scan to f32 rounding, the derivation
         is f64-exact vs autodiff.
+
+        ``precond_lpc``: a prebuilt factor from :meth:`precond_factor` —
+        skips the per-step factor build (the stale-preconditioner hoist;
+        still an unbiased estimator for any fixed SPD P).  Refresh it
+        every k steps outside this function.
         """
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
@@ -231,6 +268,7 @@ class GibbsExactGP:
             precond_key=precond_key,
             precond=precond,
             precond_shift=precond_shift,
+            precond_lpc=precond_lpc,
             cross_fn=packed_gibbs_cross(d),
             matvec_builder=builder,
             panel_vjp=panel_vjp,

@@ -261,10 +261,12 @@ def lazy_nystrom_factor(
     return l
 
 
-def _build_precond_factor(precond, kernel, x, rank, cross, key):
+def build_precond_factor(precond, kernel, x, rank, cross, key=None):
     """Dispatch the (N, rank) preconditioner factor build.  Everything
     downstream (Woodbury apply, exact logdet, N(0, P) probes) only sees
-    P = LLᵀ + σ²I, so the estimator is factor-rule agnostic."""
+    P = LLᵀ + σ²I, so the estimator is factor-rule agnostic.  Public so
+    callers can HOIST the build (``lazy_cg_mll(precond_lpc=...)``) and
+    refresh it every k steps instead of every step."""
     if precond == "pivchol":
         return lazy_pivoted_cholesky(kernel, x, rank, cross, key=key)
     if precond == "nystrom":
@@ -416,6 +418,7 @@ def lazy_cg_mll(
     precond_key: Optional[jax.Array] = None,
     precond: str = "pivchol",
     precond_shift: float = 1.0,
+    precond_lpc: Optional[jnp.ndarray] = None,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
     panel_vjp: Optional[Callable] = None,
@@ -451,19 +454,40 @@ def lazy_cg_mll(
     ``(kernel, x, alpha?, …) -> (kernel_grad, x_grad, sigma2_grad)`` —
     see ``ops/pallas_matvec.packed_gibbs_panel_vjp``.  It MUST compute
     the pullback of the same operator as ``cross_fn`` (the forward is
-    unchanged; only the gradient path reroutes)."""
+    unchanged; only the gradient path reroutes).
+
+    ``precond_lpc``: a PREBUILT (N, rank) factor — skips the per-step
+    factor build entirely (``precond_rank`` is then inferred from its
+    trailing dim and ``precond``/``precond_key`` are ignored).  Every
+    identity the estimator uses (z ~ N(0, P) probes, P⁻¹-weighted trace
+    rights, exact log det P) holds for ANY fixed SPD P, so a factor
+    built at a nearby parameter pose is still an UNBIASED estimator of
+    the exact MLL/gradients — only the variance-reduction quality and
+    the CG convergence rate degrade with staleness.  NOT a perf lever:
+    refreshing every 10 steps measured EXACT parity with the per-step
+    rebuild at rank 150 for N ∈ {16384, 32768, 65536} (47.95 vs 47.94,
+    180.6 vs 181.2, 1346.3 vs 1346.6 ms/step — the rank-sequential
+    build is wallclock noise next to the O(N²) matvecs; tools/bench_cg
+    lazygstale rows, DESIGN §22).  It exists for callers that need the
+    factor OUTSIDE the loss — the row-sharded path replicates it across
+    devices, and estimator-consistency experiments hold P fixed across
+    steps."""
     n = x.shape[0]
     block = min(block, n)
     check_divisible(n, block, "x", "row-panel block")
     cross = cross_fn or default_cross
     warn_unstable_cross_fn(cross)
+    if precond_lpc is not None:
+        precond_rank = precond_lpc.shape[-1]
     fn = _mll_machinery(
         block, num_probes, max_iters, tol, precond_rank, cross, matvec_builder,
         panel_vjp, precond_shift,
     )
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            _build_precond_factor(
+            precond_lpc
+            if precond_lpc is not None
+            else build_precond_factor(
                 precond, kernel, x, precond_rank, cross, precond_key
             )
         )
@@ -687,7 +711,7 @@ def lazy_cg_posterior(
                               matvec_builder, precond_shift)
     if precond_rank > 0:
         lpc = jax.lax.stop_gradient(
-            _build_precond_factor(
+            build_precond_factor(
                 precond, kernel, x, precond_rank, cross, precond_key
             )
         )

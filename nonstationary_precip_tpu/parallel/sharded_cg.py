@@ -40,7 +40,7 @@ from nonstationary_precip_tpu.ops.bbmm import (
     sample_precond_probes,
 )
 from nonstationary_precip_tpu.ops.lazy_cg import (
-    _build_precond_factor,
+    build_precond_factor,
     _woodbury,
     check_divisible as _shared_check_divisible,
     default_cross as _default_cross,
@@ -307,7 +307,7 @@ def sharded_cg_mll(
         # frozen estimator state, replicated (see docstring) — built from
         # the global x exactly as the single-chip lazy path builds it
         lpc = jax.lax.stop_gradient(
-            _build_precond_factor(
+            build_precond_factor(
                 precond, kernel, x, precond_rank, cross, precond_key
             )
         )
@@ -411,7 +411,7 @@ def sharded_cg_posterior(
         mesh, axis, max_iters, tol, cross, local_matvec_builder, precond_rank
     )
     if precond_rank > 0:
-        lpc = _build_precond_factor(
+        lpc = build_precond_factor(
             precond, kernel, x, precond_rank, cross, precond_key
         )
     else:

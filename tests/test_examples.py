@@ -47,6 +47,12 @@ def test_quickstart_lazy_largen(capsys):
     assert "ok" in capsys.readouterr().out
 
 
+def test_quickstart_gibbs_largen(capsys):
+    _load("quickstart_gibbs_largen").main(
+        n=192, num_steps=4, refresh=2, block=48
+    )
+
+
 def test_quickstart_sharded_largen(capsys):
     import jax
 

@@ -322,3 +322,58 @@ def test_gibbs_loss_matrixfree_trains_under_jit_scan():
     vals = np.asarray(vals)
     assert np.all(np.isfinite(vals))
     assert vals[-1] < vals[0]
+
+
+def test_gibbs_loss_matrixfree_hoisted_factor_bitwise_and_stale_finite():
+    """The stale-preconditioner hoist: loss_matrixfree(precond_lpc=
+    precond_factor(x)) must be BITWISE the inline-build path at the same
+    pose (identical factor inputs → identical estimator), value and
+    gradients; a factor built at a slightly different pose must still
+    give a finite, nearby loss (any fixed SPD P is a valid estimator)."""
+    n = 160
+    x, y = _xy(n=n)
+    prior = _prior()
+    model = GibbsExactGP.create(x, prior, noise=0.1, outputscale=1.0, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    model = model.replace(
+        log_ell=model.log_ell
+        + jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float64)
+    )
+    key = jax.random.PRNGKey(31)
+    pre = prior.gram_pre_lazy(
+        x, jax.random.PRNGKey(32), rank=16, block=80,
+        num_probes=8, max_iters=200, tol=1e-12,
+    )
+    kw = dict(
+        block=80, num_probes=8, max_iters=120, tol=1e-12,
+        fused_matvec=False, prior_max_iters=200,
+    )
+
+    def loss_inline(m):
+        return m.loss_matrixfree(x, y, key, pre, precond_rank=20, **kw)
+
+    def loss_hoisted(m, lpc):
+        return m.loss_matrixfree(x, y, key, pre, precond_lpc=lpc, **kw)
+
+    lpc = model.precond_factor(x, rank=20)
+    v_i, g_i = jax.value_and_grad(loss_inline)(model)
+    v_h, g_h = jax.value_and_grad(loss_hoisted)(model, lpc)
+    # the hoisted factor is computed in a SEPARATE XLA program, so
+    # fusion differences move the last ulps — identical to rounding
+    np.testing.assert_allclose(float(v_i), float(v_h), rtol=1e-13)
+    for a, b in zip(jax.tree.leaves(g_i), jax.tree.leaves(g_h)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+        )
+
+    # stale: factor from a perturbed pose is still a valid estimator
+    stale = model.replace(
+        log_ell=model.log_ell
+        + jnp.asarray(rng.normal(scale=0.05, size=(n, 2)), jnp.float64)
+    ).precond_factor(x, rank=20)
+    v_s, g_s = jax.value_and_grad(loss_hoisted)(model, stale)
+    assert np.isfinite(float(v_s))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g_s))
+    # converged CG ⇒ the deterministic quad term is identical; only the
+    # stochastic logdet estimate moves, and not by much
+    assert abs(float(v_s - v_i)) < 0.02 * abs(float(v_i)) + 5e-3

@@ -272,6 +272,36 @@ def _loss_lazygfpb_rb(rank: int, iters: int, precond: str = "pivchol",
     return loss
 
 
+@functools.lru_cache(maxsize=16)
+def _loss_lazyg_stale(iters: int, shift: float = 1.0):
+    # hoisted-factor loss: the (N, rank) preconditioner factor arrives
+    # PREBUILT (stale-preconditioner hoist, ops/lazy_cg.lazy_cg_mll
+    # precond_lpc) — the per-step rank-sequential pivoted recursion is
+    # amortised over a refresh window by the nested scan in bench()
+    def loss(params, lpc, x, y, key):
+        from nonstationary_precip_tpu.ops.pallas_matvec import (
+            packed_gibbs_matvec_builder,
+            packed_gibbs_panel_vjp,
+        )
+
+        n = y.shape[0]
+        aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+        return (
+            -lazy_cg_mll(
+                None, aug, y, key, jnp.exp(params["log_noise"]),
+                block=LAZY_BLOCK, num_probes=8, max_iters=iters, tol=1e-6,
+                cross_fn=_gibbs_cross,
+                matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+                panel_vjp=packed_gibbs_panel_vjp(_GIBBS_D),
+                precond_lpc=lpc,
+                precond_shift=shift,
+            )
+            / n
+        )
+
+    return loss
+
+
 def _loss_lazygfp32h3(params, x, y, key):
     # lazygfp32 with the 'high3' matvec contraction — after the d=2 tile
     # fast path it measures 1.12x on the matvec but only 1.06x end-to-end
@@ -345,6 +375,11 @@ def bench(n, only=None):
     # when named explicitly, e.g.  python tools/bench_cg.py 16384 lazygfpb-r100-i24
     # nystrom rows: lazygnys-r<rank>-i<iters>[-s<shift>] (stable
     # high-rank factor + optional Woodbury ridge multiplier, DESIGN §22)
+    # stale-precond rows: lazygstale-r<rank>-i<iters>-k<refresh>[-s<shift>]
+    # (factor hoisted out of the step, rebuilt every <refresh> steps by a
+    # nested scan — the differential pair then amortises exactly one
+    # build per window)
+    stale_rows = []
     for req in only or ():
         if req.startswith("lazygfpb-r") or req.startswith("lazygnys-r"):
             pre = "nystrom" if req.startswith("lazygnys") else "pivchol"
@@ -355,6 +390,13 @@ def bench(n, only=None):
             losses[req] = (
                 lambda p, fn=fn: fn(p, x, y, key)
             )
+        elif req.startswith("lazygstale-r"):
+            parts = req.split("-")[1:]
+            rank, iters, refresh = (
+                int(parts[0][1:]), int(parts[1][1:]), int(parts[2][1:])
+            )
+            shift = float(parts[3][1:]) if len(parts) > 3 else 1.0
+            stale_rows.append((req, rank, iters, refresh, shift))
     steps = _steps(n)
     for name, loss_fn in losses.items():
         if only and name not in only:
@@ -365,6 +407,67 @@ def bench(n, only=None):
         try:
             _bench_row(name, n, loss_fn, scanned, timed, steps, p0)
         except Exception as e:  # e.g. dense-row RESOURCE_EXHAUSTED
+            log(f"error-{name}-{n}", error=repr(e)[:300])
+
+    for name, rank, iters, refresh, shift in stale_rows:
+        loss = _loss_lazyg_stale(iters, shift)
+
+        def scanned_stale(windows):
+            # outer scan: rebuild the factor at the CURRENT pose, then
+            # run <refresh> hoisted steps on it — one compiled program
+            @jax.jit
+            def run(params):
+                st = opt.init(params)
+
+                def inner(carry, _):
+                    p, s, lpc = carry
+                    val, g = jax.value_and_grad(loss)(p, lpc, x, y, key)
+                    up, s = opt.update(g, s)
+                    return (optax.apply_updates(p, up), s, lpc), val
+
+                def outer(carry, _):
+                    p, s = carry
+                    from nonstationary_precip_tpu.ops.lazy_cg import (
+                        build_precond_factor,
+                    )
+
+                    aug = jnp.concatenate([x, p["log_ell_pp"]], axis=1)
+                    lpc = jax.lax.stop_gradient(
+                        build_precond_factor(
+                            "pivchol", None, aug, rank, _gibbs_cross
+                        )
+                    )
+                    (p, s, _), vals = jax.lax.scan(
+                        inner, (p, s, lpc), None, length=refresh
+                    )
+                    return (p, s), vals
+
+                (p, _), vals = jax.lax.scan(
+                    outer, (params, st), None, length=windows
+                )
+                return p, vals.reshape(-1)
+
+            return run
+
+        try:
+            # differential pair in WINDOWS: (T₂ − T₁)/refresh = one
+            # window = refresh steps + exactly one factor build
+            run1, run2 = scanned_stale(1), scanned_stale(2)
+            t0 = time.perf_counter()
+            _, vals = run1(params0_g)
+            jax.block_until_ready(vals)
+            jax.block_until_ready(run2(params0_g)[1])
+            t_compile = time.perf_counter() - t0
+            ms = (timed(run2, params0_g) - timed(run1, params0_g)) / refresh * 1e3
+            log(
+                f"{name}-{n}",
+                ms_per_step=round(ms, 3),
+                first_call_s=round(t_compile, 1),
+                loss0=float(vals[0]),
+                lossT=float(vals[-1]),
+                finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+            )
+        except Exception as e:
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
 
