@@ -33,6 +33,13 @@ cube carries a row index first:
 
     python -m nonstationary_precip_tpu.serve --model st_nonstationary \
         --train_csv data/uib_spatio_temporal.csv --x_cols 1,2,3 --y_col 4
+
+Large training CSVs (``--model gibbs_exact`` only): ``--matrixfree true``
+routes BOTH fit and predict through the matrix-free CG path
+(``GibbsExactGP.loss_matrixfree`` / ``posterior_matrixfree``) — no N×N
+Gram ever materialises, the regime measured end-to-end to N = 131072 on
+one chip (DESIGN.md §16–22).  ``--precond_rank`` / ``--precond_shift``
+tune the Woodbury preconditioner for very large / ill-conditioned N.
 """
 
 from __future__ import annotations
@@ -70,6 +77,26 @@ class ServeConfig(ExperimentConfig):
     # row index: --x_cols 1,2,3 --y_col 4.  Defaults: all-but-last / last.
     x_cols: str = ""
     y_col: int = -1
+    # large-N serving (gibbs_exact only): --matrixfree true routes fit AND
+    # predict through the matrix-free CG path (loss_matrixfree /
+    # posterior_matrixfree, DESIGN §16–22) — no N×N residency anywhere, so
+    # a 10⁵-row training CSV serves on one chip where the dense Gram
+    # cannot exist.  --precond_rank tunes the Woodbury preconditioner
+    # factor (150 converges at every probed N ≤ 65536; raise + use
+    # --precond_shift > 1 beyond that, DESIGN §22).
+    matrixfree: bool = False
+    precond_rank: int = 150
+    precond_shift: float = 1.0
+
+
+def _lazy_block(n: int, cap: int = 2048) -> int:
+    """Largest divisor of n that is ≤ cap — the lazy CG row panels must
+    tile N exactly (ops/lazy_cg.check_divisible).  Awkward (prime-ish) N
+    degrade to small panels: still correct, just more scan steps."""
+    b = min(n, cap)
+    while n % b:
+        b -= 1
+    return b
 
 
 def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
@@ -93,6 +120,11 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
     from nonstationary_precip_tpu.ops.kmeans import kmeans_inducing_points
     from nonstationary_precip_tpu.priors import LogNormalProcess
 
+    if cfg.matrixfree and name != "gibbs_exact":
+        raise SystemExit(
+            "--matrixfree is implemented for --model gibbs_exact (the "
+            "other families are sparse/minibatched — already large-N)"
+        )
     d = train_x.shape[-1]
     if name == "seard":
         model = ExactGP.create(Scale.create(RBF.create(d)), mean_type="constant")
@@ -125,6 +157,39 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
         import jax
 
         model = GibbsExactGP.create(train_x, prior, noise=cfg.noise, outputscale=cfg.scale)
+        if cfg.matrixfree:
+            # large-N route: the frozen-prior hoist is per-dim pivoted
+            # Cholesky factors + an SLQ logdet constant (O(N·rank)), and
+            # the per-step loss is preconditioned mBCG over the fused
+            # Gram·v matvec — the N×N Gram never exists on either side
+            n = train_x.shape[0]
+            blk = _lazy_block(n)
+            rank = min(cfg.precond_rank, n)
+            pre = jax.jit(
+                lambda xx: prior.gram_pre_lazy(
+                    xx, jax.random.PRNGKey(cfg.seed + 1),
+                    rank=min(50, n), block=blk,
+                )
+            )(train_x)
+            # fixed probe key across steps = common random numbers, the
+            # same convention as every measured large-N row (bench_cg)
+            kfix = jax.random.PRNGKey(cfg.seed + 2)
+            # the fused Gram·v Pallas kernels are Mosaic (TPU) programs;
+            # CPU serves fall back to the jnp row panels automatically
+            fused = jax.default_backend() != "cpu"
+            return (
+                model,
+                (
+                    lambda m, xx, yy, pc: m.loss_matrixfree(
+                        xx, yy, kfix, pc, block=blk,
+                        precond_rank=rank,
+                        precond_shift=cfg.precond_shift,
+                        fused_matvec=fused,
+                    )
+                ),
+                model.trainable(),
+                (pre,),
+            )
         # frozen-prior (K⁻¹, logdet) hoist, one jitted program — the same
         # loop-invariant the reference experiments exploit implicitly by
         # never re-sampling the prior (experiments/spatial_gibbs.py)
@@ -208,7 +273,8 @@ def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, ke
     ).model
 
 
-def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096):
+def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
+             cfg: ServeConfig | None = None, extra=()):
     """Jitted predictive marginals (mean, var) at ``pts``.
 
     The GP families' ``predictive`` materialises the dense N*×N* joint
@@ -225,11 +291,29 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096):
             m.predict(key, p, num_samples=10)[0]
         ))(model, pts)
 
-    def marginals(m, p):
-        d = m.predictive(train_x, train_y, p)
-        # predictive variance = posterior + observation noise ≥ noise;
-        # floor the f32 Woodbury cancellation at that physical bound
-        return d.mean, jnp.maximum(d.var, m.likelihood.noise)
+    if cfg is not None and cfg.matrixfree and name == "gibbs_exact":
+        n = train_x.shape[0]
+        blk = _lazy_block(n)
+        rank = min(cfg.precond_rank, n)
+        pre = extra[0]
+
+        def marginals(m, p):
+            # matrix-free predictive: train-side solves by preconditioned
+            # mBCG over the fused Gram·v matvec — O(block·N + N·chunk)
+            d = m.posterior_matrixfree(
+                train_x, train_y, p, pre, noiseless=False, block=blk,
+                precond_rank=rank, precond_shift=cfg.precond_shift,
+                fused_matvec=jax.default_backend() != "cpu",
+            )
+            return d.mean, jnp.maximum(d.var, m.likelihood.noise)
+
+    else:
+
+        def marginals(m, p):
+            d = m.predictive(train_x, train_y, p)
+            # predictive variance = posterior + observation noise ≥ noise;
+            # floor the f32 Woodbury cancellation at that physical bound
+            return d.mean, jnp.maximum(d.var, m.likelihood.noise)
 
     fn = jax.jit(marginals)
     n = pts.shape[0]
@@ -290,7 +374,9 @@ def main(argv=None):
     pts = jnp.asarray((raw_pts - meanx) / stdx, jnp.float32)
 
     t0 = time.time()
-    mean, var = _predict(cfg.model, model, train_x, train_y, pts, k_pred)
+    mean, var = _predict(
+        cfg.model, model, train_x, train_y, pts, k_pred, cfg=cfg, extra=extra
+    )
     mean = np.asarray(mean) * stdy + meany  # back to raw data units
     std = np.sqrt(np.maximum(np.asarray(var), 0.0)) * stdy
     print(f"served {len(pts)} points in {time.time() - t0:.1f}s")

@@ -107,6 +107,34 @@ def test_serve_spatio_temporal(tmp_path, model, extra):
     assert (out[:, 4] > 0).all()
 
 
+def test_serve_matrixfree_gibbs(tmp_path):
+    """--matrixfree true routes the exact Gibbs family through the
+    matrix-free CG path (loss_matrixfree / posterior_matrixfree): finite
+    raw-unit predictions, positive stds, and means consistent with the
+    dense serve at the same tiny budget — same MAP estimand, different
+    solver (truncated mBCG + stochastic logdet vs Cholesky)."""
+    extra = ["--max_iters", "5"]
+    mean_dense, _ = serve.main(_args(tmp_path, "gibbs_exact", extra))
+    mean_mf, _ = serve.main(
+        _args(
+            tmp_path,
+            "gibbs_exact",
+            [*extra, "--matrixfree", "true", "--precond_rank", "32"],
+        )
+    )
+    out = _read(tmp_path / "gibbs_exact.csv")
+    assert out.shape == (394, 4)  # lon, lat, pred_mean, pred_std
+    assert np.isfinite(out).all()
+    assert (out[:, 3] > 0).all()
+    corr = np.corrcoef(np.asarray(mean_dense), np.asarray(mean_mf))[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_serve_matrixfree_rejected_for_other_models(tmp_path):
+    with pytest.raises(SystemExit, match="matrixfree"):
+        serve.main(_args(tmp_path, "seard", ["--matrixfree", "true"]))
+
+
 def test_serve_rejects_unknown_model(tmp_path):
     with pytest.raises(SystemExit):
         serve.main(_args(tmp_path, "nonsense"))
@@ -115,7 +143,7 @@ def test_serve_rejects_unknown_model(tmp_path):
 def test_serve_refuses_nonfinite_predictions(tmp_path, monkeypatch):
     """A diverged fit must exit nonzero, not write NaN CSVs."""
 
-    def nan_predict(name, model, train_x, train_y, pts, key):
+    def nan_predict(name, model, train_x, train_y, pts, key, **kw):
         import jax.numpy as jnp
 
         n = pts.shape[0]
@@ -168,7 +196,7 @@ def test_serve_diverged_fit_never_saves_checkpoint(tmp_path, monkeypatch):
     diverged fit that exits nonzero may not leave a NaN checkpoint behind
     for a later --checkpoint run to restore."""
 
-    def nan_predict(name, model, train_x, train_y, pts, key, chunk=4096):
+    def nan_predict(name, model, train_x, train_y, pts, key, **kw):
         import jax.numpy as jnp
 
         n = pts.shape[0]

@@ -379,9 +379,25 @@ def bench(n, only=None):
     # (factor hoisted out of the step, rebuilt every <refresh> steps by a
     # nested scan — the differential pair then amortises exactly one
     # build per window)
+    # posterior rows: lazygpost-r<rank>-i<iters>[-s<shift>][-nys][-t<ntest>]
+    # — the matrix-free PREDICTION path (lazy_cg_posterior: one mBCG with
+    # 1+N* right-hand sides, deterministic), timed per posterior CALL
     stale_rows = []
+    post_rows = []
     for req in only or ():
-        if req.startswith("lazygfpb-r") or req.startswith("lazygnys-r"):
+        if req.startswith("lazygpost-r"):
+            parts = req.split("-")[1:]
+            rank, iters = int(parts[0][1:]), int(parts[1][1:])
+            shift, pre, ntest = 1.0, "pivchol", 256
+            for p in parts[2:]:
+                if p == "nys":
+                    pre = "nystrom"
+                elif p.startswith("s"):
+                    shift = float(p[1:])
+                elif p.startswith("t"):
+                    ntest = int(p[1:])
+            post_rows.append((req, rank, iters, shift, pre, ntest))
+        elif req.startswith("lazygfpb-r") or req.startswith("lazygnys-r"):
             pre = "nystrom" if req.startswith("lazygnys") else "pivchol"
             parts = req.split("-")[1:]
             rank, iters = int(parts[0][1:]), int(parts[1][1:])
@@ -465,6 +481,64 @@ def bench(n, only=None):
                 first_call_s=round(t_compile, 1),
                 loss0=float(vals[0]),
                 lossT=float(vals[-1]),
+                finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+            )
+        except Exception as e:
+            log(f"error-{name}-{n}", error=repr(e)[:300])
+
+    for name, rank, iters, shift, pre, ntest in post_rows:
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_posterior
+        from nonstationary_precip_tpu.ops.pallas_matvec import (
+            packed_gibbs_matvec_builder,
+        )
+
+        rngt = np.random.default_rng(1)
+        xt = jnp.asarray(rngt.uniform(-3, 3, size=(ntest, 2)), jnp.float32)
+        aug = jnp.concatenate([x, params0_g["log_ell_pp"]], axis=1)
+        aug_t = jnp.concatenate(
+            [xt, jnp.zeros((ntest, _GIBBS_D), jnp.float32)], axis=1
+        )
+        s2 = jnp.exp(params0_g["log_noise"])
+        pkey = jax.random.PRNGKey(17) if pre == "nystrom" else None
+
+        def post_once(c, _, iters=iters, rank=rank, shift=shift, pre=pre,
+                      pkey=pkey, aug=aug, aug_t=aug_t, s2=s2):
+            # thread the carry into the inputs (denormal-scale, flushes
+            # to zero in f32) so XLA cannot hoist the loop-invariant
+            # posterior out of the scan — same trick as the Adam rows,
+            # where the params change per step
+            mean, cov = lazy_cg_posterior(
+                None, aug, y + jnp.float32(1e-30) * c, aug_t, s2,
+                block=LAZY_BLOCK, max_iters=iters, tol=1e-8,
+                precond_rank=rank, precond=pre, precond_key=pkey,
+                precond_shift=shift, cross_fn=_gibbs_cross,
+                matvec_builder=packed_gibbs_matvec_builder(_GIBBS_D),
+            )
+            s = jnp.sum(mean) + jnp.sum(cov)
+            return s, s
+
+        def scanned_post(calls):
+            @jax.jit
+            def run(z):
+                out, vals = jax.lax.scan(post_once, z, None, length=calls)
+                return out, vals
+
+            return run
+
+        try:
+            run1, run2 = scanned_post(1), scanned_post(2)
+            z0 = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            _, vals = run1(z0)
+            jax.block_until_ready(vals)
+            jax.block_until_ready(run2(z0)[1])
+            t_compile = time.perf_counter() - t0
+            ms = (timed(run2, z0) - timed(run1, z0)) * 1e3
+            log(
+                f"{name}-{n}",
+                ms_per_call=round(ms, 3),
+                first_call_s=round(t_compile, 1),
+                ntest=ntest,
                 finite=bool(np.all(np.isfinite(np.asarray(vals)))),
             )
         except Exception as e:

@@ -67,7 +67,8 @@ def _data(n, seed=0):
     return x, y
 
 
-def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False, shift=1.0):
+def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False, shift=1.0,
+          budget=200):
     """iters-to-tol + residual checkpoints, all on chip in one program.
 
     ``shift``: preconditioner ridge multiplier — P = LLᵀ + shift·σ²I.
@@ -93,7 +94,7 @@ def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False, shift=1.0):
             minv = None
             probes = jax.random.rademacher(key, (aug.shape[0], 8), jnp.float32)
         rhs = jnp.concatenate([y[:, None], probes], axis=1)
-        res = mbcg(matvec, rhs, max_iters=200, tol=1e-6, precond=minv)
+        res = mbcg(matvec, rhs, max_iters=budget, tol=1e-6, precond=minv)
         hist_max = jnp.max(res.resnorm_hist, axis=1)  # worst column per iter
         return res.iters, hist_max
 
@@ -103,11 +104,15 @@ def _cell(aug, y, s2, rank, key, rpc=False, nystrom=False, shift=1.0):
     return {
         "iters_y": int(iters[0]),
         "iters_max": int(iters.max()),
-        "relres_at": {str(k): float(hist[k - 1]) for k in CHECKPOINTS},
+        "relres_at": {
+            str(k): float(hist[k - 1]) for k in CHECKPOINTS if k <= len(hist)
+        },
+        "relres_final": float(hist[-1]),
     }
 
 
-def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False, shift=1.0):
+def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False,
+          shift=1.0, budget=200):
     x, y = _data(n)
     if trained:
         log_ell = 0.5 * jnp.sin(x)
@@ -122,10 +127,12 @@ def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False, shift=1.0
         ranks = (50, 100, 150) if n <= 16384 else (50, 100, 150, 200)
     for rank in ranks:
         cell = _cell(aug, y, s2, rank, key, rpc=rpc, nystrom=nystrom,
-                     shift=shift)
+                     shift=shift, budget=budget)
         name = f"{n}-{pose}-r{rank}" + ("-rpc" if rpc else "") + (
             "-nys" if nystrom else ""
-        ) + (f"-s{shift:g}" if shift != 1.0 else "")
+        ) + (f"-s{shift:g}" if shift != 1.0 else "") + (
+            f"-i{budget}" if budget != 200 else ""
+        )
         results[name] = cell
         print(name, cell, flush=True)
         OUT.write_text(json.dumps(results, indent=2))
@@ -133,6 +140,9 @@ def probe(n: int, trained: bool, ranks=None, rpc=False, nystrom=False, shift=1.0
 
 if __name__ == "__main__":
     # usage: probe_precond_chip.py [N ...] [rNNN ...] [trained|init] [rpc]
+    #        [iNN = mBCG budget, default 200 — keep programs SHORT at very
+    #         large N: a multi-minute single on-chip program can crash the
+    #         axon worker (observed at 262144 with i200)]
     # rank args (r300 r400) and a pose filter restrict the sweep;
     # 'rpc' switches the factor to randomly-pivoted Cholesky
     args = sys.argv[1:]
@@ -143,7 +153,15 @@ if __name__ == "__main__":
     ) or None
     rpc = "rpc" in args
     nystrom = "nystrom" in args
-    shift = next((float(a[1:]) for a in args if a.startswith("s")), 1.0)
+    shift = next(
+        (float(a[1:]) for a in args
+         if a.startswith("s") and a[1:].replace(".", "").isdigit()),
+        1.0,
+    )
+    budget = next(
+        (int(a[1:]) for a in args if a.startswith("i") and a[1:].isdigit()),
+        200,
+    )
     poses = [a == "trained" for a in args if a in ("trained", "init")] or [
         False,
         True,
@@ -151,4 +169,4 @@ if __name__ == "__main__":
     for n in sizes:
         for trained in poses:
             probe(n, trained, ranks=ranks, rpc=rpc, nystrom=nystrom,
-                  shift=shift)
+                  shift=shift, budget=budget)
