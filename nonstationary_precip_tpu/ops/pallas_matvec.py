@@ -271,7 +271,14 @@ def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
     def matvec(v):
         r = v.shape[-1]
         if r > _MAX_R:
-            raise ValueError(f"gibbs matvec: R ≤ {_MAX_R}")
+            # column-chunk a wide block rhs (e.g. lazy_cg_posterior's
+            # 1+N* columns): ⌈R/128⌉ kernel launches, identical results
+            # per column — the lane dimension is the hard per-launch cap,
+            # and the Gram tile build is re-paid once per group
+            return jnp.concatenate(
+                [matvec(v[:, i:i + _MAX_R]) for i in range(0, r, _MAX_R)],
+                axis=1,
+            )
         if precision == "vpu":
             if r > _VPU_R_MAX:
                 raise ValueError(f"gibbs matvec vpu: R ≤ {_VPU_R_MAX}")
@@ -290,9 +297,9 @@ def make_gibbs_matvec(x1, ell1, x2, ell2, precision: str = "highest"):
 def gibbs_gram_matvec(x1, ell1, x2, ell2, v, precision: str = "highest"):
     """One-shot K(x1, x2) @ v for the diagonal Gibbs kernel, K never in
     HBM.  x1 (N1, D), ell1 (N1, D) per-point lengthscales (D ≤ 8),
-    x2/ell2 (N2, D), v (N2, R) with R ≤ 128.  f32.  Forward-only (no
-    VJP).  Inside an iteration loop use :func:`make_gibbs_matvec` so the
-    payload packing happens once."""
+    x2/ell2 (N2, D), v (N2, R); R > 128 runs as ⌈R/128⌉ column-chunked
+    launches.  f32.  Forward-only (no VJP).  Inside an iteration loop
+    use :func:`make_gibbs_matvec` so the payload packing happens once."""
     return make_gibbs_matvec(x1, ell1, x2, ell2, precision)(v)
 
 
@@ -486,7 +493,11 @@ def make_rbf_matvec(x1, x2, ell, precision: str = "highest"):
     def matvec(v):
         r = v.shape[-1]
         if r > _MAX_R:
-            raise ValueError(f"rbf matvec: R ≤ {_MAX_R}")
+            # column-chunk wide block rhs — see make_gibbs_matvec
+            return jnp.concatenate(
+                [matvec(v[:, i:i + _MAX_R]) for i in range(0, r, _MAX_R)],
+                axis=1,
+            )
         out = _matvec_call(body, p1, p2t, _pad_v(v, n2p), n1p, n2p)
         return out[:n1, :r]
 

@@ -296,6 +296,10 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
         blk = _lazy_block(n)
         rank = min(cfg.precond_rank, n)
         pre = extra[0]
+        # each chunk is an mBCG with 1+chunk right-hand sides riding the
+        # solve: cap it so the block-vector state stays O(N·1k), not the
+        # dense path's O(N·4k)
+        chunk = min(chunk, 1024)
 
         def marginals(m, p):
             # matrix-free predictive: train-side solves by preconditioned

@@ -55,9 +55,31 @@ def test_matvec_shape_limits(rng):
     x1, e1, x2, e2, v = _gibbs_data(rng, 16, 16, 9, 1)
     with pytest.raises(ValueError, match="D"):
         pm.gibbs_gram_matvec(x1, e1, x2, e2, v)
-    x1, e1, x2, e2, v = _gibbs_data(rng, 16, 16, 2, 130)
-    with pytest.raises(ValueError, match="R"):
-        pm.gibbs_gram_matvec(x1, e1, x2, e2, v)
+
+
+@pytest.mark.parametrize("r", [130, 300])
+def test_gibbs_matvec_column_chunks_wide_rhs(rng, r):
+    """R > 128 (e.g. lazy_cg_posterior's 1+N* block rhs) must run as
+    column-chunked launches, matching the oracle across the chunk seam."""
+    x1, e1, x2, e2, v = _gibbs_data(rng, 96, 160, 2, r)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pm.gibbs_gram_matvec(x1, e1, x2, e2, v))
+    ref = np.asarray(gibbs_gram_reference(x1, e1, x2, e2) @ v)
+    assert ours.shape == (96, r)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_rbf_matvec_column_chunks_wide_rhs(rng):
+    n1, n2, d, r = 80, 140, 2, 200
+    x1 = jnp.asarray(rng.normal(size=(n1, d)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(n2, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n2, r)), jnp.float32)
+    ell = jnp.asarray(np.exp(0.2 * rng.normal(size=d)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(pm.rbf_gram_matvec(x1, x2, ell, v))
+    ref = np.asarray(RBF.create(d, lengthscale=ell)(x1, x2) @ v)
+    assert ours.shape == (n1, r)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-4)
     with pytest.raises(ValueError, match="R"):
         pm.rbf_gram_matvec(x1, x2, jnp.ones((2,), jnp.float32), v)
 
