@@ -420,8 +420,19 @@ def bench(n, only=None):
         if name == "lazygfp32h3" and not only:
             continue  # known-slower re-probe row: runs only when named
         p0 = params0_g if name.startswith("lazyg") else params0
+
+        def single(loss_fn, p0):
+            @jax.jit
+            def step(p, s):
+                val, g = jax.value_and_grad(loss_fn)(p)
+                up, s = opt.update(g, s)
+                return optax.apply_updates(p, up), s, val
+
+            return step, opt.init(p0)
+
         try:
-            _bench_row(name, n, loss_fn, scanned, timed, steps, p0)
+            _bench_row(name, n, loss_fn, scanned, timed, steps, p0,
+                       single=single)
         except Exception as e:  # e.g. dense-row RESOURCE_EXHAUSTED
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
@@ -545,7 +556,39 @@ def bench(n, only=None):
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
 
-def _bench_row(name, n, loss_fn, scanned, timed, steps, params0):
+# At N ≥ SINGLE_STEP_N the lax.scan-of-steps bench program reproducibly
+# dies with UNAVAILABLE on the axon service (4/4 across sessions) while
+# the IDENTICAL single-step program compiles and runs (probe_step_262144,
+# DESIGN.md §23) — so time huge rows step-by-step instead: the ~28 ms
+# dispatch is 0.1% noise against a ≥20 s step.
+SINGLE_STEP_N = 262144
+
+
+def _bench_row(name, n, loss_fn, scanned, timed, steps, params0,
+               single=None):
+    if single is not None and n >= SINGLE_STEP_N:
+        step, st = single(loss_fn, params0)
+        t0 = time.perf_counter()
+        p, st, v = step(params0, st)
+        vals = [float(v)]  # fetch forces the dispatch to complete
+        t_compile = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            p, st, v = step(p, st)
+            vals.append(float(v))
+            ts.append(time.perf_counter() - t1)
+        log(
+            f"{name}-{n}",
+            ms_per_step=round(min(ts) * 1e3, 1),
+            first_call_s=round(t_compile, 1),
+            loss0=vals[0],
+            lossT=vals[-1],
+            finite=bool(np.all(np.isfinite(vals))),
+            note="single-step timing (the scanned program faults at this "
+                 "N on the compile service; DESIGN.md §23)",
+        )
+        return
     run1 = scanned(loss_fn, steps)
     run2 = scanned(loss_fn, 2 * steps)
     t_compile = time.perf_counter()
