@@ -437,6 +437,16 @@ def bench(n, only=None):
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
     for name, rank, iters, refresh, shift in stale_rows:
+        if n >= SINGLE_STEP_N:
+            # scan-of-steps programs reproducibly fault on the compile
+            # service at this N (DESIGN.md §23) and these row families
+            # have no single-step fallback — skip loudly instead of
+            # logging a guaranteed error row
+            log(f"skip-{name}-{n}", method="skipped",
+                reason="scanned program faults at n >= SINGLE_STEP_N "
+                       "(DESIGN.md §23); no single-step form for "
+                       "windowed stale rows")
+            continue
         loss = _loss_lazyg_stale(iters, shift)
 
         def scanned_stale(windows):
@@ -488,6 +498,7 @@ def bench(n, only=None):
             ms = (timed(run2, params0_g) - timed(run1, params0_g)) / refresh * 1e3
             log(
                 f"{name}-{n}",
+                method="differential-window-scan",
                 ms_per_step=round(ms, 3),
                 first_call_s=round(t_compile, 1),
                 loss0=float(vals[0]),
@@ -498,6 +509,12 @@ def bench(n, only=None):
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
     for name, rank, iters, shift, pre, ntest in post_rows:
+        if n >= SINGLE_STEP_N:
+            log(f"skip-{name}-{n}", method="skipped",
+                reason="scanned program faults at n >= SINGLE_STEP_N "
+                       "(DESIGN.md §23); time the posterior via "
+                       "tools/probe_step_262144.py-style single calls")
+            continue
         from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_posterior
         from nonstationary_precip_tpu.ops.pallas_matvec import (
             packed_gibbs_matvec_builder,
@@ -547,6 +564,7 @@ def bench(n, only=None):
             ms = (timed(run2, z0) - timed(run1, z0)) * 1e3
             log(
                 f"{name}-{n}",
+                method="differential-scan",
                 ms_per_call=round(ms, 3),
                 first_call_s=round(t_compile, 1),
                 ntest=ntest,
@@ -580,13 +598,15 @@ def _bench_row(name, n, loss_fn, scanned, timed, steps, params0,
             ts.append(time.perf_counter() - t1)
         log(
             f"{name}-{n}",
+            method="single-step",
             ms_per_step=round(min(ts) * 1e3, 1),
             first_call_s=round(t_compile, 1),
             loss0=vals[0],
             lossT=vals[-1],
             finite=bool(np.all(np.isfinite(vals))),
-            note="single-step timing (the scanned program faults at this "
-                 "N on the compile service; DESIGN.md §23)",
+            note="single-step timing: min-of-3 wall incl. ~28 ms dispatch "
+                 "(the scanned program faults at this N on the compile "
+                 "service; DESIGN.md §23)",
         )
         return
     run1 = scanned(loss_fn, steps)
@@ -599,6 +619,7 @@ def _bench_row(name, n, loss_fn, scanned, timed, steps, params0,
     ms_per_step = (timed(run2, params0) - timed(run1, params0)) / steps * 1e3
     log(
         f"{name}-{n}",
+        method="differential-scan",
         ms_per_step=round(ms_per_step, 3),
         first_call_s=round(t_compile, 1),
         loss0=float(vals[0]),
