@@ -383,6 +383,112 @@ class GibbsExactGP:
             )
         return MVN(mean, cov)
 
+    def posterior_state_matrixfree(
+        self,
+        x_train,
+        y_train,
+        prior_pre,
+        *,
+        block: int = 2048,
+        max_iters: int | None = None,
+        tol: float = 1e-8,
+        precond_rank: int = 150,
+        precond: str = "pivchol",
+        precond_key=None,
+        precond_shift: float = 1.0,
+        fused_matvec: bool = True,
+        prior_max_iters: int = 64,
+    ):
+        """Once-per-fit serving state for the large-N posterior — the
+        amortization :meth:`posterior_matrixfree` lacks (it re-ran a
+        cold fixed-budget mBCG, a fresh preconditioner build AND the
+        prior's conditioning solves on EVERY query batch; ~89 ms/test
+        point at N = 131072, tools/bench_cg.json lazygpost rows).
+
+        Hoists (a) ``α = (K + σ²I)⁻¹ y`` + the rank-``precond_rank``
+        factor (``ops/lazy_cg.lazy_posterior_state``) and (b) the prior's
+        per-dim conditioning solves for the lengthscale field at new
+        points (``LogNormalProcess.conditional_pre_matrixfree``).  Feed
+        to :meth:`posterior_matrixfree_from_state` per query batch.
+        O(N·rank) memory, one-time cost ≈ one training step."""
+        from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_posterior_state
+
+        d = x_train.shape[-1]
+        aug = jnp.concatenate([x_train, self.log_ell], axis=1)
+        builder = None
+        if fused_matvec:
+            from nonstationary_precip_tpu.ops.pallas_matvec import (
+                scaled_packed_gibbs_matvec_builder,
+            )
+
+            builder = scaled_packed_gibbs_matvec_builder(d)
+        st = lazy_posterior_state(
+            self.raw_outputscale, aug, y_train, self.likelihood.noise,
+            block=block, max_iters=max_iters, tol=tol,
+            precond_rank=min(precond_rank, y_train.shape[-1]),
+            precond=precond, precond_key=precond_key,
+            precond_shift=precond_shift,
+            cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+        )
+        cond = self.prior.conditional_pre_matrixfree(
+            (x_train, jnp.exp(self.log_ell)), prior_pre,
+            block=block, max_iters=prior_max_iters, tol=tol,
+        )
+        return st, cond
+
+    def posterior_matrixfree_from_state(
+        self,
+        state,
+        x_new,
+        *,
+        noiseless: bool = True,
+        mean_only: bool = False,
+        block: int = 2048,
+        max_iters: int | None = None,
+        tol: float = 1e-6,
+        precond_shift: float = 1.0,
+        fused_matvec: bool = True,
+    ):
+        """:meth:`posterior_matrixfree` from a prebuilt state: per query
+        batch only (a) one panel sweep for the conditional lengthscale
+        field, (b) the (N, N*) cross build + one contraction for the
+        mean, and — unless ``mean_only`` — (c) one preconditioned mBCG
+        with N* right-hand sides at the auto budget (16 iters N ≤ 32768,
+        32 above; the old path paid a flat 64 plus the mean solve plus
+        the factor build).  ``mean_only=True`` returns the (N*,) mean
+        with NO solve at all.  Same +1e-4 I stabiliser semantics."""
+        from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+        from nonstationary_precip_tpu.ops.lazy_cg import lazy_posterior_query
+
+        st, cond = state
+        d = x_new.shape[-1]
+        x_train = st.x[:, :d]
+        ell2 = self.prior.conditional_mean_from_pre(
+            x_new, (x_train, None), cond, block=block
+        )
+        aug_new = jnp.concatenate([x_new, jnp.log(ell2)], axis=1)
+        builder = None
+        if fused_matvec:
+            from nonstationary_precip_tpu.ops.pallas_matvec import (
+                scaled_packed_gibbs_matvec_builder,
+            )
+
+            builder = scaled_packed_gibbs_matvec_builder(d)
+        mean, cov = lazy_posterior_query(
+            st, aug_new, mean_only=mean_only, block=block,
+            max_iters=max_iters, tol=tol, precond_shift=precond_shift,
+            cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+        )
+        if mean_only:
+            return mean
+        cov = cov + 1e-4 * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+        if not noiseless:
+            cov = cov + self.likelihood.noise * jnp.eye(
+                cov.shape[-1], dtype=cov.dtype
+            )
+        return MVN(mean, cov)
+
     def lengthscale_field(self, x_train, x_new=None):
         """Trained (or conditionally extended) lengthscale field, (N, D) —
         the quantity spatial_exp.py maps over the basin (:243-274)."""

@@ -502,6 +502,134 @@ def lazy_cg_mll(
 
 
 # ---------------------------------------------------------------------------
+# convergence diagnostics (gate evidence, not an estimator)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _diag_machinery(block, num_probes, max_iters, tol, precond_rank, cross_fn,
+                    matvec_builder, precond_shift=1.0):
+    def diag(kernel, x, resid, probes, sigma2, lpc):
+        if matvec_builder is not None:
+            matvec = matvec_builder(kernel, x, sigma2)
+        else:
+            matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        if precond_rank > 0:
+            c = precond_shift * sigma2
+            minv = _woodbury(lpc, c)
+        else:
+            minv = None
+        rhs = jnp.concatenate([resid[:, None], probes], axis=1)
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
+        return (
+            res.residnorm,            # (1+R,) final relative residuals
+            res.iters,                # (1+R,) iterations to convergence
+            jnp.any(res.broke),
+        )
+
+    return diag
+
+
+@functools.lru_cache(maxsize=32)
+def _diag_inner_jit(block, num_probes, max_iters, tol, precond_rank, cross_fn,
+                    matvec_builder, precond_shift):
+    return jax.jit(_diag_machinery(
+        block, num_probes, max_iters, tol, precond_rank, cross_fn,
+        matvec_builder, precond_shift,
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _diag_full_jit(block, num_probes, max_iters, tol, precond_rank, cross_fn,
+                   matvec_builder, precond_shift, precond):
+    inner = _diag_machinery(
+        block, num_probes, max_iters, tol, precond_rank, cross_fn,
+        matvec_builder, precond_shift,
+    )
+
+    @jax.jit
+    def full(kernel, x, resid, key, sigma2, pkey):
+        n = x.shape[0]
+        if precond_rank > 0:
+            lpc = build_precond_factor(
+                precond, kernel, x, precond_rank, cross_fn,
+                pkey if precond == "nystrom" else None,
+            )
+            probes = sample_precond_probes(
+                key, lpc, precond_shift * sigma2, num_probes
+            )
+        else:
+            lpc = jnp.zeros((n, 0), x.dtype)
+            probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
+        return inner(kernel, x, resid, probes, sigma2, lpc)
+
+    return full
+
+
+def lazy_cg_diagnostics(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    key: jax.Array,
+    sigma2: jnp.ndarray,
+    *,
+    block: int = 1024,
+    num_probes: int = 8,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    precond_rank: int = 0,
+    precond_key: Optional[jax.Array] = None,
+    precond: str = "pivchol",
+    precond_shift: float = 1.0,
+    precond_lpc: Optional[jnp.ndarray] = None,
+    cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
+) -> dict:
+    """Convergence evidence for the EXACT solves :func:`lazy_cg_mll` runs:
+    same matvec, preconditioner, probes and mBCG budget under the same
+    key, but returning the per-RHS final relative residuals and iteration
+    counts instead of the MLL value.  Not differentiable; run it at a
+    trained pose to decide whether a (rank, budget) config is converged —
+    a perf row whose relres is O(0.1) is timing a DIFFERENT (unconverged)
+    estimator, the failure DESIGN.md §16 documents shipping once.
+
+    Returns {"relres_solve": float, "relres_max": float, "iters_max": int,
+    "broke": bool} — relres_solve is the K⁻¹y mean solve (column 0),
+    relres_max the worst column including the probe solves."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    if precond_lpc is not None:
+        # prebuilt factor: probes sampled here, solve jitted per settings
+        precond_rank = precond_lpc.shape[-1]
+        fn = _diag_inner_jit(
+            block, num_probes, max_iters, tol, precond_rank, cross,
+            matvec_builder, precond_shift,
+        )
+        probes = sample_precond_probes(
+            key, precond_lpc, precond_shift * sigma2, num_probes
+        )
+        residnorm, iters, broke = fn(
+            kernel, x, resid, probes, sigma2, precond_lpc
+        )
+    else:
+        fn = _diag_full_jit(
+            block, num_probes, max_iters, tol, precond_rank, cross,
+            matvec_builder, precond_shift, precond,
+        )
+        pkey = precond_key if precond_key is not None else jax.random.PRNGKey(0)
+        residnorm, iters, broke = fn(kernel, x, resid, key, sigma2, pkey)
+    return {
+        "relres_solve": float(residnorm[0]),
+        "relres_max": float(jnp.max(residnorm)),
+        "iters_max": int(jnp.max(iters)),
+        "broke": bool(broke),
+    }
+
+
+# ---------------------------------------------------------------------------
 # frozen-operator primitives: quadratic form and SLQ logdet
 # ---------------------------------------------------------------------------
 
@@ -720,3 +848,147 @@ def lazy_cg_posterior(
         lpc = jnp.zeros((n, 0), x.dtype)
         s2 = sigma2
     return fn(kernel, x, resid, x_test, s2, lpc)
+
+
+# ---------------------------------------------------------------------------
+# amortized posterior: fit-time state, cheap per-query-batch serving
+# ---------------------------------------------------------------------------
+
+
+from typing import Any, NamedTuple  # noqa: E402
+
+
+class LazyPosteriorState(NamedTuple):
+    """Once-per-fit state for repeated matrix-free posterior queries.
+
+    :func:`lazy_cg_posterior` re-runs everything from scratch per call —
+    fixed-budget mBCG over 1+N* right-hand sides INCLUDING the
+    query-independent K⁻¹y mean solve, plus a fresh preconditioner
+    factor build.  At N = 131072 that measured 89 ms/test-point
+    (tools/bench_cg.json lazygpost rows) — trainable but barely
+    servable.  This state hoists every query-independent piece (the
+    amortization VERDICT r3 #4 asked for):
+
+      * ``alpha = (K + σ²I)⁻¹ y`` — after which the posterior MEAN is one
+        cross-panel contraction, no CG at all,
+      * ``lpc`` — the (N, rank) preconditioner factor, reused by every
+        variance solve,
+      * the operator identity (kernel pytree, packed payload, σ²).
+
+    Per query batch only the variance solve remains: one preconditioned
+    mBCG with N* right-hand sides at the training-grade auto budget
+    (16 iters for N ≤ 32768, 32 above — the measured converged configs,
+    tools/probe_precond_chip.json), not the old flat 64.  A pytree —
+    jit through it, donate it, ship it to serving workers."""
+
+    kernel: Any
+    x: jnp.ndarray       # (N, d) payload the cross_fn understands
+    alpha: jnp.ndarray   # (N,)   (K + σ²I)⁻¹ resid
+    lpc: jnp.ndarray     # (N, rank) preconditioner factor ((N, 0) if none)
+    sigma2: jnp.ndarray  # scalar ridge
+
+
+def _auto_budget(n: int) -> int:
+    """The shipped converged-iteration budget (DESIGN §20): rank-150
+    preconditioning converges in ≤ 16 iters for N ≤ 32768 and ≤ 30 above
+    at trained poses; diagnostics (not faith) guard regressions."""
+    return 16 if n <= 32768 else 32
+
+
+def lazy_posterior_state(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    *,
+    block: int = 1024,
+    max_iters: Optional[int] = None,
+    tol: float = 1e-8,
+    precond_rank: int = 150,
+    precond: str = "pivchol",
+    precond_key: Optional[jax.Array] = None,
+    precond_shift: float = 1.0,
+    precond_lpc: Optional[jnp.ndarray] = None,
+    cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
+) -> LazyPosteriorState:
+    """Build the once-per-fit :class:`LazyPosteriorState`: one factor
+    build + one single-RHS mBCG solve for ``alpha``.  Everything here is
+    frozen serving state (stop_gradient semantics by construction)."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    if max_iters is None:
+        max_iters = 2 * _auto_budget(n)  # margin: this solve runs ONCE
+    precond_rank = min(precond_rank, n)
+    kernel = jax.tree.map(jax.lax.stop_gradient, kernel)
+    x = jax.lax.stop_gradient(x)
+    sigma2 = jax.lax.stop_gradient(sigma2)
+    if precond_rank > 0:
+        lpc = jax.lax.stop_gradient(
+            precond_lpc
+            if precond_lpc is not None
+            else build_precond_factor(
+                precond, kernel, x, precond_rank, cross, precond_key
+            )
+        )
+        minv = _woodbury(lpc, precond_shift * sigma2)
+    else:
+        lpc = jnp.zeros((n, 0), x.dtype)
+        minv = None
+    if matvec_builder is not None:
+        matvec = matvec_builder(kernel, x, sigma2)
+    else:
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross)
+    res = mbcg(matvec, resid[:, None], max_iters=max_iters, tol=tol,
+               precond=minv)
+    alpha = jnp.where(jnp.any(res.broke), jnp.nan, res.x[:, 0])
+    return LazyPosteriorState(kernel, x, alpha, lpc, sigma2)
+
+
+def lazy_posterior_query(
+    state: LazyPosteriorState,
+    x_test: jnp.ndarray,
+    *,
+    mean_only: bool = False,
+    block: int = 1024,
+    max_iters: Optional[int] = None,
+    tol: float = 1e-6,
+    precond_shift: float = 1.0,
+    cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
+):
+    """(mean, cov) at ``x_test`` from a prebuilt state.
+
+    mean = Kₓ*ᵀ α — one (N, N*) cross build + one MXU contraction, NO CG
+    (``mean_only=True`` returns ``(mean, None)`` and never solves).
+    cov needs K⁻¹Kₓ*: one preconditioned mBCG with N* right-hand sides at
+    the auto budget, reusing the state's factor.  Chunk ``x_test`` for
+    very large query sets; footprint is O(block·N + N·N*)."""
+    kernel, x, alpha, lpc, sigma2 = state
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    b_cols = cross(kernel, x, x_test)  # (N, N*)
+    mean = b_cols.T @ alpha
+    if mean_only:
+        return mean, None
+    if max_iters is None:
+        max_iters = _auto_budget(n)
+    minv = (
+        _woodbury(lpc, precond_shift * sigma2) if lpc.shape[-1] > 0 else None
+    )
+    if matvec_builder is not None:
+        matvec = matvec_builder(kernel, x, sigma2)
+    else:
+        matvec = _lazy_matvec(kernel, x, sigma2, block, cross)
+    res = mbcg(matvec, b_cols, max_iters=max_iters, tol=tol, precond=minv)
+    cov_term = b_cols.T @ res.x  # (N*, N*)
+    k_ss = cross(kernel, x_test, x_test)
+    cov = k_ss - 0.5 * (cov_term + cov_term.T)
+    bad = jnp.any(res.broke)
+    return jnp.where(bad, jnp.nan, mean), jnp.where(bad, jnp.nan, cov)

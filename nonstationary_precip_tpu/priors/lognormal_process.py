@@ -194,7 +194,34 @@ class LogNormalProcess:
         are reused; the logdet half is ignored), and the (N, Ng) cross
         Gram is consumed in row panels of x so it never fully
         materialises either.  Deterministic; same 1e-4 jitter semantics
-        as the dense path.  Not differentiable (predict-time only)."""
+        as the dense path.  Not differentiable (predict-time only).
+        For REPEATED queries, hoist :meth:`conditional_pre_matrixfree`
+        once and call :meth:`conditional_mean_from_pre` per batch —
+        this convenience form re-solves every call."""
+        alphas = self.conditional_pre_matrixfree(
+            given, pre, block=block, max_iters=max_iters, tol=tol,
+            precond_shift=precond_shift,
+        )
+        return self.conditional_mean_from_pre(x, given, alphas, block=block)
+
+    def conditional_pre_matrixfree(
+        self,
+        given,
+        pre,
+        *,
+        block: int = 1024,
+        max_iters: int = 256,
+        tol: float = 1e-10,
+        precond_shift: float = 1.0,
+    ) -> jnp.ndarray:
+        """The QUERY-INDEPENDENT half of :meth:`conditional_mean_matrixfree`:
+        per-dim conditioning solves αᵈ = (Kᵈ(x_g,x_g) + 1e-4 I)⁻¹
+        (log ℓ_g − μ)ᵈ, each a preconditioned single-RHS mBCG over lazy
+        panels.  Hoist ONCE per fit (the trained field is frozen at
+        serving time) and feed :meth:`conditional_mean_from_pre` per query
+        batch — each of these D solves pays a full panel sweep per
+        iteration, which previously re-ran inside every posterior call.
+        Returns (D, Ng)."""
         from nonstationary_precip_tpu.ops.bbmm import mbcg
         from nonstationary_precip_tpu.ops.lazy_cg import (
             _lazy_matvec,
@@ -205,15 +232,14 @@ class LogNormalProcess:
         xg, ell_g = given
         lpc, _ = pre
         xgs = jax.lax.stop_gradient(self._slice(xg))
-        xs = self._slice(x)
         ng = xgs.shape[0]
         blk = min(block, ng)
         check_divisible(ng, blk, "x_g", "row-panel block")
         ell = positive(self.raw_lengthscale)
         s2 = positive(self.raw_outputscale)
-        jitter = jnp.asarray(_COND_JITTER, x.dtype)
+        jitter = jnp.asarray(_COND_JITTER, xg.dtype)
         resid = jnp.log(ell_g).T - self.mean(xg).T  # (D, Ng)
-        mus = []
+        alphas = []
         for dim in range(self.mean_const.shape[0]):
             params = (ell[dim], s2[dim])
             matvec = _lazy_matvec(params, xgs, jitter, blk, _dim_cross)
@@ -224,8 +250,32 @@ class LogNormalProcess:
                 matvec, resid[dim][:, None],
                 max_iters=max_iters, tol=tol, precond=minv,
             )
-            alpha = jnp.where(jnp.any(res.broke), jnp.nan, res.x[:, 0])
-            # k(x, x_g) @ alpha in row panels of x — O(block·Ng) transient
+            alphas.append(
+                jnp.where(jnp.any(res.broke), jnp.nan, res.x[:, 0])
+            )
+        return jnp.stack(alphas)  # (D, Ng)
+
+    def conditional_mean_from_pre(
+        self,
+        x: jnp.ndarray,
+        given,
+        cond_alphas: jnp.ndarray,
+        *,
+        block: int = 1024,
+    ) -> jnp.ndarray:
+        """The per-query half: ℓ(x) = exp(μ + k(x, x_g) α) with the cross
+        Gram consumed in row panels of x — no solve, O(block·Ng)
+        transient.  ``cond_alphas`` from
+        :meth:`conditional_pre_matrixfree`."""
+        xg, _ = given
+        xgs = jax.lax.stop_gradient(self._slice(xg))
+        xs = self._slice(x)
+        ell = positive(self.raw_lengthscale)
+        s2 = positive(self.raw_outputscale)
+        mus = []
+        for dim in range(self.mean_const.shape[0]):
+            params = (ell[dim], s2[dim])
+            alpha = cond_alphas[dim]
             nt = xs.shape[0]
             tb = min(block, nt)
             pad = (-nt) % tb

@@ -301,15 +301,35 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
         # dense path's O(N·4k)
         chunk = min(chunk, 1024)
 
-        def marginals(m, p):
-            # matrix-free predictive: train-side solves by preconditioned
-            # mBCG over the fused Gram·v matvec — O(block·N + N·chunk)
-            d = m.posterior_matrixfree(
-                train_x, train_y, p, pre, noiseless=False, block=blk,
-                precond_rank=rank, precond_shift=cfg.precond_shift,
-                fused_matvec=jax.default_backend() != "cpu",
+        fused = jax.default_backend() != "cpu"
+        # amortized serving (VERDICT r3 #4): α = K⁻¹y, the preconditioner
+        # factor and the prior's conditioning solves are hoisted ONCE per
+        # process into a posterior state — each chunk then pays only the
+        # cross build + one auto-budget variance solve, instead of a cold
+        # 64-iter mBCG + factor build + conditioning solves per chunk
+        state = jax.jit(
+            lambda m: m.posterior_state_matrixfree(
+                train_x, train_y, pre, block=blk, precond_rank=rank,
+                precond_shift=cfg.precond_shift, fused_matvec=fused,
+            )
+        )(model)
+
+        # state rides as a jit ARGUMENT, not a closure constant — embedded
+        # constants ride the compile request and the service rejects
+        # ≳250 MB bodies (HTTP 413, DESIGN.md §23)
+        def marginals_st(m, st, p):
+            d = m.posterior_matrixfree_from_state(
+                st, p, noiseless=False, block=blk,
+                precond_shift=cfg.precond_shift, fused_matvec=fused,
             )
             return d.mean, jnp.maximum(d.var, m.likelihood.noise)
+
+        fn_st = jax.jit(marginals_st)
+
+        def marginals(m, p):
+            return fn_st(m, state, p)
+
+        marginals.prejitted = True
 
     else:
 
@@ -319,7 +339,7 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
             # floor the f32 Woodbury cancellation at that physical bound
             return d.mean, jnp.maximum(d.var, m.likelihood.noise)
 
-    fn = jax.jit(marginals)
+    fn = marginals if getattr(marginals, "prejitted", False) else jax.jit(marginals)
     n = pts.shape[0]
     if n <= chunk:
         return fn(model, pts)

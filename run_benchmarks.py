@@ -35,6 +35,12 @@ EXPECTED_BANDS = {
     # Measured (v5e, 400 epochs, 2026-08-16): rmse 0.433, corr 0.9506
     # (our field's ground-truth corr 0.9732 vs the reference's own 0.9200)
     "dgp_field_regression": {"rmse": 0.60, "nlpd": 0.10, "calm_s": 45},
+    # large-N matrix-free regime gate (VERDICT r3 #1): "rmse" = final mBCG
+    # relative residual of the K^-1 y solve at the trained pose (converged
+    # means <= 1e-2 at the shipped rank-150/auto-budget config), "nlpd" =
+    # |loss_lazy - loss_dense|/|loss_dense| vs the exact dense-Cholesky
+    # oracle at the same pose (8-probe SLQ noise bounds it, not rounding).
+    "gibbs_largen_matrixfree_16384": {"rmse": 0.01, "nlpd": 0.05, "calm_s": 120},
 }
 # "calm_s" is the calm-session warm wallclock (2026-08-17 retune of the
 # 2026-08-16 188-s suite).  The axon service's latency is pathologically
@@ -179,6 +185,7 @@ def main():
     from nonstationary_precip_tpu.experiments import (
         deepgp_spatial,
         field_regression,
+        gibbs_largen,
         seard_spatial,
         sgpr_bench,
         spatial_gibbs,
@@ -211,6 +218,7 @@ def main():
         # artifact-level drift vs the reference's SHIPPED dgp2 field:
         # "rmse" = mm/day RMSE between fields, "nlpd" = 1 − corr
         ("dgp_field_regression", field_regression.main, ["--num_epochs", "400"]),
+        ("gibbs_largen_matrixfree_16384", gibbs_largen.main, ["--n", "16384"]),
     ]
     ran = []
     for name, fn, argv in jobs:

@@ -318,6 +318,75 @@ def _loss_lazygfp32h3(params, x, y, key):
     )
 
 
+# mBCG convergence gate (VERDICT r3 #1): every lazy row records the final
+# relative residual of the solves it timed, AT THE TRAINED POSE the scan
+# reached.  A perf row with relres ≳ 0.1 is timing an unconverged
+# estimator (the failure DESIGN.md §16 documents shipping once) — flagged
+# converged=false and printed loudly; run_benchmarks.py's banded
+# gibbs_largen row turns the same check into a hard --check failure.
+RELRES_GATE = 1e-2
+
+
+def _diag_settings(name):
+    """(precond_rank, iters, precond, shift, fused, family) per row name;
+    None for rows with no mBCG solve (chol) or a dense one (cg)."""
+    if name in ("chol", "cg"):
+        return None
+    if name in ("lazy", "lazyf"):
+        return (0, 64, "pivchol", 1.0, name == "lazyf", "rbf")
+    if name == "lazyg":
+        return (0, 64, "pivchol", 1.0, False, "gibbs")
+    if name == "lazygf":
+        return (0, 64, "pivchol", 1.0, True, "gibbs")
+    if name == "lazygfp":
+        return (50, 64, "pivchol", 1.0, True, "gibbs")
+    if name in ("lazygfp32", "lazygfp32b", "lazygfp32h3"):
+        return (50, 32, "pivchol", 1.0, True, "gibbs")
+    if name.startswith("lazygfpb-r") or name.startswith("lazygnys-r"):
+        pre = "nystrom" if name.startswith("lazygnys") else "pivchol"
+        parts = name.split("-")[1:]
+        rank, iters = int(parts[0][1:]), int(parts[1][1:])
+        shift = float(parts[2][1:]) if len(parts) > 2 else 1.0
+        return (rank, iters, pre, shift, True, "gibbs")
+    return None
+
+
+def _make_diag(name, x, y, key):
+    cfg = _diag_settings(name)
+    if cfg is None:
+        return None
+    rank, iters, pre, shift, fused, family = cfg
+    from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_diagnostics
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_matvec_builder,
+    )
+
+    def diag(params):
+        if family == "gibbs":
+            aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+            return lazy_cg_diagnostics(
+                None, aug, y, key, jnp.exp(params["log_noise"]),
+                block=LAZY_BLOCK, num_probes=8, max_iters=iters, tol=1e-6,
+                precond_rank=rank, precond=pre, precond_shift=shift,
+                precond_key=(
+                    jax.random.PRNGKey(17) if pre == "nystrom" else None
+                ),
+                cross_fn=_gibbs_cross,
+                matvec_builder=(
+                    packed_gibbs_matvec_builder(_GIBBS_D) if fused else None
+                ),
+            )
+        kp = {"log_ell": params["log_ell"], "log_s": params["log_s"]}
+        return lazy_cg_diagnostics(
+            kp, x, y, key, jnp.exp(params["log_noise"]),
+            block=LAZY_BLOCK, num_probes=8, max_iters=iters, tol=1e-6,
+            cross_fn=_rbf_cross,
+            matvec_builder=_rbf_matvec_builder if fused else None,
+        )
+
+    return diag
+
+
 def bench(n, only=None):
     x, y = _data(n)
     params0 = {
@@ -382,10 +451,27 @@ def bench(n, only=None):
     # posterior rows: lazygpost-r<rank>-i<iters>[-s<shift>][-nys][-t<ntest>]
     # — the matrix-free PREDICTION path (lazy_cg_posterior: one mBCG with
     # 1+N* right-hand sides, deterministic), timed per posterior CALL
+    # amortized-posterior rows (VERDICT r3 #4):
+    # lazygpst-r<rank>-i<iters|auto>[-t<ntest>][-mo]
+    # — state (alpha, factor) built ONCE outside the timed region
+    # (logged as state_build_s), each timed call = cross build + mean
+    # contraction [+ the auto-budget variance solve unless -mo]
     stale_rows = []
     post_rows = []
+    pst_rows = []
     for req in only or ():
-        if req.startswith("lazygpost-r"):
+        if req.startswith("lazygpst-r"):
+            parts = req.split("-")[1:]
+            rank = int(parts[0][1:])
+            iters = None if parts[1] == "iauto" else int(parts[1][1:])
+            ntest, mean_only = 256, False
+            for p in parts[2:]:
+                if p == "mo":
+                    mean_only = True
+                elif p.startswith("t"):
+                    ntest = int(p[1:])
+            pst_rows.append((req, rank, iters, ntest, mean_only))
+        elif req.startswith("lazygpost-r"):
             parts = req.split("-")[1:]
             rank, iters = int(parts[0][1:]), int(parts[1][1:])
             shift, pre, ntest = 1.0, "pivchol", 256
@@ -432,7 +518,7 @@ def bench(n, only=None):
 
         try:
             _bench_row(name, n, loss_fn, scanned, timed, steps, p0,
-                       single=single)
+                       single=single, diagnose=_make_diag(name, x, y, key))
         except Exception as e:  # e.g. dense-row RESOURCE_EXHAUSTED
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
@@ -508,6 +594,96 @@ def bench(n, only=None):
         except Exception as e:
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
+    for name, rank, iters, ntest, mean_only in pst_rows:
+        if n >= SINGLE_STEP_N:
+            log(f"skip-{name}-{n}", method="skipped",
+                reason="scanned program faults at n >= SINGLE_STEP_N "
+                       "(DESIGN.md §23)")
+            continue
+        from nonstationary_precip_tpu.ops.lazy_cg import (
+            lazy_posterior_query,
+            lazy_posterior_state,
+        )
+        from nonstationary_precip_tpu.ops.pallas_matvec import (
+            packed_gibbs_matvec_builder,
+        )
+
+        rngt = np.random.default_rng(1)
+        xt = jnp.asarray(rngt.uniform(-3, 3, size=(ntest, 2)), jnp.float32)
+        aug = jnp.concatenate([x, params0_g["log_ell_pp"]], axis=1)
+        aug_t = jnp.concatenate(
+            [xt, jnp.zeros((ntest, _GIBBS_D), jnp.float32)], axis=1
+        )
+        s2 = jnp.exp(params0_g["log_noise"])
+        builder = packed_gibbs_matvec_builder(_GIBBS_D)
+
+        build = jax.jit(
+            lambda aug, y, s2: lazy_posterior_state(
+                None, aug, y, s2, block=LAZY_BLOCK, tol=1e-8,
+                precond_rank=rank, cross_fn=_gibbs_cross,
+                matvec_builder=builder,
+            )
+        )
+
+        def query_once(carry, _, iters=iters, mean_only=mean_only,
+                       aug_t=aug_t):
+            # denormal-scale carry perturbation keeps the loop-invariant
+            # query inside the scan (same trick as the lazygpost rows)
+            c, st = carry
+            mean, cov = lazy_posterior_query(
+                st._replace(alpha=st.alpha + jnp.float32(1e-30) * c),
+                aug_t, mean_only=mean_only, block=LAZY_BLOCK,
+                max_iters=iters, tol=1e-6, cross_fn=_gibbs_cross,
+                matvec_builder=builder,
+            )
+            s = jnp.sum(mean) + (0.0 if cov is None else jnp.sum(cov))
+            return (s, st), s
+
+        def scanned_pst(calls):
+            @jax.jit
+            def run(z, st):
+                _, vals = jax.lax.scan(
+                    query_once, (z, st), None, length=calls
+                )
+                return vals
+
+            return run
+
+        try:
+            t0 = time.perf_counter()
+            state = build(aug, y, s2)
+            jax.block_until_ready(state.alpha)
+            t_build = time.perf_counter() - t0
+            run1, run2 = scanned_pst(1), scanned_pst(2)
+            z0 = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            vals = run1(z0, state)
+            jax.block_until_ready(vals)
+            jax.block_until_ready(run2(z0, state))
+            t_compile = time.perf_counter() - t0
+
+            def timed_pst(run):
+                ts = []
+                for _ in range(3):
+                    t1 = time.perf_counter()
+                    jax.block_until_ready(run(z0, state))
+                    ts.append(time.perf_counter() - t1)
+                return min(ts)
+
+            ms = (timed_pst(run2) - timed_pst(run1)) * 1e3
+            log(
+                f"{name}-{n}",
+                method="differential-scan",
+                ms_per_call=round(ms, 3),
+                state_build_s=round(t_build, 2),
+                first_call_s=round(t_compile, 1),
+                ntest=ntest,
+                mean_only=mean_only,
+                finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+            )
+        except Exception as e:
+            log(f"error-{name}-{n}", error=repr(e)[:300])
+
     for name, rank, iters, shift, pre, ntest in post_rows:
         if n >= SINGLE_STEP_N:
             log(f"skip-{name}-{n}", method="skipped",
@@ -574,6 +750,86 @@ def bench(n, only=None):
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
 
+def _loss_dense_gibbs(params, x, y):
+    """Exact dense-Cholesky counterpart of the lazyg* estimator: same
+    kernel (unit-scale gibbs_gram_reference over the per-point field),
+    same ridge, same 1/N scaling — the parity oracle for N small enough
+    that the N×N Gram exists."""
+    from nonstationary_precip_tpu.kernels.gibbs import gibbs_gram_reference
+
+    n = y.shape[0]
+    ell = jnp.exp(params["log_ell_pp"])
+    k = gibbs_gram_reference(x, ell, x, ell) + jnp.exp(
+        params["log_noise"]
+    ) * jnp.eye(n, dtype=x.dtype)
+    return -mvn_logpdf_from_chol(y, jnp.zeros_like(y), safe_cholesky(k)) / n
+
+
+def parity_check(n, rank=150, iters=None, steps=10):
+    """Matrix-free-vs-dense loss/grad parity at the shipped (rank, budget)
+    config, evaluated at a pose reached by actually TRAINING the lazy
+    estimator for a few steps (init is too easy).  Logged into
+    bench_cg.json as parity-gibbs-<n> (VERDICT r3 #1).
+
+    The MLL value differs by SLQ/trace estimator noise (8 probes), so the
+    comparison is statistical: loss relative difference and gradient
+    cosine/norm-ratio, not bitwise."""
+    if iters is None:
+        iters = 16 if n <= 32768 else 32
+    assert n <= 16384, "dense oracle needs the N x N Gram to exist"
+    x, y = _data(n)
+    key = jax.random.PRNGKey(5)
+    params = {
+        "log_ell_pp": jnp.zeros((n, _GIBBS_D), jnp.float32),
+        "log_noise": jnp.asarray(-2.0, jnp.float32),
+    }
+    opt = optax.adam(1e-2)
+    loss_lazy = _loss_lazygfpb_rb(rank, iters)
+
+    @jax.jit
+    def train(p):
+        st = opt.init(p)
+
+        def body(carry, _):
+            pp, s = carry
+            val, g = jax.value_and_grad(loss_lazy)(pp, x, y, key)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(pp, up), s), val
+
+        (p, _), vals = jax.lax.scan(body, (p, st), None, length=steps)
+        return p, vals
+
+    p, _ = train(params)
+    jax.block_until_ready(p["log_noise"])
+
+    lv, lg = jax.jit(jax.value_and_grad(
+        lambda pp: loss_lazy(pp, x, y, key)
+    ))(p)
+    dv, dg = jax.jit(jax.value_and_grad(
+        lambda pp: _loss_dense_gibbs(pp, x, y)
+    ))(p)
+    lf = jnp.concatenate([jnp.ravel(v) for v in jax.tree.leaves(lg)])
+    df = jnp.concatenate([jnp.ravel(v) for v in jax.tree.leaves(dg)])
+    cos = float(jnp.dot(lf, df) / (jnp.linalg.norm(lf) * jnp.linalg.norm(df)))
+    ratio = float(jnp.linalg.norm(lf) / jnp.linalg.norm(df))
+    rel = float(jnp.abs(lv - dv) / jnp.abs(dv))
+    ok = rel < 0.05 and cos > 0.98 and 0.8 < ratio < 1.25
+    log(
+        f"parity-gibbs-{n}",
+        method="parity",
+        config=f"r{rank}-i{iters}",
+        loss_lazy=float(lv),
+        loss_dense=float(dv),
+        loss_rel_diff=round(rel, 6),
+        grad_cosine=round(cos, 6),
+        grad_norm_ratio=round(ratio, 6),
+        ok=ok,
+    )
+    if not ok:
+        print(f"  WARNING: PARITY FAILURE at {n}", flush=True)
+    return ok
+
+
 # At N ≥ SINGLE_STEP_N the lax.scan-of-steps bench program reproducibly
 # dies with UNAVAILABLE on the axon service (4/4 across sessions) while
 # the IDENTICAL single-step program compiles and runs (probe_step_262144,
@@ -582,37 +838,84 @@ def bench(n, only=None):
 SINGLE_STEP_N = 262144
 
 
+def _run_diag(diagnose, trained_params):
+    """Convergence fields for a row (empty when not applicable).  The
+    diagnosis runs at the pose the timed program actually reached, so it
+    gates what was measured, not the easy init."""
+    if diagnose is None:
+        return {}
+    try:
+        d = diagnose(trained_params)
+    except Exception as e:
+        return {"relres_error": repr(e)[:200]}
+    converged = (
+        d["relres_solve"] <= RELRES_GATE and not d["broke"]
+    )
+    if not converged:
+        print(
+            f"  WARNING: UNCONVERGED at trained pose — relres_solve "
+            f"{d['relres_solve']:.3g} (gate {RELRES_GATE}), broke={d['broke']}",
+            flush=True,
+        )
+    return {
+        "relres_solve": round(d["relres_solve"], 8),
+        "relres_max": round(d["relres_max"], 8),
+        "iters_max": d["iters_max"],
+        "broke": d["broke"],
+        "converged": converged,
+    }
+
+
 def _bench_row(name, n, loss_fn, scanned, timed, steps, params0,
-               single=None):
+               single=None, diagnose=None):
     if single is not None and n >= SINGLE_STEP_N:
+        # multi-step, multi-RUN recording (VERDICT r3 #2): 1 warm-up step
+        # + 10 timed consecutive steps per process; each process APPENDS
+        # its run to the row's `runs` list, so three invocations build the
+        # 3-consecutive-runs evidence the flagship scaling claim needs.
         step, st = single(loss_fn, params0)
         t0 = time.perf_counter()
         p, st, v = step(params0, st)
         vals = [float(v)]  # fetch forces the dispatch to complete
         t_compile = time.perf_counter() - t0
         ts = []
-        for _ in range(3):
+        for _ in range(10):
             t1 = time.perf_counter()
             p, st, v = step(p, st)
             vals.append(float(v))
             ts.append(time.perf_counter() - t1)
+        prev = results.get(f"{name}-{n}", {})
+        runs = list(prev.get("runs", [])) if "runs" in prev else []
+        runs.append(
+            {
+                "ms_steps": [round(t * 1e3, 1) for t in ts],
+                "ms_median": round(sorted(ts)[len(ts) // 2] * 1e3, 1),
+                "first_call_s": round(t_compile, 1),
+                "loss0": vals[0],
+                "lossT": vals[-1],
+                "finite": bool(np.all(np.isfinite(vals))),
+            }
+        )
         log(
             f"{name}-{n}",
             method="single-step",
-            ms_per_step=round(min(ts) * 1e3, 1),
-            first_call_s=round(t_compile, 1),
-            loss0=vals[0],
+            ms_per_step=round(min(min(r["ms_steps"]) for r in runs), 1),
+            ms_per_step_median=runs[-1]["ms_median"],
+            runs=runs,
+            loss0=runs[0]["loss0"],
             lossT=vals[-1],
-            finite=bool(np.all(np.isfinite(vals))),
-            note="single-step timing: min-of-3 wall incl. ~28 ms dispatch "
-                 "(the scanned program faults at this N on the compile "
-                 "service; DESIGN.md §23)",
+            finite=all(r["finite"] for r in runs),
+            note="per-step wall timing incl. ~28 ms dispatch (0.1% at this "
+                 "N); 10 consecutive steps per run, one run appended per "
+                 "process (the scanned program faults at this N on the "
+                 "compile service; DESIGN.md §23)",
+            **_run_diag(diagnose, p),
         )
         return
     run1 = scanned(loss_fn, steps)
     run2 = scanned(loss_fn, 2 * steps)
     t_compile = time.perf_counter()
-    _, vals = run1(params0)
+    p_trained, vals = run1(params0)
     jax.block_until_ready(vals)
     jax.block_until_ready(run2(params0)[1])  # warm the 2S program too
     t_compile = time.perf_counter() - t_compile
@@ -625,6 +928,7 @@ def _bench_row(name, n, loss_fn, scanned, timed, steps, params0,
         loss0=float(vals[0]),
         lossT=float(vals[-1]),
         finite=bool(np.all(np.isfinite(np.asarray(vals)))),
+        **_run_diag(diagnose, p_trained),
     )
 
 
@@ -633,6 +937,12 @@ def main(sizes, only=None):
 
     wait_for_backend()
     print("devices:", jax.devices(), flush=True)
+    if only and "parity" in only:
+        for n in sizes:
+            parity_check(n)
+        only = tuple(o for o in only if o != "parity") or None
+        if only is None:
+            return
     for n in sizes:
         # past ~32k the dense Gram (+ its autodiff copies) no longer fits
         # a v5e's HBM — only the matrix-free path can run there at all

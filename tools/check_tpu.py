@@ -388,6 +388,88 @@ def check_panel_bwd():
     )
 
 
+def check_sharded_p1():
+    """P=1-mesh ON-CHIP smoke for the sharded paths (VERDICT r3 #5): every
+    collective/shard_map line had only ever lowered through the CPU
+    backend, and this repo's history says backend lowering is where
+    surprises live (interpret-green != chip-correct).  A 1-device TPU mesh
+    exercises shard_map + collectives + (crucially) the Mosaic fused
+    matvec INSIDE shard_map — the combination that cannot be
+    interpret-tested at all (documented hang, tests/test_pallas_matvec.py).
+
+      a. row-sharded preconditioned CG MLL == single-chip lazy_cg_mll
+         (same key: same estimator, partitioned row dot products);
+      b. same with the fused packed-Gibbs local matvec (Pallas in
+         shard_map on chip) == (a) to f32 rounding;
+      c. mesh-distributed blocked Cholesky == safe_cholesky.
+    """
+    import numpy as np
+    from functools import partial
+
+    from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+    from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
+    from nonstationary_precip_tpu.ops.linalg import safe_cholesky
+    from nonstationary_precip_tpu.parallel import make_mesh, sharded_cholesky
+    from nonstationary_precip_tpu.parallel.sharded_cg import (
+        packed_gibbs_local_matvec,
+        sharded_cg_mll,
+    )
+
+    n, d = 512, 2
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-2, 2, size=(n, d)), jnp.float32)
+    le = jnp.asarray(rng.normal(scale=0.2, size=(n, d)), jnp.float32)
+    aug = jnp.concatenate([x, le], axis=1)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    s2 = jnp.asarray(0.05, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    cross = packed_gibbs_cross(d)
+    mesh = make_mesh(1)
+
+    kw = dict(num_probes=4, max_iters=32, tol=1e-6, precond_rank=16)
+    ref = jax.jit(
+        lambda a, r: lazy_cg_mll(
+            None, a, r, key, s2, block=n, cross_fn=cross, **kw
+        )
+    )(aug, y)
+    got_a = jax.jit(
+        partial(
+            sharded_cg_mll, None, mesh=mesh, key=key, sigma2=s2,
+            cross_fn=cross, **kw,
+        )
+    )(x=aug, resid=y)
+    rel_a = abs(float(got_a - ref)) / abs(float(ref))
+    report(
+        "sharded P=1: row-sharded precond CG MLL vs lazy",
+        _finite(got_a) and rel_a < 1e-4,
+        f"rel {rel_a:.2e}",
+    )
+
+    got_b = jax.jit(
+        partial(
+            sharded_cg_mll, None, mesh=mesh, key=key, sigma2=s2,
+            cross_fn=cross,
+            local_matvec_builder=packed_gibbs_local_matvec(d), **kw,
+        )
+    )(x=aug, resid=y)
+    rel_b = abs(float(got_b - ref)) / abs(float(ref))
+    report(
+        "sharded P=1: fused Pallas matvec inside shard_map",
+        _finite(got_b) and rel_b < 1e-3,
+        f"rel {rel_b:.2e}",
+    )
+
+    k = cross(None, aug, aug) + s2 * jnp.eye(n, dtype=jnp.float32)
+    l_ref = safe_cholesky(k)
+    l_sh = sharded_cholesky(mesh)(k)
+    md = _maxdiff(l_sh, l_ref)
+    report(
+        "sharded P=1: distributed blocked Cholesky",
+        _finite(l_sh) and md < 5e-4,
+        f"maxdiff {md:.2e}",
+    )
+
+
 def main():
     backend = jax.default_backend()
     print(f"backend: {backend}", flush=True)
@@ -405,6 +487,7 @@ def main():
     check_gram_matvec()
     check_panel_bwd()
     check_elbo()
+    check_sharded_p1()
     dt = time.time() - t0
     if FAILURES:
         print(f"CHECK-TPU FAILED ({len(FAILURES)}): {', '.join(FAILURES)}  [{dt:.0f}s]",
