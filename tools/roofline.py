@@ -1,0 +1,387 @@
+#!/usr/bin/env python3
+"""Roofline/MFU accounting for the shipped default-ON kernels (VERDICT
+r3 #3): measured fraction of the v5e ceilings, with the ceilings
+themselves MEASURED on this chip (datasheet peaks are marketing; the
+achievable rates through this toolchain are what a kernel can actually
+reach).
+
+Two parts, one JSON artifact (tools/roofline.json):
+
+1. **Ceilings** — microbenchmarks, each a scanned program with a
+   denormal-scale carry perturbation so XLA cannot hoist the work:
+     * mxu_f32_highest_tflops: 4096^3 f32 matmul at HIGHEST (the 6-pass
+       bf16 decomposition every exact-GP contraction in this repo uses)
+     * mxu_bf16_tflops: same at DEFAULT with bf16 inputs (context)
+     * vpu_exp_gops / vpu_rsqrt_gops / vpu_mul_gops: chained elementwise
+       ops on a 16.8M-element array (64 per scan step: compute-bound,
+       HBM traffic amortised 64x)
+     * hbm_gbps: read+write of a 1 GB array per scan step
+2. **Kernels** — differential scan timing (S/2S) of each shipped kernel
+   plus an analytic flops/bytes/transcendentals model per tile; the
+   implied time on each resource; MFU = bound_time / measured
+   (bound = max over resources: they overlap on the chip).
+
+Models (d=2 fast path, ops/pallas_matvec.py):
+  forward matvec tile element: ~14 VPU f32 ops + 1 exp + 1 rsqrt;
+    contraction 128 padded MACs x HIGHEST; HBM ~ N^2*(1024/TM + 512/TN
+    + 512/TN) bytes per matvec (p2t+v re-read per tile row, p1 per col).
+  backward sweep element: ~37 VPU ops + 1 exp + 1 rsqrt; MXU = fw(=24
+    at R=8) MACs (W assembly) x HIGHEST; HBM ~ N^2*(1024/TBM+1024/TBN).
+
+Run alone on the TPU (never share the chip).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+OUT = Path(__file__).parent / "roofline.json"
+results = json.loads(OUT.read_text()) if OUT.exists() else {}
+
+
+def log(name, **kw):
+    results[name] = kw
+    print(name, json.dumps(kw), flush=True)
+    OUT.write_text(json.dumps(results, indent=2))
+
+
+def _diff_time(make_run, s1=4):
+    """(T(2S) - T(S))/S via best-of-3 per program."""
+    r1, r2 = make_run(s1), make_run(2 * s1)
+    jax.block_until_ready(r1())
+    jax.block_until_ready(r2())
+
+    def best(r):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(r())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(r2) - best(r1)) / s1
+
+
+# ---------------------------------------------------------------------------
+# ceilings
+# ---------------------------------------------------------------------------
+
+
+MATMUL_N = 4096
+ELEM_SHAPE = (4096, 4096)
+HBM_SHAPE = (16384, 16384)
+
+
+def ceiling_matmul(precision, dtype, name):
+    n = MATMUL_N
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(n, n)), dtype)
+    b = jnp.asarray(rng.normal(size=(n, n)), dtype)
+
+    def make_run(steps):
+        @jax.jit
+        def run(a, b):
+            def body(c, _):
+                aa, out = c
+                out = jnp.dot(
+                    aa, b, precision=jax.lax.Precision(precision),
+                    preferred_element_type=dtype,
+                )
+                aa = aa + jnp.asarray(1e-30, dtype) * out[0, 0]
+                return (aa, out), ()
+
+            (aa, out), _ = jax.lax.scan(body, (a, jnp.zeros_like(a)), None,
+                                        length=steps)
+            return out
+
+        return lambda: run(a, b)
+
+    dt = _diff_time(make_run)
+    tflops = 2 * n**3 / dt / 1e12
+    log(name, tflops=round(tflops, 1), n=n, sec_per_matmul=dt)
+    return tflops
+
+
+def ceiling_elementwise(op, name, reps=64):
+    shape = ELEM_SHAPE
+    x = jnp.asarray(np.random.default_rng(1).uniform(0.1, 1.0, shape),
+                    jnp.float32)
+
+    def make_run(steps):
+        @jax.jit
+        def run(x):
+            def body(xx, _):
+                for _ in range(reps):
+                    xx = op(xx)
+                return xx, ()
+
+            xx, _ = jax.lax.scan(body, x, None, length=steps)
+            return xx
+
+        return lambda: run(x)
+
+    dt = _diff_time(make_run)
+    gops = shape[0] * shape[1] * reps / dt / 1e9
+    log(name, gops=round(gops, 1), sec_per_step=dt, reps=reps)
+    return gops
+
+
+def ceiling_hbm():
+    shape = HBM_SHAPE  # 1 GiB f32 on the real run
+    x = jnp.zeros(shape, jnp.float32)
+
+    def make_run(steps):
+        @jax.jit
+        def run(x):
+            def body(xx, _):
+                return xx + 1.0, ()
+
+            xx, _ = jax.lax.scan(body, x, None, length=steps)
+            return xx
+
+        return lambda: run(x)
+
+    dt = _diff_time(make_run)
+    gbps = 2 * shape[0] * shape[1] * 4 / dt / 1e9
+    log("hbm_rw", gbps=round(gbps, 1), sec_per_step=dt)
+    return gbps
+
+
+# ---------------------------------------------------------------------------
+# shipped kernels
+# ---------------------------------------------------------------------------
+
+
+def kernel_matvec_fwd(n, ceil):
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        TILE_M,
+        TILE_N,
+        make_gibbs_matvec,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(scale=0.2, size=(n, 2))), jnp.float32)
+    r = 9
+    v0 = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+
+    def make_run(steps):
+        @jax.jit
+        def run(x, ell, v0):
+            mv = make_gibbs_matvec(x, ell, x, ell)
+
+            def body(v, _):
+                out = mv(v)
+                return out / (jnp.linalg.norm(out) + 1.0), ()
+
+            v, _ = jax.lax.scan(body, v0, None, length=steps)
+            return v
+
+        return lambda: run(x, ell, v0)
+
+    dt = _diff_time(make_run, s1=8)
+    # analytic model per matvec (d=2 fast path)
+    el = float(n) * n
+    t_vpu = el * 14 / (ceil["vpu_mul"] * 1e9)
+    t_exp = el * 1 / (ceil["vpu_exp"] * 1e9) + el * 1 / (ceil["vpu_rsqrt"] * 1e9)
+    t_mxu = el * 128 * 2 / (ceil["mxu_hi"] * 1e12)
+    t_hbm = el * (1024 / TILE_M + 1024 / TILE_N) / (ceil["hbm"] * 1e9)
+    bound = max(t_vpu + t_exp, t_mxu, t_hbm)  # build ops share the VPU
+    log(
+        f"kernel_matvec_fwd_{n}",
+        ms_measured=round(dt * 1e3, 3),
+        ms_bound=round(bound * 1e3, 3),
+        mfu_pct=round(100 * bound / dt, 1),
+        components_ms={
+            "vpu_build": round((t_vpu + t_exp) * 1e3, 3),
+            "mxu_contract_highest": round(t_mxu * 1e3, 3),
+            "hbm": round(t_hbm * 1e3, 3),
+        },
+    )
+
+
+def kernel_panel_bwd(n, ceil):
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        TILE_BM,
+        TILE_BN,
+        packed_gibbs_panel_grads,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
+    ell = jnp.asarray(np.exp(rng.normal(scale=0.2, size=(n, 2))), jnp.float32)
+    r = 8
+    alpha = jnp.asarray(rng.normal(size=n), jnp.float32)
+    solves = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+    rights = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+
+    def make_run(steps):
+        @jax.jit
+        def run(x, ell, alpha, solves, rights):
+            def body(a, _):
+                gx, gl, sp = packed_gibbs_panel_grads(x, ell, a, solves, rights)
+                return a + jnp.float32(1e-30) * sp[0], (gx[0, 0],)
+
+            a, _ = jax.lax.scan(body, alpha, None, length=steps)
+            return a
+
+        return lambda: run(x, ell, alpha, solves, rights)
+
+    dt = _diff_time(make_run, s1=4)
+    el = float(n) * n
+    fw = 24  # ceil(1 + 2*8, 8)
+    t_vpu = el * 37 / (ceil["vpu_mul"] * 1e9)
+    t_exp = el * 1 / (ceil["vpu_exp"] * 1e9) + el * 1 / (ceil["vpu_rsqrt"] * 1e9)
+    t_mxu = el * fw * 2 / (ceil["mxu_hi"] * 1e12)
+    t_hbm = el * (1024 / TILE_BM + 1024 / TILE_BN) / (ceil["hbm"] * 1e9)
+    bound = max(t_vpu + t_exp, t_mxu, t_hbm)
+    log(
+        f"kernel_panel_bwd_{n}",
+        ms_measured=round(dt * 1e3, 3),
+        ms_bound=round(bound * 1e3, 3),
+        mfu_pct=round(100 * bound / dt, 1),
+        components_ms={
+            "vpu_build_pullback": round((t_vpu + t_exp) * 1e3, 3),
+            "mxu_w_assembly_highest": round(t_mxu * 1e3, 3),
+            "hbm": round(t_hbm * 1e3, 3),
+        },
+    )
+
+
+def kernel_streaming_chol(n, ceil):
+    from nonstationary_precip_tpu.ops.pallas_chol import _forward_streaming2
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(n, 64)).astype(np.float32)
+    k0 = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+
+    def make_run(steps):
+        @jax.jit
+        def run(k):
+            def body(kk, _):
+                l = _forward_streaming2(kk)
+                return kk + jnp.float32(1e-30) * l[0, 0], ()
+
+            kk, _ = jax.lax.scan(body, k, None, length=steps)
+            return kk
+
+        return lambda: run(k0)
+
+    dt = _diff_time(make_run, s1=2)
+    flops = n**3 / 3  # MACs x2 = flops; GEMM panels at HIGHEST
+    t_mxu = flops * 2 / (ceil["mxu_hi"] * 1e12)
+    t_hbm = 2 * n * n * 4 / (ceil["hbm"] * 1e9)
+    # the 128-wide diag-block recurrence is sequential: n/128 blocks x
+    # measured ~0.3 us/column x 128 columns -> n x 0.3 us total
+    t_seq = n * 0.3e-6
+    bound = max(t_mxu, t_hbm, t_seq)
+    log(
+        f"kernel_streaming_chol_{n}",
+        ms_measured=round(dt * 1e3, 3),
+        ms_bound=round(bound * 1e3, 3),
+        mfu_pct=round(100 * bound / dt, 1),
+        components_ms={
+            "mxu_gemm_highest": round(t_mxu * 1e3, 3),
+            "hbm": round(t_hbm * 1e3, 3),
+            "seq_recurrence_floor": round(t_seq * 1e3, 3),
+        },
+    )
+
+
+def kernel_svgp_precompute(ceil):
+    import nonstationary_precip_tpu.ops.pallas_svgp as ps
+
+    rng = np.random.default_rng(5)
+    t_, m, d = 5, 250, 2
+    ell = jnp.asarray(np.exp(rng.normal(size=(t_, d)) * 0.3) + 0.3, jnp.float32)
+    s2 = jnp.asarray(np.exp(rng.normal(size=t_) * 0.2), jnp.float32)
+    packed = jnp.asarray(rng.normal(size=(t_, m, 2 * m + 1)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(t_, m, d)), jnp.float32)
+
+    def make_run(steps):
+        @jax.jit
+        def run(z):
+            def body(zz, _):
+                l, w, _ = ps.svgp_precompute_fused(zz, ell, s2, packed)
+                return zz + jnp.float32(1e-30) * l[0, 0, 0], ()
+
+            zz, _ = jax.lax.scan(body, z, None, length=steps)
+            return zz
+
+        return lambda: run(z0)
+
+    dt = _diff_time(make_run, s1=16)
+    # latency-bound: M sequential masked column steps; the r2-measured
+    # sequential floor is ~0.3 us/column irrespective of the T batch
+    t_seq = m * 0.3e-6
+    # MXU work (chol + inv + W GEMMs) is tiny at (5, 250): report it
+    flops = t_ * (m**3 / 3 + m**3) * 2
+    t_mxu = flops / (ceil["mxu_hi"] * 1e12)
+    bound = max(t_seq, t_mxu)
+    log(
+        "kernel_svgp_precompute_5x250",
+        ms_measured=round(dt * 1e3, 3),
+        ms_bound=round(bound * 1e3, 3),
+        mfu_pct=round(100 * bound / dt, 1),
+        components_ms={
+            "seq_recurrence_floor": round(t_seq * 1e3, 3),
+            "mxu_highest": round(t_mxu * 1e3, 3),
+        },
+        note="latency-bound kernel: the bound is the sequential masked "
+             "column recurrence, not a throughput roofline",
+    )
+
+
+def main():
+    args = sys.argv[1:]
+    if "--cpu-smoke" in args:
+        # harness shakeout on tiny shapes: numbers are meaningless, the
+        # point is that every program builds and the JSON writes
+        global MATMUL_N, ELEM_SHAPE, HBM_SHAPE
+        MATMUL_N, ELEM_SHAPE, HBM_SHAPE = 256, (512, 512), (1024, 1024)
+        jax.config.update("jax_platforms", "cpu")
+        args = [a for a in args if a != "--cpu-smoke"] or ["ceilings"]
+    else:
+        from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+        wait_for_backend()
+    print("devices:", jax.devices(), flush=True)
+    if not args or "ceilings" in args:
+        mxu_hi = ceiling_matmul("highest", jnp.float32, "mxu_f32_highest")
+        mxu_bf = ceiling_matmul("default", jnp.bfloat16, "mxu_bf16_default")
+        vexp = ceiling_elementwise(lambda x: jnp.exp(-x), "vpu_exp")
+        vrsq = ceiling_elementwise(lambda x: jax.lax.rsqrt(x + 1.0), "vpu_rsqrt")
+        vmul = ceiling_elementwise(lambda x: x * 0.999 + 0.001, "vpu_muladd")
+        hbm = ceiling_hbm()
+    ceil = {
+        "mxu_hi": results["mxu_f32_highest"]["tflops"],
+        "mxu_bf": results["mxu_bf16_default"]["tflops"],
+        "vpu_exp": results["vpu_exp"]["gops"],
+        "vpu_rsqrt": results["vpu_rsqrt"]["gops"],
+        "vpu_mul": results["vpu_muladd"]["gops"],
+        "hbm": results["hbm_rw"]["gbps"],
+    }
+    if not args or "kernels" in args:
+        for n in (8192, 16384, 32768):
+            kernel_matvec_fwd(n, ceil)
+            kernel_panel_bwd(n, ceil)
+        kernel_streaming_chol(8192, ceil)
+        kernel_svgp_precompute(ceil)
+    print(json.dumps(ceil))
+
+
+if __name__ == "__main__":
+    main()
