@@ -147,6 +147,23 @@ def main(n=512, num_steps=12, refresh=4, block=128, fused=False):
     print(f"posterior over {xs.shape[0]} test points: rmse {rmse:.3f}, "
           f"mean var {float(jnp.mean(var)):.4f}")
     assert np.isfinite(rmse)
+
+    # --- amortized serving: build the state once, query cheaply ------------
+    # posterior_matrixfree above re-solves EVERYTHING per call; for
+    # repeated queries hoist alpha = K^-1 y + the preconditioner + the
+    # lengthscale-conditioning solves into a state, then each batch pays
+    # only the cross build (+ one auto-budget variance solve, skipped
+    # entirely under mean_only=True)
+    state = model.posterior_state_matrixfree(
+        x, y, prior_pre, block=block, max_iters=96, tol=1e-8,
+        precond_rank=rank, fused_matvec=fused,
+    )
+    mean_fast = model.posterior_matrixfree_from_state(
+        state, xs, mean_only=True, block=block, fused_matvec=fused,
+    )
+    drift = float(jnp.max(jnp.abs(mean_fast - post.mean)))
+    print(f"amortized mean-only serving: max |drift| vs one-shot {drift:.2e}")
+    assert drift < 1e-3
     print("ok")
     return rmse
 
