@@ -59,16 +59,24 @@ def log(name, **kw):
 
 
 def _diff_time(make_run, s1=4):
-    """(T(2S) - T(S))/S via best-of-3 per program."""
+    """(T(2S) - T(S))/S via best-of-3 per program.
+
+    Every run() returns a SCALAR and we fetch its VALUE: measured
+    2026-08-20 on this host, jax.block_until_ready returns ~immediately
+    through the axon tunnel for these scanned programs (S=1..8 of a
+    4096^3 matmul all timed ~30 ms "wall" = pure dispatch) while a
+    float() fetch times honestly (30/41/59 ms for S=1/4/8 -> 4.6 ms per
+    matmul).  CLAUDE.md's ".shape proves nothing" quirk extends to
+    block_until_ready here — always fetch values when timing axon."""
     r1, r2 = make_run(s1), make_run(2 * s1)
-    jax.block_until_ready(r1())
-    jax.block_until_ready(r2())
+    float(r1())
+    float(r2())
 
     def best(r):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(r())
+            float(r())
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
@@ -105,7 +113,7 @@ def ceiling_matmul(precision, dtype, name):
 
             (aa, out), _ = jax.lax.scan(body, (a, jnp.zeros_like(a)), None,
                                         length=steps)
-            return out
+            return jnp.sum(out)
 
         return lambda: run(a, b)
 
@@ -129,7 +137,7 @@ def ceiling_elementwise(op, name, reps=64):
                 return xx, ()
 
             xx, _ = jax.lax.scan(body, x, None, length=steps)
-            return xx
+            return jnp.sum(xx)
 
         return lambda: run(x)
 
@@ -150,7 +158,7 @@ def ceiling_hbm():
                 return xx + 1.0, ()
 
             xx, _ = jax.lax.scan(body, x, None, length=steps)
-            return xx
+            return jnp.sum(xx)
 
         return lambda: run(x)
 
@@ -188,11 +196,11 @@ def kernel_matvec_fwd(n, ceil):
                 return out / (jnp.linalg.norm(out) + 1.0), ()
 
             v, _ = jax.lax.scan(body, v0, None, length=steps)
-            return v
+            return jnp.sum(v)
 
         return lambda: run(x, ell, v0)
 
-    dt = _diff_time(make_run, s1=8)
+    dt = _diff_time(make_run, s1=max(8, 524288 // n))
     # analytic model per matvec (d=2 fast path)
     el = float(n) * n
     t_vpu = el * 14 / (ceil["vpu_mul"] * 1e9)
@@ -236,11 +244,11 @@ def kernel_panel_bwd(n, ceil):
                 return a + jnp.float32(1e-30) * sp[0], (gx[0, 0],)
 
             a, _ = jax.lax.scan(body, alpha, None, length=steps)
-            return a
+            return jnp.sum(a)
 
         return lambda: run(x, ell, alpha, solves, rights)
 
-    dt = _diff_time(make_run, s1=4)
+    dt = _diff_time(make_run, s1=max(4, 262144 // n))
     el = float(n) * n
     fw = 24  # ceil(1 + 2*8, 8)
     t_vpu = el * 37 / (ceil["vpu_mul"] * 1e9)
@@ -276,7 +284,7 @@ def kernel_streaming_chol(n, ceil):
                 return kk + jnp.float32(1e-30) * l[0, 0], ()
 
             kk, _ = jax.lax.scan(body, k, None, length=steps)
-            return kk
+            return jnp.sum(kk[0])
 
         return lambda: run(k0)
 
@@ -319,7 +327,7 @@ def kernel_svgp_precompute(ceil):
                 return zz + jnp.float32(1e-30) * l[0, 0, 0], ()
 
             zz, _ = jax.lax.scan(body, z, None, length=steps)
-            return zz
+            return jnp.sum(zz)
 
         return lambda: run(z0)
 
