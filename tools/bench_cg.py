@@ -464,13 +464,17 @@ def bench(n, only=None):
             parts = req.split("-")[1:]
             rank = int(parts[0][1:])
             iters = None if parts[1] == "iauto" else int(parts[1][1:])
-            ntest, mean_only = 256, False
+            ntest, mean_only, pre, shift = 256, False, "pivchol", 1.0
             for p in parts[2:]:
                 if p == "mo":
                     mean_only = True
+                elif p == "nys":
+                    pre = "nystrom"
                 elif p.startswith("t"):
                     ntest = int(p[1:])
-            pst_rows.append((req, rank, iters, ntest, mean_only))
+                elif p.startswith("s"):
+                    shift = float(p[1:])
+            pst_rows.append((req, rank, iters, ntest, mean_only, pre, shift))
         elif req.startswith("lazygpost-r"):
             parts = req.split("-")[1:]
             rank, iters = int(parts[0][1:]), int(parts[1][1:])
@@ -594,7 +598,7 @@ def bench(n, only=None):
         except Exception as e:
             log(f"error-{name}-{n}", error=repr(e)[:300])
 
-    for name, rank, iters, ntest, mean_only in pst_rows:
+    for name, rank, iters, ntest, mean_only, pre, shift in pst_rows:
         if n >= SINGLE_STEP_N:
             log(f"skip-{name}-{n}", method="skipped",
                 reason="scanned program faults at n >= SINGLE_STEP_N "
@@ -620,21 +624,29 @@ def bench(n, only=None):
         build = jax.jit(
             lambda aug, y, s2: lazy_posterior_state(
                 None, aug, y, s2, block=LAZY_BLOCK, tol=1e-8,
-                precond_rank=rank, cross_fn=_gibbs_cross,
+                precond_rank=rank, precond=pre,
+                precond_key=(
+                    jax.random.PRNGKey(17) if pre == "nystrom" else None
+                ),
+                precond_shift=shift, cross_fn=_gibbs_cross,
                 matvec_builder=builder,
             )
         )
 
         def query_once(carry, _, iters=iters, mean_only=mean_only,
                        aug_t=aug_t):
-            # denormal-scale carry perturbation keeps the loop-invariant
-            # query inside the scan (same trick as the lazygpost rows)
+            # denormal-scale perturbation of the QUERY POINTS: every
+            # per-batch component (cross build, mean contraction, the
+            # variance mBCG) depends on aug_t, so none of it can hoist
+            # out of the scan — perturbing state.alpha instead measured
+            # 2.1 ms/call at 65536 because the alpha-independent variance
+            # solve hoisted wholesale (2026-08-20)
             c, st = carry
             mean, cov = lazy_posterior_query(
-                st._replace(alpha=st.alpha + jnp.float32(1e-30) * c),
-                aug_t, mean_only=mean_only, block=LAZY_BLOCK,
-                max_iters=iters, tol=1e-6, cross_fn=_gibbs_cross,
-                matvec_builder=builder,
+                st, aug_t + jnp.float32(1e-30) * c,
+                mean_only=mean_only, block=LAZY_BLOCK,
+                max_iters=iters, tol=1e-6, precond_shift=shift,
+                cross_fn=_gibbs_cross, matvec_builder=builder,
             )
             s = jnp.sum(mean) + (0.0 if cov is None else jnp.sum(cov))
             return (s, st), s
