@@ -67,17 +67,60 @@ def mbcg(
     Converged columns freeze: their updates are masked to zero, so the
     fixed-length scan is exact (bitwise) w.r.t. an early-exit loop.
     """
-    n, r = b.shape
-    minv = precond if precond is not None else (lambda v: v)
+    b, safe_bnorm, init = mbcg_init(b, precond)
+    step = _make_mbcg_step(matvec, precond, tol, safe_bnorm, b.dtype)
+    (x, res, _, _, _, _, iters, broke), (alphas, betas, resnorms) = jax.lax.scan(
+        step, init, None, length=max_iters
+    )
+    return CGResult(
+        x=x,
+        alphas=alphas,
+        betas=betas,
+        residnorm=jnp.linalg.norm(res, axis=0) / safe_bnorm,
+        iters=iters,
+        broke=broke,
+        # already a scan output — XLA dead-code-eliminates it at every
+        # call site that doesn't consume it (convergence probes do)
+        resnorm_hist=resnorms / safe_bnorm[None, :],
+    )
 
+
+def mbcg_init(b: jnp.ndarray, precond=None):
+    """(b, safe_bnorm, carry0) for the mBCG iteration — public so
+    host-chunked callers (:func:`mbcg_chunk`) can build the same initial
+    state :func:`mbcg` uses internally."""
+    r = b.shape[1]
+    minv = precond if precond is not None else (lambda v: v)
     bnorm = jnp.linalg.norm(b, axis=0)  # (R,)
     safe_bnorm = jnp.maximum(bnorm, 1e-30)
-
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = minv(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0, axis=0)  # (R,)
+    init = (
+        x0, r0, z0, p0, rz0,
+        jnp.zeros((r,), bool), jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool),
+    )
+    return b, safe_bnorm, init
+
+
+def mbcg_chunk(matvec, carry, length: int, tol: float, safe_bnorm, precond=None):
+    """``length`` mBCG iterations from ``carry`` (from :func:`mbcg_init`
+    or a previous chunk): (carry', (alphas, betas, resnorms)) — the same
+    ops in the same order as :func:`mbcg`'s single scan, so a sequence of
+    chunks is BITWISE the monolithic run.  Exists for the host-chunked
+    regime (DESIGN.md §27): a single device program executing ≳60–90 s
+    crashes the axon worker, so at N ≥ ~512k the CG budget must re-enter
+    from the host every few iterations; jit this per chunk-length and
+    drive it eagerly."""
+    x0 = carry[0]
+    step = _make_mbcg_step(matvec, precond, tol, safe_bnorm, x0.dtype)
+    return jax.lax.scan(step, carry, None, length=length)
+
+
+def _make_mbcg_step(matvec, precond, tol, safe_bnorm, dtype):
+    minv = precond if precond is not None else (lambda v: v)
 
     def step(carry, _):
         x, res, z, p, rz, done, it, broke = carry
@@ -93,7 +136,7 @@ def mbcg(
         # breakdown — don't NaN-poison those.  Floor: max(10·tol,
         # 1000·eps) ≈ 1e-4 f32 / 2e-13 f64; a genuinely indefinite
         # operator trips pᵀKp ≤ 0 while the residual is still O(1).
-        stall = jnp.maximum(10.0 * tol, 1e3 * float(jnp.finfo(b.dtype).eps))
+        stall = jnp.maximum(10.0 * tol, 1e3 * float(jnp.finfo(dtype).eps))
         relres = jnp.linalg.norm(res, axis=0) / safe_bnorm
         broke = jnp.logical_or(
             broke,
@@ -119,24 +162,7 @@ def mbcg(
         rz = jnp.where(valid, rz_new, rz)
         return (x, res, z, p_new, rz, done_next, it, broke), (alpha, beta, resnorm)
 
-    init = (
-        x0, r0, z0, p0, rz0,
-        jnp.zeros((r,), bool), jnp.zeros((r,), jnp.int32), jnp.zeros((r,), bool),
-    )
-    (x, res, _, _, _, _, iters, broke), (alphas, betas, resnorms) = jax.lax.scan(
-        step, init, None, length=max_iters
-    )
-    return CGResult(
-        x=x,
-        alphas=alphas,
-        betas=betas,
-        residnorm=jnp.linalg.norm(res, axis=0) / safe_bnorm,
-        iters=iters,
-        broke=broke,
-        # already a scan output — XLA dead-code-eliminates it at every
-        # call site that doesn't consume it (convergence probes do)
-        resnorm_hist=resnorms / safe_bnorm[None, :],
-    )
+    return step
 
 
 def lanczos_tridiag(alphas: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:

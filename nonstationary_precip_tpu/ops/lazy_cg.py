@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from nonstationary_precip_tpu.ops.bbmm import (
     lanczos_logdet,
     mbcg,
+    mbcg_chunk,
+    mbcg_init,
     precond_logdet,
     sample_precond_probes,
 )
@@ -499,6 +501,155 @@ def lazy_cg_mll(
         lpc = jnp.zeros((n, 0), x.dtype)
         probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
     return fn(kernel, x, resid, probes, sigma2, lpc)
+
+
+# ---------------------------------------------------------------------------
+# host-chunked MLL (the regime past the ~60-90 s program-execution wall)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def make_chunked_mll(
+    block: int,
+    num_probes: int,
+    chunk_iters: int,
+    n_chunks: int,
+    tol: float,
+    precond_rank: int,
+    precond: str,
+    precond_shift: float,
+    cross_fn: Callable,
+    matvec_builder: Optional[Callable],
+    panel_vjp: Callable,
+):
+    """Host-chunked `lazy_cg_mll` + gradients for N past the axon
+    worker's ~60–90 s single-program execution wall (DESIGN.md §27: at
+    N = 524288 a 32-iteration mBCG program crashes the worker while
+    16 iterations run — and N = 1048576 cannot fit ANY useful budget in
+    one program).  The monolithic custom-VJP forward is split into
+    jitted phases driven eagerly from the host:
+
+      setup    — preconditioner factor, probes, rhs, mBCG carry
+      chunk ×k — ``chunk_iters`` mBCG iterations (``ops/bbmm.mbcg_chunk``
+                 — bitwise the monolithic scan, same ops same order)
+      finalize — SLQ logdet + MLL value + relres evidence
+      grads    — the fused backward panel sweep (``panel_vjp`` REQUIRED:
+                 one launch, well under the wall) + the trace-identity
+                 σ²/resid gradients, exactly ``core_bwd``'s math at g=1
+
+    Returns an object whose ``value_and_grad(kernel, x, resid, sigma2,
+    key, pkey)`` returns ``(val, relres, (kernel_g, x_g, resid_g,
+    sigma2_g))`` for the raw MLL (callers apply their own −1/n chain).
+    NOT itself jittable or differentiable — it IS the orchestrator.
+    ``early_stop=True`` (default) fetches the tiny per-column done flags
+    after each chunk and stops once every column converged (remaining
+    Lanczos slots pad with zeros — the converged-column semantics the
+    monolithic scan already has), so the fixed budget becomes an upper
+    bound instead of a cost."""
+    if panel_vjp is None:
+        raise ValueError(
+            "make_chunked_mll needs the fused panel_vjp backward — the "
+            "jax.vjp panel scan lives inside the monolithic custom VJP "
+            "and is not available to the host-chunked driver"
+        )
+    use_pre = precond_rank > 0
+
+    @jax.jit
+    def setup(kernel, x, resid, sigma2, key, pkey):
+        n = x.shape[0]
+        if use_pre:
+            lpc = build_precond_factor(
+                precond, kernel, x, precond_rank, cross_fn,
+                pkey if precond == "nystrom" else None,
+            )
+            c = precond_shift * sigma2
+            minv = _woodbury(lpc, c)
+            probes = sample_precond_probes(key, lpc, c, num_probes)
+            rights = minv(probes)
+            probe_w = jnp.sum(probes * rights, axis=0)
+            logdet_p = precond_logdet(lpc, c, n)
+        else:
+            lpc = jnp.zeros((n, 0), x.dtype)
+            probes = jax.random.rademacher(key, (n, num_probes), dtype=x.dtype)
+            rights = probes
+            probe_w = jnp.sum(probes * probes, axis=0)
+            logdet_p = jnp.asarray(0.0, resid.dtype)
+        rhs = jnp.concatenate([resid[:, None], probes], axis=1)
+        minv2 = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
+        _, safe_bnorm, carry0 = mbcg_init(rhs, minv2)
+        return lpc, rights, probe_w, logdet_p, safe_bnorm, carry0
+
+    @jax.jit
+    def chunk(kernel, x, sigma2, lpc, safe_bnorm, carry):
+        if matvec_builder is not None:
+            matvec = matvec_builder(kernel, x, sigma2)
+        else:
+            matvec = _lazy_matvec(kernel, x, sigma2, block, cross_fn)
+        minv = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
+        return mbcg_chunk(matvec, carry, chunk_iters, tol, safe_bnorm, minv)
+
+    @jax.jit
+    def finalize(resid, carry, alphas, betas, probe_w, logdet_p, safe_bnorm):
+        n = resid.shape[0]
+        x_sol, res = carry[0], carry[1]
+        broke = carry[7]
+        alpha = x_sol[:, 0]
+        solves = x_sol[:, 1:]
+        logdet = logdet_p + lanczos_logdet(
+            alphas[:, 1:], betas[:, 1:], probe_w
+        )
+        val = (
+            -0.5 * jnp.dot(resid, alpha)
+            - 0.5 * logdet
+            - 0.5 * n * jnp.log(jnp.asarray(2.0 * jnp.pi, resid.dtype))
+        )
+        val = jnp.where(jnp.any(broke), jnp.nan, val)
+        relres = jnp.linalg.norm(res, axis=0) / safe_bnorm
+        return val, alpha, solves, relres
+
+    @jax.jit
+    def grads(kernel, x, sigma2, alpha, solves, rights):
+        one = jnp.asarray(1.0, x.dtype)
+        kg, xg, s2g = panel_vjp(kernel, x, sigma2, alpha, solves, rights, one)
+        return kg, xg, -alpha, s2g
+
+    class ChunkedMLL:
+        def value_and_grad(self, kernel, x, resid, sigma2, key,
+                           pkey=None, early_stop=True):
+            import numpy as _np
+
+            if pkey is None:
+                pkey = jax.random.PRNGKey(0)
+            lpc, rights, probe_w, logdet_p, safe_bnorm, carry = setup(
+                kernel, x, resid, sigma2, key, pkey
+            )
+            a_parts, b_parts = [], []
+            ran = 0
+            for _ in range(n_chunks):
+                carry, (al, be, _) = chunk(
+                    kernel, x, sigma2, lpc, safe_bnorm, carry
+                )
+                a_parts.append(al)
+                b_parts.append(be)
+                ran += 1
+                if early_stop and bool(_np.asarray(carry[5]).all()):
+                    break
+            r1 = a_parts[0].shape[1]
+            pad = (n_chunks - ran) * chunk_iters
+            if pad:
+                # zero α/β = the monolithic scan's converged-iteration
+                # padding — identity blocks with zero quadrature weight
+                a_parts.append(jnp.zeros((pad, r1), x.dtype))
+                b_parts.append(jnp.zeros((pad, r1), x.dtype))
+            alphas = jnp.concatenate(a_parts, axis=0)
+            betas = jnp.concatenate(b_parts, axis=0)
+            val, alpha, solves, relres = finalize(
+                resid, carry, alphas, betas, probe_w, logdet_p, safe_bnorm
+            )
+            kg, xg, rg, s2g = grads(kernel, x, sigma2, alpha, solves, rights)
+            return val, relres, (kg, xg, rg, s2g)
+
+    return ChunkedMLL()
 
 
 # ---------------------------------------------------------------------------

@@ -500,3 +500,75 @@ def test_lazy_cg_diagnostics_reports_convergence_honestly():
         tol=1e-10, precond_rank=0, cross_fn=cross,
     )
     assert starved["relres_solve"] > good["relres_solve"] * 1e3
+
+
+def test_chunked_mll_matches_monolithic():
+    """Host-chunked MLL (make_chunked_mll — the past-the-execution-wall
+    driver, DESIGN §27) must reproduce the monolithic lazy_cg_mll value
+    AND gradients: chunked mBCG is the same scan re-entered, the SLQ
+    assembly identical, the backward the same fused panel sweep."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nonstationary_precip_tpu.ops.lazy_cg import make_chunked_mll
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_panel_vjp,
+    )
+
+    n = 256
+    x, y = _xy(n=n, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    le = jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float32)
+    aug = jnp.concatenate([x, le], axis=1)
+    s2 = jnp.asarray(0.05, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    cross = packed_gibbs_cross(2)
+    pvjp = packed_gibbs_panel_vjp(2)
+    # generous budget: the comparison needs a CONVERGED solve — the
+    # chunked programs legally reorder f32 reductions vs the monolithic
+    # scan, and an unconverged CG amplifies that rounding drift (first
+    # attempt: relres 1e-2 at 16 iters -> 2e-4 value drift)
+    kw = dict(block=64, num_probes=4, max_iters=64, tol=1e-9,
+              precond_rank=32, cross_fn=cross, panel_vjp=pvjp)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_m, (xg_m, rg_m, sg_m) = jax.value_and_grad(
+            lambda a, r, s: lazy_cg_mll_import(a, r, key, s, **kw),
+            argnums=(0, 1, 2),
+        )(aug, y, s2)
+
+        m = make_chunked_mll(
+            block=64, num_probes=4, chunk_iters=16, n_chunks=4, tol=1e-9,
+            precond_rank=32, precond="pivchol", precond_shift=1.0,
+            cross_fn=cross, matvec_builder=None, panel_vjp=pvjp,
+        )
+        v_c, relres, (kg, xg_c, rg_c, sg_c) = m.value_and_grad(
+            None, aug, y, s2, key, early_stop=False
+        )
+        v_e, relres_e, (_, xg_e, rg_e, sg_e) = m.value_and_grad(
+            None, aug, y, s2, key, early_stop=True
+        )
+
+    assert kg is None
+    np.testing.assert_allclose(float(v_c), float(v_m), rtol=1e-4)
+    assert float(jnp.max(relres)) < 1e-5  # converged at this budget
+    # grads: the chunked backward is the SAME fused panel sweep; drift
+    # comes only from the f32 solve inputs (alpha/solves) differing at
+    # rounding level between the re-entered and monolithic programs
+    np.testing.assert_allclose(
+        np.asarray(xg_c), np.asarray(xg_m), rtol=1e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rg_c), np.asarray(rg_m), rtol=1e-3, atol=3e-4
+    )
+    np.testing.assert_allclose(float(sg_c), float(sg_m), rtol=1e-3)
+    # early-stop path: identical answers once every column converged
+    np.testing.assert_allclose(float(v_e), float(v_c), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(xg_e), np.asarray(xg_c), rtol=1e-6, atol=1e-8
+    )
+
+
+def lazy_cg_mll_import(aug, r, key, s2, **kw):
+    from nonstationary_precip_tpu.ops.lazy_cg import lazy_cg_mll
+
+    return lazy_cg_mll(None, aug, r, key, s2, **kw)
