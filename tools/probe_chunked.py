@@ -2,7 +2,7 @@
 """Host-chunked large-N training probe (DESIGN.md 27): drive
 make_chunked_mll eagerly so no single device program outlives the axon
 worker's ~60-90 s execution wall.  Usage:
-  python tools/probe_chunked.py <n> <chunk_iters> <n_chunks> [steps]
+  python tools/probe_chunked.py <n> <chunk_iters> <n_chunks> [steps] [rank]
 Writes one JSON line per step to stdout and a summary row into
 tools/bench_cg.json under chunked-<n>-i<chunk*nc>."""
 import json, sys, time
@@ -27,6 +27,7 @@ def main():
     ci = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     nc = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     steps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    rank = int(sys.argv[5]) if len(sys.argv) > 5 else 1024
     wait_for_backend()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
@@ -38,7 +39,7 @@ def main():
     opt_state = opt.init(params)
     m = make_chunked_mll(
         block=2048, num_probes=8, chunk_iters=ci, n_chunks=nc, tol=1e-6,
-        precond_rank=1024, precond="nystrom", precond_shift=10.0,
+        precond_rank=rank, precond="nystrom", precond_shift=10.0,
         cross_fn=_gibbs_cross,
         matvec_builder=packed_gibbs_matvec_builder(2),
         panel_vjp=packed_gibbs_panel_vjp(2),
@@ -66,7 +67,7 @@ def main():
         losses.append(loss); times.append(dt)
         print(json.dumps({"step": i, "loss": loss, "s": round(dt, 1),
                           "relres_max": relres_last}), flush=True)
-    benchlog(f"chunked-lazygnys-r1024-i{ci*nc}x{nc}-s10-{n}",
+    benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}-s10-{n}",
              method="host-chunked-eager",
              s_per_step_median=round(sorted(times[1:])[len(times[1:]) // 2], 1)
              if len(times) > 1 else round(times[0], 1),
