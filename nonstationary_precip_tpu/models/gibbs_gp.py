@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -398,6 +400,8 @@ class GibbsExactGP:
         precond_shift: float = 1.0,
         fused_matvec: bool = True,
         prior_max_iters: int = 64,
+        chunk_iters: int | None = None,
+        n_chunks: int = 8,
     ):
         """Once-per-fit serving state for the large-N posterior — the
         amortization :meth:`posterior_matrixfree` lacks (it re-ran a
@@ -410,9 +414,18 @@ class GibbsExactGP:
         per-dim conditioning solves for the lengthscale field at new
         points (``LogNormalProcess.conditional_pre_matrixfree``).  Feed
         to :meth:`posterior_matrixfree_from_state` per query batch.
-        O(N·rank) memory, one-time cost ≈ one training step."""
+        O(N·rank) memory, one-time cost ≈ one training step.
+
+        ``chunk_iters`` (with ``n_chunks``) routes the α solve AND the
+        prior's conditioning solves through the host-chunked drivers
+        (``ops/lazy_cg.lazy_posterior_state_chunked``, DESIGN §27) — the
+        ONLY way to build serving state past the ~60–90 s execution
+        wall (N ≥ ~512k), and correct at any N."""
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
-        from nonstationary_precip_tpu.ops.lazy_cg import lazy_posterior_state
+        from nonstationary_precip_tpu.ops.lazy_cg import (
+            lazy_posterior_state,
+            lazy_posterior_state_chunked,
+        )
 
         d = x_train.shape[-1]
         aug = jnp.concatenate([x_train, self.log_ell], axis=1)
@@ -423,17 +436,29 @@ class GibbsExactGP:
             )
 
             builder = scaled_packed_gibbs_matvec_builder(d)
-        st = lazy_posterior_state(
-            self.raw_outputscale, aug, y_train, self.likelihood.noise,
-            block=block, max_iters=max_iters, tol=tol,
-            precond_rank=min(precond_rank, y_train.shape[-1]),
-            precond=precond, precond_key=precond_key,
-            precond_shift=precond_shift,
-            cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
-        )
+        if chunk_iters is not None:
+            st = lazy_posterior_state_chunked(
+                self.raw_outputscale, aug, y_train, self.likelihood.noise,
+                block=block, chunk_iters=chunk_iters, n_chunks=n_chunks,
+                tol=tol,
+                precond_rank=min(precond_rank, y_train.shape[-1]),
+                precond=precond, precond_key=precond_key,
+                precond_shift=precond_shift,
+                cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+            )
+        else:
+            st = lazy_posterior_state(
+                self.raw_outputscale, aug, y_train, self.likelihood.noise,
+                block=block, max_iters=max_iters, tol=tol,
+                precond_rank=min(precond_rank, y_train.shape[-1]),
+                precond=precond, precond_key=precond_key,
+                precond_shift=precond_shift,
+                cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+            )
         cond = self.prior.conditional_pre_matrixfree(
             (x_train, jnp.exp(self.log_ell)), prior_pre,
             block=block, max_iters=prior_max_iters, tol=tol,
+            chunk_iters=chunk_iters,
         )
         return st, cond
 
@@ -449,6 +474,9 @@ class GibbsExactGP:
         tol: float = 1e-6,
         precond_shift: float = 1.0,
         fused_matvec: bool = True,
+        return_info: bool = False,
+        chunk_iters: int | None = None,
+        n_chunks: int = 8,
     ):
         """:meth:`posterior_matrixfree` from a prebuilt state: per query
         batch only (a) one panel sweep for the conditional lengthscale
@@ -457,9 +485,18 @@ class GibbsExactGP:
         with N* right-hand sides at the auto budget (16 iters N ≤ 32768,
         32 above; the old path paid a flat 64 plus the mean solve plus
         the factor build).  ``mean_only=True`` returns the (N*,) mean
-        with NO solve at all.  Same +1e-4 I stabiliser semantics."""
+        with NO solve at all.  Same +1e-4 I stabiliser semantics.
+
+        ``return_info=True`` appends the convergence-evidence dict from
+        ``ops/lazy_cg.lazy_posterior_query`` (relres of the variance
+        solves + the state's α-solve relres) — the auto budget is a
+        fixed-length scan, so gate served output on ``relres_max``, not
+        on faith (ADVICE r4)."""
         from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
-        from nonstationary_precip_tpu.ops.lazy_cg import lazy_posterior_query
+        from nonstationary_precip_tpu.ops.lazy_cg import (
+            lazy_posterior_query,
+            lazy_posterior_query_chunked,
+        )
 
         st, cond = state
         d = x_new.shape[-1]
@@ -475,19 +512,36 @@ class GibbsExactGP:
             )
 
             builder = scaled_packed_gibbs_matvec_builder(d)
-        mean, cov = lazy_posterior_query(
-            st, aug_new, mean_only=mean_only, block=block,
-            max_iters=max_iters, tol=tol, precond_shift=precond_shift,
-            cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
-        )
+        if chunk_iters is not None:
+            # past-the-wall variance solves (DESIGN §27); the mean path
+            # is solve-free either way
+            out = lazy_posterior_query_chunked(
+                st, aug_new, mean_only=mean_only, block=block,
+                chunk_iters=chunk_iters, n_chunks=n_chunks, tol=tol,
+                precond_shift=precond_shift,
+                cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+                return_info=return_info,
+            )
+        else:
+            out = lazy_posterior_query(
+                st, aug_new, mean_only=mean_only, block=block,
+                max_iters=max_iters, tol=tol, precond_shift=precond_shift,
+                cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+                return_info=return_info,
+            )
+        info = None
+        if return_info:
+            mean, cov, info = out
+        else:
+            mean, cov = out
         if mean_only:
-            return mean
+            return (mean, info) if return_info else mean
         cov = cov + 1e-4 * jnp.eye(cov.shape[-1], dtype=cov.dtype)
         if not noiseless:
             cov = cov + self.likelihood.noise * jnp.eye(
                 cov.shape[-1], dtype=cov.dtype
             )
-        return MVN(mean, cov)
+        return (MVN(mean, cov), info) if return_info else MVN(mean, cov)
 
     def lengthscale_field(self, x_train, x_new=None):
         """Trained (or conditionally extended) lengthscale field, (N, D) —
@@ -496,6 +550,213 @@ class GibbsExactGP:
         if x_new is None:
             return ell
         return self.prior.conditional_mean(x_new, (x_train, ell))
+
+
+# ---------------------------------------------------------------------------
+# host-chunked MAP loss: the product surface for N past the execution wall
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _chunked_assemble_jit(d: int, include_prior: bool):
+    """loss + model-pytree gradients from the chunked phase outputs — ONE
+    jitted program per (d, prior?) (stable identity via lru_cache so fit
+    loops never retrace across steps)."""
+    import math
+
+    @jax.jit
+    def assemble(model, x, y, kg, xg, s2g, val, diff, alphas, logdet):
+        n = x.shape[0]
+        if include_prior:
+            # prior log-prob (÷N, the reference's convention — priors/
+            # lognormal_process.log_prob_matrixfree) from the chunked
+            # per-dim solves: quad_d = diff_d · α_d, logdet the hoisted
+            # constant
+            quad = jnp.sum(diff * alphas, axis=1)  # (D,)
+            lp = jnp.sum(
+                -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
+            ) / n
+        else:
+            lp = jnp.asarray(0.0, x.dtype)
+        loss = -(val + lp) / n
+        # d lp/d log_ell[:, dim] = −α_dim / n (exact at convergence —
+        # the same linearised-at-the-solution pullback lazy_cg_quad's
+        # custom VJP uses); fold into the aug cotangent, then pull the
+        # whole thing back through the parameter transforms in one vjp
+        xg_aug = xg.at[:, d:].add(-(alphas.T) / n)
+
+        def heads(m):
+            return (
+                m.raw_outputscale,
+                jnp.concatenate([x, m.log_ell], axis=1),
+                m.likelihood.noise,
+            )
+
+        _, pull = jax.vjp(heads, model)
+        (g,) = pull((kg, xg_aug, s2g))
+        g = jax.tree.map(lambda t: (-1.0 / n) * t, g)
+        return loss, g
+
+    return assemble
+
+
+@jax.jit
+def _prior_prep(prior, x, log_ell):
+    """Device-side prep for the chunked prior solves: sliced inputs,
+    positive per-dim hypers, diff rows — one dispatch, not many."""
+    xs = prior._slice(x)
+    ell = positive(prior.raw_lengthscale)
+    s2 = positive(prior.raw_outputscale)
+    diff = log_ell.T - prior.mean(x).T  # (D, N)
+    return xs, ell, s2, diff
+
+
+class ChunkedMAPLoss:
+    """Host-chunked :meth:`GibbsExactGP.loss_matrixfree` — the SAME MAP
+    estimand (matrix-free MLL + frozen-prior log-prob, both ÷N) driven
+    eagerly from the host so no single device program outlives the axon
+    worker's ~60–90 s execution wall (DESIGN.md §27–28: the regime that
+    trains N = 524288 at the full budget and N = 1,048,576 at all).
+
+    Build once per fit via :func:`make_chunked_map_loss`; each
+    ``value_and_grad(model, x, y, prior_pre, key)`` returns
+    ``(loss, grads, info)`` with ``grads`` a model-pytree (feed optax
+    directly — ``train/optim.fit_chunked`` does), and ``info`` carrying
+    the convergence EVIDENCE (``relres_mll`` per RHS, ``relres_prior``
+    per dim) that the monolithic path surfaces through
+    ``lazy_cg_diagnostics``.  NOT jittable — it IS the orchestrator.
+
+    This is the model-level surface for the reference's
+    ``gpytorch.settings.max_cg_iterations``-at-any-N workflow
+    (reference ``experiments/spatial_exp.py:199``) past one-program
+    scale; see MIGRATION.md."""
+
+    def __init__(self, d, mll_machinery, prior_solve, include_prior,
+                 fused: bool):
+        self._d = d
+        self._mll = mll_machinery
+        self._prior_solve = prior_solve
+        self._include_prior = include_prior
+        self.fused = fused
+
+    def value_and_grad(self, model, x, y, prior_pre=None, key=None,
+                       pkey=None, early_stop=True):
+        from nonstationary_precip_tpu.priors.lognormal_process import (
+            _COND_JITTER,
+        )
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        d = self._d
+        aug = jnp.concatenate([x, model.log_ell], axis=1)
+        val, relres, (kg, xg, rg, s2g) = self._mll.value_and_grad(
+            model.raw_outputscale, aug, y, model.likelihood.noise, key,
+            pkey, early_stop=early_stop,
+        )
+        n = x.shape[0]
+        if self._include_prior:
+            if prior_pre is None:
+                raise ValueError(
+                    "ChunkedMAPLoss was built with include_prior=True — "
+                    "pass prior_pre (GibbsExactGP.prior_pre_matrixfree, "
+                    "hoisted once per fit)"
+                )
+            lpc, logdet = prior_pre
+            xs, ell, s2p, diff = _prior_prep(model.prior, x, model.log_ell)
+            jitter = jnp.asarray(_COND_JITTER, x.dtype)
+            alphas, rr_prior = [], []
+            for dim in range(diff.shape[0]):
+                sol, rr = self._prior_solve(
+                    (ell[dim], s2p[dim]), xs, diff[dim][:, None], jitter,
+                    lpc[dim], early_stop=early_stop,
+                )
+                alphas.append(sol[:, 0])
+                rr_prior.append(rr[0])
+            alphas = jnp.stack(alphas)
+            rr_prior = jnp.stack(rr_prior)
+        else:
+            dd = model.log_ell.shape[1]
+            alphas = jnp.zeros((dd, n), x.dtype)
+            diff = jnp.zeros((dd, n), x.dtype)
+            logdet = jnp.zeros((dd,), x.dtype)
+            rr_prior = jnp.zeros((dd,), x.dtype)
+        loss, grads = _chunked_assemble_jit(d, self._include_prior)(
+            model, x, y, kg, xg, s2g, val, diff, alphas, logdet
+        )
+        info = {
+            "mll": val,
+            "relres_mll": relres,
+            "relres_prior": rr_prior,
+            "relres_max": jnp.maximum(
+                jnp.max(relres),
+                jnp.max(rr_prior) if self._include_prior else 0.0,
+            ),
+        }
+        return loss, grads, info
+
+
+def make_chunked_map_loss(
+    d: int,
+    *,
+    block: int = 2048,
+    num_probes: int = 8,
+    chunk_iters: int = 8,
+    n_chunks: int = 4,
+    tol: float = 1e-6,
+    precond_rank: int = 1024,
+    precond: str = "nystrom",
+    precond_shift: float = 10.0,
+    include_prior: bool = True,
+    prior_chunk_iters: int = 8,
+    prior_n_chunks: int = 8,
+    prior_precond_shift: float = 1.0,
+    fused_matvec: bool = True,
+    matvec_precision: str = "highest",
+) -> ChunkedMAPLoss:
+    """Build a :class:`ChunkedMAPLoss` for d-dimensional inputs.
+
+    Defaults are the measured flagship large-N configuration
+    (tools/bench_cg.json ``chunked-lazygnys`` rows: Nyström rank 1024,
+    shift 10, 8-iteration chunks — the config that trains N = 1,048,576
+    on one chip).  ``chunk_iters × n_chunks`` is the TOTAL mBCG budget;
+    size ``chunk_iters`` so one chunk program (≈ chunk_iters O(N²)
+    matvecs) stays under the ~60–90 s wall at your N.  For N below the
+    wall prefer :meth:`GibbsExactGP.loss_matrixfree` (one compiled
+    program per step, jit/scan-able).
+
+    ``fused_matvec=False`` (or CPU) runs the jnp panel paths throughout
+    — same estimator, Mosaic-free.  The prior solves always use jnp
+    panels (the per-dim stationary Gram is write-roofline cheap for
+    XLA; the fused SE kernel measured SLOWER, DESIGN §15)."""
+    from nonstationary_precip_tpu.kernels.gibbs import packed_gibbs_cross
+    from nonstationary_precip_tpu.ops.lazy_cg import (
+        make_chunked_mll,
+        make_chunked_solve,
+    )
+    from nonstationary_precip_tpu.priors.lognormal_process import _dim_cross
+
+    builder = None
+    panel_vjp = None
+    if fused_matvec:
+        from nonstationary_precip_tpu.ops.pallas_matvec import (
+            packed_gibbs_panel_vjp,
+            scaled_packed_gibbs_matvec_builder,
+        )
+
+        builder = scaled_packed_gibbs_matvec_builder(d, matvec_precision)
+        panel_vjp = packed_gibbs_panel_vjp(d)
+    mll = make_chunked_mll(
+        block=block, num_probes=num_probes, chunk_iters=chunk_iters,
+        n_chunks=n_chunks, tol=tol, precond_rank=precond_rank,
+        precond=precond, precond_shift=precond_shift,
+        cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
+        panel_vjp=panel_vjp,
+    )
+    prior_solve = make_chunked_solve(
+        block, prior_chunk_iters, prior_n_chunks, tol, _dim_cross, None,
+        prior_precond_shift,
+    )
+    return ChunkedMAPLoss(d, mll, prior_solve, include_prior, fused_matvec)
 
 
 def gibbs_map_loss_batched(models, x, y, prior_pre):

@@ -509,6 +509,69 @@ def lazy_cg_mll(
 
 
 @functools.lru_cache(maxsize=16)
+def make_jnp_panel_vjp(cross_fn: Callable, block: int):
+    """The MLL backward panel sweep as a plain-jnp panel scan with the
+    SAME contract as ``ops/pallas_matvec.packed_gibbs_panel_vjp``:
+
+        panel_vjp(kernel, x, sigma2, alpha, solves, rights, g)
+            -> (kernel_grad, x_grad, sigma2_grad)
+
+    Exactly ``core_bwd``'s non-fused branch (the symmetrised rank-(1+2R)
+    cotangent per (block, N) panel, pulled back through ``cross_fn`` via
+    jax.vjp), factored out so the host-chunked driver can run WITHOUT the
+    Pallas sweep — the CPU/portability fallback for
+    :func:`make_chunked_mll` (the fused sweep is Mosaic-only).  Stable
+    identity per (cross_fn, block) via lru_cache."""
+
+    def panel_vjp(kernel, x, sigma2, alpha, solves, rights, g):
+        n, d = x.shape
+        blk = min(block, n)
+        check_divisible(n, blk, "x", "row-panel block")
+        nb = n // blk
+        r = rights.shape[-1]
+        x_panels = x.reshape(nb, blk, d)
+        alpha_p = alpha.reshape(nb, blk)
+        solves_p = solves.reshape(nb, blk, r)
+        rights_p = rights.reshape(nb, blk, r)
+        if kernel is None:
+            kern0, unwrap = (), (lambda kg: None)
+        else:
+            kern0, unwrap = kernel, (lambda kg: kg)
+
+        def body(carry, inp):
+            kg_acc, xf_acc, s2_acc = carry
+            i, x_blk, a_l, s_l, r_l = inp
+            kbar_l = 0.5 * jnp.outer(a_l, alpha) - (0.25 / r) * (
+                s_l @ rights.T + r_l @ solves.T
+            )
+
+            def build(kern, xb, xf, s2):
+                k = kern if kernel is not None else None
+                return _panel(k, xb, xf, s2, i * blk, cross_fn)
+
+            _, vjp = jax.vjp(build, kern0, x_blk, x, sigma2)
+            kg, xbg, xfg, s2g = vjp(g * kbar_l)
+            carry = (
+                jax.tree.map(jnp.add, kg_acc, kg),
+                xf_acc + xfg,
+                s2_acc + s2g,
+            )
+            return carry, xbg
+
+        init = (
+            jax.tree.map(jnp.zeros_like, kern0),
+            jnp.zeros_like(x),
+            jnp.zeros_like(sigma2),
+        )
+        (kg, xfg, s2g), xbg = jax.lax.scan(
+            body, init, (jnp.arange(nb), x_panels, alpha_p, solves_p, rights_p)
+        )
+        return unwrap(kg), xbg.reshape(n, d) + xfg, s2g
+
+    return panel_vjp
+
+
+@functools.lru_cache(maxsize=16)
 def make_chunked_mll(
     block: int,
     num_probes: int,
@@ -533,9 +596,11 @@ def make_chunked_mll(
       chunk ×k — ``chunk_iters`` mBCG iterations (``ops/bbmm.mbcg_chunk``
                  — bitwise the monolithic scan, same ops same order)
       finalize — SLQ logdet + MLL value + relres evidence
-      grads    — the fused backward panel sweep (``panel_vjp`` REQUIRED:
-                 one launch, well under the wall) + the trace-identity
-                 σ²/resid gradients, exactly ``core_bwd``'s math at g=1
+      grads    — the backward panel sweep (the fused Pallas sweep when
+                 ``panel_vjp`` is given — one launch, well under the
+                 wall — else the jnp fallback, :func:`make_jnp_panel_vjp`)
+                 + the trace-identity σ²/resid gradients, exactly
+                 ``core_bwd``'s math at g=1
 
     Returns an object whose ``value_and_grad(kernel, x, resid, sigma2,
     key, pkey)`` returns ``(val, relres, (kernel_g, x_g, resid_g,
@@ -547,20 +612,27 @@ def make_chunked_mll(
     monolithic scan already has), so the fixed budget becomes an upper
     bound instead of a cost."""
     if panel_vjp is None:
-        raise ValueError(
-            "make_chunked_mll needs the fused panel_vjp backward — the "
-            "jax.vjp panel scan lives inside the monolithic custom VJP "
-            "and is not available to the host-chunked driver"
-        )
+        # portability fallback (CPU tests / serve without Mosaic): the
+        # same symmetrised panel sweep as core_bwd, plain jnp — pass the
+        # fused ops/pallas_matvec.packed_gibbs_panel_vjp on chip
+        panel_vjp = make_jnp_panel_vjp(cross_fn, block)
     use_pre = precond_rank > 0
 
-    @jax.jit
-    def setup(kernel, x, resid, sigma2, key, pkey):
+    def _make_setup(keyed: bool):
+      # keyed-ness must be STATIC (build_precond_factor branches on
+      # key-is-None at trace time: greedy vs RPCholesky pivots, stride vs
+      # sampled landmarks) — and it must match lazy_cg_mll, which passes
+      # precond_key through UNCONDITIONALLY, so the chunked driver
+      # preconditions with the same factor the monolithic path certifies
+      # (ADVICE r4: the old `pkey if nystrom else None` silently swapped
+      # a keyed pivchol config to greedy pivots).
+      @jax.jit
+      def setup(kernel, x, resid, sigma2, key, pkey):
         n = x.shape[0]
         if use_pre:
             lpc = build_precond_factor(
                 precond, kernel, x, precond_rank, cross_fn,
-                pkey if precond == "nystrom" else None,
+                pkey if keyed else None,
             )
             c = precond_shift * sigma2
             minv = _woodbury(lpc, c)
@@ -578,6 +650,11 @@ def make_chunked_mll(
         minv2 = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
         _, safe_bnorm, carry0 = mbcg_init(rhs, minv2)
         return lpc, rights, probe_w, logdet_p, safe_bnorm, carry0
+
+      return setup
+
+    setup_keyed = _make_setup(True)
+    setup_unkeyed = _make_setup(False)
 
     @jax.jit
     def chunk(kernel, x, sigma2, lpc, safe_bnorm, carry):
@@ -618,6 +695,11 @@ def make_chunked_mll(
                            pkey=None, early_stop=True):
             import numpy as _np
 
+            # pkey=None keeps lazy_cg_mll's default factor (greedy pivots /
+            # stride landmarks); an explicit pkey selects the keyed rules
+            # (RPCholesky pivots / sampled landmarks) — same contract as
+            # the monolithic path, so diagnostics certify THIS factor.
+            setup = setup_unkeyed if pkey is None else setup_keyed
             if pkey is None:
                 pkey = jax.random.PRNGKey(0)
             lpc, rights, probe_w, logdet_p, safe_bnorm, carry = setup(
@@ -650,6 +732,211 @@ def make_chunked_mll(
             return val, relres, (kg, xg, rg, s2g)
 
     return ChunkedMLL()
+
+
+@functools.lru_cache(maxsize=32)
+def make_chunked_solve(
+    block: int,
+    chunk_iters: int,
+    n_chunks: int,
+    tol: float,
+    cross_fn: Callable,
+    matvec_builder: Optional[Callable] = None,
+    precond_shift: float = 1.0,
+):
+    """Host-chunked preconditioned CG solve ``(K(x,x) + σ²I) X = B`` over a
+    lazy operator — the single building block every past-the-wall phase
+    shares (DESIGN.md §27: one device program executing ≳60–90 s crashes
+    the axon worker, so at N ≥ ~512k any CG budget must re-enter from the
+    host every few iterations).  :func:`make_chunked_mll` embeds its own
+    copy fused with the SLQ bookkeeping; this standalone form serves the
+    OTHER solves the product needs at that scale: the prior quadratic
+    (``LogNormalProcess.log_prob`` term), the posterior-state α solve and
+    the variance block solves.
+
+    Returns a host-driven callable ``solve(kernel, x, rhs, sigma2, lpc,
+    early_stop=True) -> (X, relres)`` — ``rhs`` (N, R), ``lpc`` (N, rank)
+    preconditioner factor or (N, 0) for none; ``X`` NaN-poisoned on CG
+    breakdown, ``relres`` (R,) final relative residuals (evidence, not
+    faith).  Bitwise the monolithic :func:`ops.bbmm.mbcg` under the same
+    budget (``mbcg_chunk`` is the same scan re-entered).  NOT jittable —
+    it IS the host orchestrator; identities of ``cross_fn`` /
+    ``matvec_builder`` must be stable (module-level) or every call
+    recompiles."""
+
+    @jax.jit
+    def init(rhs, sigma2, lpc):
+        minv = (
+            _woodbury(lpc, precond_shift * sigma2)
+            if lpc.shape[-1] > 0 else None
+        )
+        return mbcg_init(rhs, minv)
+
+    @jax.jit
+    def chunk(kernel, x, sigma2, lpc, safe_bnorm, carry):
+        if matvec_builder is not None:
+            matvec = matvec_builder(kernel, x, sigma2)
+        else:
+            blk = min(block, x.shape[0])
+            check_divisible(x.shape[0], blk, "x", "row-panel block")
+            matvec = _lazy_matvec(kernel, x, sigma2, blk, cross_fn)
+        minv = (
+            _woodbury(lpc, precond_shift * sigma2)
+            if lpc.shape[-1] > 0 else None
+        )
+        return mbcg_chunk(matvec, carry, chunk_iters, tol, safe_bnorm, minv)
+
+    @jax.jit
+    def final(carry, safe_bnorm):
+        xsol, res, broke = carry[0], carry[1], carry[7]
+        relres = jnp.linalg.norm(res, axis=0) / safe_bnorm
+        xsol = jnp.where(jnp.any(broke), jnp.nan, xsol)
+        return xsol, relres
+
+    class ChunkedSolve:
+        def __call__(self, kernel, x, rhs, sigma2, lpc, early_stop=True):
+            import numpy as _np
+
+            _, safe_bnorm, carry = init(rhs, sigma2, lpc)
+            for _ in range(n_chunks):
+                carry, _ = chunk(kernel, x, sigma2, lpc, safe_bnorm, carry)
+                # done flags are (R,) bools — a tiny fetch per chunk buys
+                # skipping every remaining O(N²)-matvec chunk program
+                if early_stop and bool(_np.asarray(carry[5]).all()):
+                    break
+            return final(carry, safe_bnorm)
+
+    return ChunkedSolve()
+
+
+def lazy_posterior_state_chunked(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    *,
+    block: int = 2048,
+    chunk_iters: int = 8,
+    n_chunks: int = 8,
+    tol: float = 1e-8,
+    precond_rank: int = 150,
+    precond: str = "pivchol",
+    precond_key: Optional[jax.Array] = None,
+    precond_shift: float = 1.0,
+    precond_lpc: Optional[jnp.ndarray] = None,
+    cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
+) -> LazyPosteriorState:
+    """:func:`lazy_posterior_state` for N past the execution wall: the α
+    solve runs host-chunked (``chunk_iters`` iterations per device
+    program, ≤ ``n_chunks`` programs, early-stopped), so no single
+    program exceeds the ~60–90 s axon wall even at N = 1M+ where the
+    monolithic 64-iteration solve cannot run.  The returned state is the
+    same pytree (α relres included) — feed to
+    :func:`lazy_posterior_query` with ``mean_only=True`` (no further
+    solve), or to :func:`lazy_posterior_query_chunked` for variances."""
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+    precond_rank = min(precond_rank, n)
+    kernel = jax.tree.map(jax.lax.stop_gradient, kernel)
+    x = jax.lax.stop_gradient(x)
+    sigma2 = jax.lax.stop_gradient(sigma2)
+    if precond_rank > 0:
+        if precond_lpc is not None:
+            lpc = jax.lax.stop_gradient(precond_lpc)
+        else:
+            # one O(N·rank²) program — far under the wall at any probed N
+            lpc = jax.lax.stop_gradient(
+                build_precond_factor(
+                    precond, kernel, x, precond_rank, cross, precond_key
+                )
+            )
+    else:
+        lpc = jnp.zeros((n, 0), x.dtype)
+    solve = make_chunked_solve(
+        block, chunk_iters, n_chunks, tol, cross, matvec_builder,
+        precond_shift,
+    )
+    sol, relres = solve(kernel, x, resid[:, None], sigma2, lpc)
+    return LazyPosteriorState(kernel, x, sol[:, 0], lpc, sigma2, relres[0])
+
+
+@functools.lru_cache(maxsize=32)
+def _query_mean_jit(cross_fn):
+    # cached per cross identity: a per-call closure would retrace (and on
+    # axon re-COMPILE) every query batch
+    @jax.jit
+    def mean_of(st_x, st_alpha, kern, xt):
+        b = cross_fn(kern, st_x, xt)
+        return b.T @ st_alpha, b
+
+    return mean_of
+
+
+@functools.lru_cache(maxsize=32)
+def _query_cov_jit(cross_fn):
+    @jax.jit
+    def cov_of(kern, xt, b, s):
+        ct = b.T @ s
+        return cross_fn(kern, xt, xt) - 0.5 * (ct + ct.T)
+
+    return cov_of
+
+
+def lazy_posterior_query_chunked(
+    state: LazyPosteriorState,
+    x_test: jnp.ndarray,
+    *,
+    mean_only: bool = False,
+    block: int = 2048,
+    chunk_iters: int = 8,
+    n_chunks: int = 8,
+    tol: float = 1e-6,
+    precond_shift: float = 1.0,
+    cross_fn: Optional[Callable] = None,
+    matvec_builder: Optional[Callable] = None,
+    return_info: bool = False,
+):
+    """:func:`lazy_posterior_query` with the variance block solve run
+    host-chunked (the mean needs no solve either way).  Use past the
+    execution wall, where a monolithic N*-RHS mBCG program cannot run.
+    Same return conventions, including ``return_info``."""
+    kernel, x, alpha, lpc, sigma2, alpha_relres = state
+    n = x.shape[0]
+    block = min(block, n)
+    check_divisible(n, block, "x", "row-panel block")
+    cross = cross_fn or default_cross
+    warn_unstable_cross_fn(cross)
+
+    mean, b_cols = _query_mean_jit(cross)(x, alpha, kernel, x_test)
+    if mean_only:
+        if return_info:
+            info = {
+                "relres": jnp.zeros((0,), mean.dtype),
+                "relres_max": jnp.asarray(alpha_relres, mean.dtype),
+                "broke": jnp.asarray(False),
+            }
+            return mean, None, info
+        return mean, None
+    solve = make_chunked_solve(
+        block, chunk_iters, n_chunks, tol, cross, matvec_builder,
+        precond_shift,
+    )
+    sol, relres = solve(kernel, x, b_cols, sigma2, lpc)
+    cov = _query_cov_jit(cross)(kernel, x_test, b_cols, sol)
+    if return_info:
+        info = {
+            "relres": relres,
+            "relres_max": jnp.maximum(
+                jnp.max(relres), jnp.asarray(alpha_relres, relres.dtype)
+            ),
+            "broke": jnp.any(jnp.isnan(sol[0])),
+        }
+        return mean, cov, info
+    return mean, cov
 
 
 # ---------------------------------------------------------------------------
@@ -692,7 +979,7 @@ def _diag_inner_jit(block, num_probes, max_iters, tol, precond_rank, cross_fn,
 
 @functools.lru_cache(maxsize=32)
 def _diag_full_jit(block, num_probes, max_iters, tol, precond_rank, cross_fn,
-                   matvec_builder, precond_shift, precond):
+                   matvec_builder, precond_shift, precond, keyed=False):
     inner = _diag_machinery(
         block, num_probes, max_iters, tol, precond_rank, cross_fn,
         matvec_builder, precond_shift,
@@ -702,9 +989,12 @@ def _diag_full_jit(block, num_probes, max_iters, tol, precond_rank, cross_fn,
     def full(kernel, x, resid, key, sigma2, pkey):
         n = x.shape[0]
         if precond_rank > 0:
+            # keyed-ness mirrors lazy_cg_mll's unconditional precond_key
+            # pass-through (ADVICE r4: the old `if nystrom else None`
+            # certified a greedy-pivot factor for keyed pivchol configs)
             lpc = build_precond_factor(
                 precond, kernel, x, precond_rank, cross_fn,
-                pkey if precond == "nystrom" else None,
+                pkey if keyed else None,
             )
             probes = sample_precond_probes(
                 key, lpc, precond_shift * sigma2, num_probes
@@ -769,6 +1059,7 @@ def lazy_cg_diagnostics(
         fn = _diag_full_jit(
             block, num_probes, max_iters, tol, precond_rank, cross,
             matvec_builder, precond_shift, precond,
+            keyed=precond_key is not None,
         )
         pkey = precond_key if precond_key is not None else jax.random.PRNGKey(0)
         residnorm, iters, broke = fn(kernel, x, resid, key, sigma2, pkey)
@@ -1037,6 +1328,10 @@ class LazyPosteriorState(NamedTuple):
     alpha: jnp.ndarray   # (N,)   (K + σ²I)⁻¹ resid
     lpc: jnp.ndarray     # (N, rank) preconditioner factor ((N, 0) if none)
     sigma2: jnp.ndarray  # scalar ridge
+    # relative residual of the α solve — convergence EVIDENCE riding with
+    # the state (ADVICE r4: mbcg freezes silently on non-convergence, so
+    # a served mean must carry proof its one solve converged)
+    alpha_relres: jnp.ndarray = jnp.nan
 
 
 def _auto_budget(n: int) -> int:
@@ -1096,7 +1391,8 @@ def lazy_posterior_state(
     res = mbcg(matvec, resid[:, None], max_iters=max_iters, tol=tol,
                precond=minv)
     alpha = jnp.where(jnp.any(res.broke), jnp.nan, res.x[:, 0])
-    return LazyPosteriorState(kernel, x, alpha, lpc, sigma2)
+    return LazyPosteriorState(kernel, x, alpha, lpc, sigma2,
+                              res.residnorm[0])
 
 
 def lazy_posterior_query(
@@ -1110,6 +1406,7 @@ def lazy_posterior_query(
     precond_shift: float = 1.0,
     cross_fn: Optional[Callable] = None,
     matvec_builder: Optional[Callable] = None,
+    return_info: bool = False,
 ):
     """(mean, cov) at ``x_test`` from a prebuilt state.
 
@@ -1117,8 +1414,16 @@ def lazy_posterior_query(
     (``mean_only=True`` returns ``(mean, None)`` and never solves).
     cov needs K⁻¹Kₓ*: one preconditioned mBCG with N* right-hand sides at
     the auto budget, reusing the state's factor.  Chunk ``x_test`` for
-    very large query sets; footprint is O(block·N + N·N*)."""
-    kernel, x, alpha, lpc, sigma2 = state
+    very large query sets; footprint is O(block·N + N·N*).
+
+    ``return_info=True`` appends a dict of convergence EVIDENCE —
+    ``{"relres": (N*,) final relative residuals of the variance solves
+    (empty when mean_only), "relres_max": scalar worst case INCLUDING the
+    state's α solve, "broke": any-column breakdown flag}`` — because
+    ``mbcg`` is a fixed-length scan that freezes silently on
+    non-convergence (ADVICE r4): serving at the auto budget must gate on
+    this, not on faith.  All values are arrays (jit-safe)."""
+    kernel, x, alpha, lpc, sigma2, alpha_relres = state
     n = x.shape[0]
     block = min(block, n)
     check_divisible(n, block, "x", "row-panel block")
@@ -1127,6 +1432,13 @@ def lazy_posterior_query(
     b_cols = cross(kernel, x, x_test)  # (N, N*)
     mean = b_cols.T @ alpha
     if mean_only:
+        if return_info:
+            info = {
+                "relres": jnp.zeros((0,), mean.dtype),
+                "relres_max": jnp.asarray(alpha_relres, mean.dtype),
+                "broke": jnp.asarray(False),
+            }
+            return mean, None, info
         return mean, None
     if max_iters is None:
         max_iters = _auto_budget(n)
@@ -1142,4 +1454,16 @@ def lazy_posterior_query(
     k_ss = cross(kernel, x_test, x_test)
     cov = k_ss - 0.5 * (cov_term + cov_term.T)
     bad = jnp.any(res.broke)
-    return jnp.where(bad, jnp.nan, mean), jnp.where(bad, jnp.nan, cov)
+    mean = jnp.where(bad, jnp.nan, mean)
+    cov = jnp.where(bad, jnp.nan, cov)
+    if return_info:
+        info = {
+            "relres": res.residnorm,
+            "relres_max": jnp.maximum(
+                jnp.max(res.residnorm),
+                jnp.asarray(alpha_relres, res.residnorm.dtype),
+            ),
+            "broke": bad,
+        }
+        return mean, cov, info
+    return mean, cov

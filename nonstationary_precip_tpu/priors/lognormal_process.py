@@ -213,6 +213,7 @@ class LogNormalProcess:
         max_iters: int = 256,
         tol: float = 1e-10,
         precond_shift: float = 1.0,
+        chunk_iters: int | None = None,
     ) -> jnp.ndarray:
         """The QUERY-INDEPENDENT half of :meth:`conditional_mean_matrixfree`:
         per-dim conditioning solves αᵈ = (Kᵈ(x_g,x_g) + 1e-4 I)⁻¹
@@ -242,6 +243,23 @@ class LogNormalProcess:
         alphas = []
         for dim in range(self.mean_const.shape[0]):
             params = (ell[dim], s2[dim])
+            if chunk_iters is not None:
+                # past-the-wall route (DESIGN §27): the same solve as
+                # host-chunked phases, no device program over the budget
+                from nonstationary_precip_tpu.ops.lazy_cg import (
+                    make_chunked_solve,
+                )
+
+                solve = make_chunked_solve(
+                    blk, chunk_iters, -(-max_iters // chunk_iters), tol,
+                    _dim_cross, None, precond_shift,
+                )
+                sol, _ = solve(
+                    params, xgs, resid[dim][:, None], jitter,
+                    jax.lax.stop_gradient(lpc[dim]),
+                )
+                alphas.append(sol[:, 0])
+                continue
             matvec = _lazy_matvec(params, xgs, jitter, blk, _dim_cross)
             minv = _woodbury(
                 jax.lax.stop_gradient(lpc[dim]), precond_shift * jitter

@@ -87,6 +87,22 @@ class ServeConfig(ExperimentConfig):
     matrixfree: bool = False
     precond_rank: int = 150
     precond_shift: float = 1.0
+    # past-the-execution-wall serving (gibbs_exact + --matrixfree only):
+    # --chunked true drives fit AND predict through the host-chunked
+    # phases (models.gibbs_gp.make_chunked_map_loss / fit_chunked,
+    # DESIGN §27-28) — REQUIRED for N ≥ ~512k on axon, where any single
+    # device program holding the full CG budget crashes the worker; valid
+    # (same estimator) at any N.  --chunk_iters sizes one device program
+    # (≈ chunk_iters O(N²) matvecs — keep it under the ~60-90 s wall at
+    # your N); chunk_iters × n_chunks is the total mBCG budget.  The
+    # flagship 1M config: --chunked true --precond_rank 1024
+    # --precond nystrom --precond_shift 10
+    chunked: bool = False
+    chunk_iters: int = 8
+    n_chunks: int = 4
+    # preconditioner factor rule: pivchol | nystrom | "" = auto (pivchol
+    # up to rank 200, nystrom above — the measured crossover, DESIGN §20-21)
+    precond: str = ""
 
 
 def _lazy_block(n: int, cap: int = 2048) -> int:
@@ -177,12 +193,28 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
             # the fused Gram·v Pallas kernels are Mosaic (TPU) programs;
             # CPU serves fall back to the jnp row panels automatically
             fused = jax.default_backend() != "cpu"
+            precond = cfg.precond or ("nystrom" if rank > 200 else "pivchol")
+            if cfg.chunked:
+                # the host-chunked product path (DESIGN §27-28): the
+                # SAME MAP estimand, driven as per-chunk device programs
+                from nonstationary_precip_tpu.models.gibbs_gp import (
+                    make_chunked_map_loss,
+                )
+
+                loss_obj = make_chunked_map_loss(
+                    d, block=blk, num_probes=8,
+                    chunk_iters=cfg.chunk_iters, n_chunks=cfg.n_chunks,
+                    tol=1e-6, precond_rank=rank, precond=precond,
+                    precond_shift=cfg.precond_shift,
+                    include_prior=True, fused_matvec=fused,
+                )
+                return model, loss_obj, model.trainable(), (pre,)
             return (
                 model,
                 (
                     lambda m, xx, yy, pc: m.loss_matrixfree(
                         xx, yy, kfix, pc, block=blk,
-                        precond_rank=rank,
+                        precond_rank=rank, precond=precond,
                         precond_shift=cfg.precond_shift,
                         fused_matvec=fused,
                     )
@@ -230,8 +262,30 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
 
 
 def _fit(name: str, model, loss_fn, mask, train_x, train_y, cfg: ServeConfig, key, extra=()):
+    from nonstationary_precip_tpu.models.gibbs_gp import ChunkedMAPLoss
     from nonstationary_precip_tpu.train import fit
-    from nonstationary_precip_tpu.train.optim import fit_minibatched
+    from nonstationary_precip_tpu.train.optim import fit_chunked, fit_minibatched
+
+    if isinstance(loss_fn, ChunkedMAPLoss):
+        import jax
+
+        # host-chunked large-N route: Adam on the host, phase programs on
+        # device, per-step relres evidence in the result
+        res = fit_chunked(
+            model, loss_fn, train_x, train_y, extra[0],
+            key=jax.random.PRNGKey(cfg.seed + 2),  # fixed probe key, the
+            # same common-random-numbers convention as the monolithic path
+            num_steps=cfg.max_iters, lr=cfg.lr, mask=mask,
+            log_every=max(cfg.log_interval, 1),
+        )
+        worst = float(max(res.relres)) if res.steps else float("nan")
+        print(
+            f"chunked fit: {res.steps} steps, final loss "
+            f"{float(res.losses[-1]):.6f}, worst relres {worst:.2e}"
+            + ("" if worst <= 1e-2 else "  [NOT CONVERGED — raise "
+               "--precond_rank / --precond_shift]")
+        )
+        return res.model
 
     lr = cfg.lr
     if name.startswith("mv_") and cfg.lr == ServeConfig().lr:
@@ -302,34 +356,78 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
         chunk = min(chunk, 1024)
 
         fused = jax.default_backend() != "cpu"
+        precond = cfg.precond or ("nystrom" if rank > 200 else "pivchol")
+        if cfg.chunked:
+            # past-the-wall serving: host-chunked α solve + conditioning
+            # solves for the state, host-chunked variance solves per
+            # query chunk — no device program holds a full CG budget
+            nc = max(cfg.n_chunks, 8)
+            state = model.posterior_state_matrixfree(
+                train_x, train_y, pre, block=blk, precond_rank=rank,
+                precond=precond, precond_shift=cfg.precond_shift,
+                fused_matvec=fused, chunk_iters=cfg.chunk_iters,
+                n_chunks=nc,
+            )
+            print(
+                "posterior state built (chunked): alpha solve "
+                f"relres={float(state[0].alpha_relres):.2e}"
+            )
+            relres_seen_c: list = []
+
+            def marginals(m, p):
+                dist, info = m.posterior_matrixfree_from_state(
+                    state, p, noiseless=False, block=blk,
+                    precond_shift=cfg.precond_shift, fused_matvec=fused,
+                    chunk_iters=cfg.chunk_iters, n_chunks=nc,
+                    return_info=True,
+                )
+                relres_seen_c.append(float(info["relres_max"]))
+                return dist.mean, jnp.maximum(dist.var, m.likelihood.noise)
+
+            marginals.prejitted = True  # host orchestrator — never jit it
+            marginals.relres_seen = relres_seen_c
+            chunk = min(chunk, 1024)
+            return _run_chunked_predict(marginals, model, pts, chunk)
         # amortized serving (VERDICT r3 #4): α = K⁻¹y, the preconditioner
         # factor and the prior's conditioning solves are hoisted ONCE per
         # process into a posterior state — each chunk then pays only the
         # cross build + one auto-budget variance solve, instead of a cold
         # 64-iter mBCG + factor build + conditioning solves per chunk
+        # train_x/train_y/pre ride as jit ARGUMENTS, not closure constants
+        # — embedded constants ride the compile request and the service
+        # rejects ≳250 MB bodies (HTTP 413, DESIGN.md §23); pre's
+        # (D, N, rank) factors cross that line around N ≈ 200k, sizes the
+        # TRAINING path already handles (ADVICE r4)
         state = jax.jit(
-            lambda m: m.posterior_state_matrixfree(
-                train_x, train_y, pre, block=blk, precond_rank=rank,
+            lambda m, tx, ty, pr: m.posterior_state_matrixfree(
+                tx, ty, pr, block=blk, precond_rank=rank,
                 precond_shift=cfg.precond_shift, fused_matvec=fused,
             )
-        )(model)
+        )(model, train_x, train_y, pre)
+        # the state's one α solve carries its own relative residual —
+        # surface it now: every served MEAN rides on this solve
+        alpha_relres = float(state[0].alpha_relres)
+        print(f"posterior state built: alpha solve relres={alpha_relres:.2e}")
 
-        # state rides as a jit ARGUMENT, not a closure constant — embedded
-        # constants ride the compile request and the service rejects
-        # ≳250 MB bodies (HTTP 413, DESIGN.md §23)
+        # same 413 rule for the per-chunk query
         def marginals_st(m, st, p):
-            d = m.posterior_matrixfree_from_state(
+            d, info = m.posterior_matrixfree_from_state(
                 st, p, noiseless=False, block=blk,
                 precond_shift=cfg.precond_shift, fused_matvec=fused,
+                return_info=True,
             )
-            return d.mean, jnp.maximum(d.var, m.likelihood.noise)
+            return d.mean, jnp.maximum(d.var, m.likelihood.noise), info["relres_max"]
 
         fn_st = jax.jit(marginals_st)
+        relres_seen: list = []
 
         def marginals(m, p):
-            return fn_st(m, state, p)
+            mean, var, rr = fn_st(m, state, p)
+            relres_seen.append(float(rr))
+            return mean, var
 
         marginals.prejitted = True
+        marginals.relres_seen = relres_seen
 
     else:
 
@@ -339,16 +437,48 @@ def _predict(name: str, model, train_x, train_y, pts, key, chunk: int = 4096,
             # floor the f32 Woodbury cancellation at that physical bound
             return d.mean, jnp.maximum(d.var, m.likelihood.noise)
 
+    return _run_chunked_predict(marginals, model, pts, chunk)
+
+
+def _run_chunked_predict(marginals, model, pts, chunk):
+    """Fixed-size query-chunk loop + the convergence-evidence report
+    (shared by the jitted and host-chunked matrix-free serving paths)."""
+    import jax
+    import jax.numpy as jnp
+
     fn = marginals if getattr(marginals, "prejitted", False) else jax.jit(marginals)
     n = pts.shape[0]
     if n <= chunk:
-        return fn(model, pts)
-    k = -(-n // chunk)
-    pad = k * chunk - n
-    if pad:
-        pts = jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))])
-    means, vars_ = zip(*(fn(model, pts[i * chunk:(i + 1) * chunk]) for i in range(k)))
-    return jnp.concatenate(means)[:n], jnp.concatenate(vars_)[:n]
+        out = fn(model, pts)
+    else:
+        k = -(-n // chunk)
+        pad = k * chunk - n
+        if pad:
+            pts = jnp.concatenate(
+                [pts, jnp.broadcast_to(pts[:1], (pad, pts.shape[1]))]
+            )
+        means, vars_ = zip(
+            *(fn(model, pts[i * chunk:(i + 1) * chunk]) for i in range(k))
+        )
+        out = jnp.concatenate(means)[:n], jnp.concatenate(vars_)[:n]
+    relres = getattr(marginals, "relres_seen", None)
+    if relres:
+        worst = max(relres)
+        # the training-solve gate (run_benchmarks --check uses 1e-2): a
+        # serve whose variance solves stalled above it is a DIFFERENT
+        # (unconverged) estimator — say so loudly instead of shipping it
+        status = "ok" if worst <= 1e-2 else "NOT CONVERGED"
+        print(
+            f"matrix-free variance solves: worst relres={worst:.2e} "
+            f"over {len(relres)} chunk(s) [{status}]"
+        )
+        if worst > 1e-2:
+            print(
+                "WARNING: raise --precond_rank (or --precond_shift) and "
+                "re-serve; predictions below ride an unconverged solve",
+                flush=True,
+            )
+    return out
 
 
 def main(argv=None):

@@ -197,6 +197,113 @@ def fit(
     return TrainResult(model=model, losses=jnp.concatenate(losses_all), steps=steps_done)
 
 
+class ChunkedTrainResult(NamedTuple):
+    model: Any
+    losses: jnp.ndarray
+    steps: int
+    relres: jnp.ndarray  # (steps,) worst per-step solve relres (evidence)
+
+
+@partial(jax.jit, static_argnames=("optimizer",))
+def _chunked_apply(model, opt_state, grads, optimizer, mask):
+    if mask is not None:
+        grads = mask_grads(grads, mask)
+    updates, opt_state = optimizer.update(grads, opt_state, model)
+    return optax.apply_updates(model, updates), opt_state
+
+
+def fit_chunked(
+    model,
+    loss,
+    x,
+    y,
+    prior_pre=None,
+    *,
+    key,
+    num_steps: int,
+    lr: float = 0.01,
+    mask=None,
+    threshold: Optional[float] = None,
+    nan_guard: bool = True,
+    log_every: int = 0,
+    callback: Optional[Callable] = None,
+    precond_key=None,
+    resample_probes: bool = False,
+) -> ChunkedTrainResult:
+    """Adam-optimise ``model`` under a host-chunked MAP loss
+    (:class:`models.gibbs_gp.ChunkedMAPLoss`) — the ``fit`` counterpart
+    for N past the axon worker's ~60–90 s program-execution wall
+    (DESIGN.md §27–28), where the whole-scan :func:`fit` cannot run: the
+    optimisation loop lives on the HOST, each step a handful of jitted
+    phase programs (preconditioner setup, mBCG chunks, panel backward,
+    Adam apply), none of which outlives the wall.
+
+    Same semantics as :func:`fit` where they overlap: ``mask`` freezes
+    leaves (default: pass ``model.trainable()``), ``threshold`` is the
+    reference's |Δloss| per-step stop rule
+    (precipitation_baselines.py:389-390 — evaluated every step here,
+    since the host sees every loss), ``nan_guard`` aborts on a
+    non-finite loss (the previous step's model is returned — the host
+    loop snapshots by construction), ``callback(step, model, losses)``
+    runs every step (checkpointing hook — pair with
+    ``train.checkpoint.BestCheckpointer``).
+
+    ``resample_probes=False`` (default) keeps ONE probe key for all
+    steps — common random numbers, the convention every measured
+    chunked bench row uses (tools/bench_cg.json); ``True`` folds the
+    step index in (estimator noise decorrelates across steps).
+
+    Returns :class:`ChunkedTrainResult`; ``relres`` is the worst
+    per-step solve residual — convergence EVIDENCE for every step of
+    the fit (gate on it; the 1e-2 training-solve bar is
+    ``run_benchmarks --check``'s)."""
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(model)
+    losses, relres_hist = [], []
+    prev = None
+    steps_done = 0
+    for i in range(num_steps):
+        k = jax.random.fold_in(key, i) if resample_probes else key
+        val, grads, info = loss.value_and_grad(
+            model, x, y, prior_pre, k, pkey=precond_key
+        )
+        f = float(val)
+        rr = float(info["relres_max"])
+        if nan_guard and not np.isfinite(f):
+            # the CURRENT model produced this non-finite loss — roll back
+            # to the last model whose loss evaluated finite
+            model = finite_model if losses else model
+            print(
+                f"fit_chunked: non-finite loss at step {i}; stopping "
+                "(returning the last finite-loss model)"
+            )
+            break
+        finite_model = model
+        new_model, opt_state = _chunked_apply(
+            model, opt_state, grads, optimizer, mask
+        )
+        model = new_model
+        losses.append(f)
+        relres_hist.append(rr)
+        steps_done = i + 1
+        if log_every and (i + 1) % log_every == 0:
+            print(
+                f"step {i + 1}/{num_steps}  loss {f:.6f}  relres {rr:.2e}",
+                flush=True,
+            )
+        if callback is not None:
+            callback(i + 1, model, np.asarray(losses))
+        if threshold is not None and prev is not None and abs(f - prev) < threshold:
+            break
+        prev = f
+    return ChunkedTrainResult(
+        model=model,
+        losses=jnp.asarray(losses),
+        steps=steps_done,
+        relres=jnp.asarray(relres_hist),
+    )
+
+
 @partial(jax.jit, static_argnames=("loss_fn", "optimizer"), donate_argnums=(1,))
 def minibatch_scan(model, opt_state, loss_fn, optimizer, keys, batch_idx, x, y):
     """Epoch-permutation minibatch SGD as one lax.scan.

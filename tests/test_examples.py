@@ -53,6 +53,11 @@ def test_quickstart_gibbs_largen(capsys):
     )
 
 
+def test_quickstart_gibbs_chunked(capsys):
+    _load("quickstart_gibbs_chunked").main(n=160, num_steps=6, block=40)
+    assert "ok" in capsys.readouterr().out
+
+
 def test_quickstart_sharded_largen(capsys):
     import jax
 

@@ -130,6 +130,34 @@ def test_serve_matrixfree_gibbs(tmp_path):
     assert corr > 0.95, corr
 
 
+def test_serve_chunked_matrixfree_gibbs(tmp_path, capsys):
+    """--chunked true routes fit AND predict through the host-chunked
+    drivers (fit_chunked + chunked posterior state, DESIGN §27-28) —
+    the product path for N past the execution wall, exercised tiny:
+    finite raw-unit output, convergence evidence printed, means
+    consistent with the plain matrix-free serve."""
+    extra = ["--max_iters", "5", "--precond_rank", "32"]
+    mean_mf, _ = serve.main(
+        _args(tmp_path, "gibbs_exact", [*extra, "--matrixfree", "true"])
+    )
+    mean_ck, _ = serve.main(
+        _args(
+            tmp_path,
+            "gibbs_exact",
+            [*extra, "--matrixfree", "true", "--chunked", "true",
+             "--chunk_iters", "8", "--n_chunks", "4"],
+        )
+    )
+    out = _read(tmp_path / "gibbs_exact.csv")
+    assert out.shape == (394, 4)
+    assert np.isfinite(out).all()
+    assert (out[:, 3] > 0).all()
+    logs = capsys.readouterr().out
+    assert "chunked fit" in logs and "relres" in logs
+    corr = np.corrcoef(np.asarray(mean_mf), np.asarray(mean_ck))[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_serve_matrixfree_rejected_for_other_models(tmp_path):
     with pytest.raises(SystemExit, match="matrixfree"):
         serve.main(_args(tmp_path, "seard", ["--matrixfree", "true"]))

@@ -683,6 +683,18 @@ def bench(n, only=None):
                 return min(ts)
 
             ms = (timed_pst(run2) - timed_pst(run1)) * 1e3
+            # convergence evidence for the timed estimator (ADVICE r4):
+            # one info-returning query at the SAME budget — a row whose
+            # relres is O(0.1) is timing an unconverged estimator
+            _, _, qinfo = jax.jit(
+                lambda st, at: lazy_posterior_query(
+                    st, at, mean_only=mean_only, block=LAZY_BLOCK,
+                    max_iters=iters, tol=1e-6, precond_shift=shift,
+                    cross_fn=_gibbs_cross, matvec_builder=builder,
+                    return_info=True,
+                )
+            )(state, aug_t)
+            relres_q = float(qinfo["relres_max"])
             log(
                 f"{name}-{n}",
                 method="differential-scan",
@@ -691,6 +703,9 @@ def bench(n, only=None):
                 first_call_s=round(t_compile, 1),
                 ntest=ntest,
                 mean_only=mean_only,
+                relres_alpha=float(state.alpha_relres),
+                relres_query_max=relres_q,
+                converged=bool(relres_q <= 1e-2),
                 finite=bool(np.all(np.isfinite(np.asarray(vals)))),
             )
         except Exception as e:

@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Host-chunked large-N training probe (DESIGN.md 27): drive
+"""Host-chunked large-N training probe (DESIGN.md 27-28): drive
 make_chunked_mll eagerly so no single device program outlives the axon
 worker's ~60-90 s execution wall.  Usage:
-  python tools/probe_chunked.py <n> <chunk_iters> <n_chunks> [steps] [rank]
-Writes one JSON line per step to stdout and a summary row into
-tools/bench_cg.json under chunked-<n>-i<chunk*nc>."""
+  python tools/probe_chunked.py <n> <chunk_iters> <n_chunks> [steps] [rank] [runs] [heldout]
+One JSON line per step to stdout; a summary row (r5: "runs" structure —
+the same hardening shape as the monolithic large-N rows — plus
+heldout_rmse model-quality evidence when heldout > 0) into
+tools/bench_cg.json under chunked-lazygnys-r<rank>-i<ci*nc>x<nc>-s10-<n>."""
 import json, sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -15,12 +17,81 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from nonstationary_precip_tpu.ops.lazy_cg import make_chunked_mll
+from nonstationary_precip_tpu.ops.lazy_cg import (
+    lazy_posterior_state_chunked,
+    make_chunked_mll,
+)
 from nonstationary_precip_tpu.ops.pallas_matvec import (
     packed_gibbs_matvec_builder, packed_gibbs_panel_vjp,
 )
 from tools.bench_cg import _gibbs_cross, log as benchlog
 from nonstationary_precip_tpu.utils.backend import wait_for_backend
+
+
+def _true_fn(x):
+    return jnp.sin(2 * x[:, 0]) * jnp.cos(x[:, 1])
+
+
+def _nn_field(x_train, log_ell, x_test, chunk=256):
+    """Nearest-neighbour transfer of the trained per-point log-lengthscale
+    field to test points (the raw-MLL probe model has no prior to
+    condition with; the field is smooth, NN is the honest local read).
+    Chunked so the (chunk, N) distance block stays ~1 GB at N = 1M."""
+    nt = x_test.shape[0]
+    pad = (-nt) % chunk
+    xt = jnp.concatenate(
+        [x_test, jnp.zeros((pad, x_test.shape[1]), x_test.dtype)]
+    )
+
+    @jax.jit
+    def one(xb):
+        d2 = jnp.sum((xb[:, None, :] - x_train[None, :, :]) ** 2, axis=-1)
+        return log_ell[jnp.argmin(d2, axis=1)]
+
+    outs = [one(xt[i:i + chunk]) for i in range(0, xt.shape[0], chunk)]
+    return jnp.concatenate(outs)[:nt]
+
+
+def _heldout_rmse(x, params, y, n, ci, nc, rank, nt):
+    """Model-quality evidence (VERDICT r4 #2): train-field NN transfer +
+    host-chunked posterior state (alpha solve under the wall) + mean-only
+    queries in 256-point chunks -> RMSE vs the known generating fn."""
+    rng = np.random.default_rng(100)
+    xt = jnp.asarray(rng.uniform(-3, 3, size=(nt, 2)), jnp.float32)
+    truth = _true_fn(xt)
+    aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+    t0 = time.time()
+    state = lazy_posterior_state_chunked(
+        None, aug, y, jnp.exp(params["log_noise"]),
+        block=2048, chunk_iters=ci, n_chunks=2 * nc, tol=1e-6,
+        precond_rank=rank, precond="nystrom",
+        precond_key=jax.random.PRNGKey(17), precond_shift=10.0,
+        cross_fn=_gibbs_cross,
+        matvec_builder=packed_gibbs_matvec_builder(2),
+    )
+    alpha_rr = float(state.alpha_relres)
+    le_t = _nn_field(x, params["log_ell_pp"], xt)
+    aug_t = jnp.concatenate([xt, le_t], axis=1)
+
+    @jax.jit
+    def mean_chunk(st_x, st_alpha, at):
+        return _gibbs_cross(None, st_x, at).T @ st_alpha
+
+    means = []
+    q = 256
+    padq = (-nt) % q
+    atp = jnp.concatenate([aug_t, jnp.zeros((padq, aug_t.shape[1]), jnp.float32)])
+    for i in range(0, atp.shape[0], q):
+        means.append(mean_chunk(state.x, state.alpha, atp[i:i + q]))
+    mean = jnp.concatenate(means)[:nt]
+    rmse = float(jnp.sqrt(jnp.mean((mean - truth) ** 2)))
+    base = float(jnp.sqrt(jnp.mean(truth ** 2)))  # predict-zero baseline
+    dt = time.time() - t0
+    print(json.dumps({"heldout_rmse": rmse, "baseline_rmse": base,
+                      "alpha_relres": alpha_rr, "nt": nt,
+                      "eval_s": round(dt, 1)}), flush=True)
+    return rmse, base, alpha_rr
+
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
@@ -28,15 +99,13 @@ def main():
     nc = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     steps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     rank = int(sys.argv[5]) if len(sys.argv) > 5 else 1024
+    runs = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    heldout = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     wait_for_backend()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
-    y = jnp.sin(2 * x[:, 0]) * jnp.cos(x[:, 1]) + 0.1 * jnp.asarray(
-        rng.normal(size=n), jnp.float32)
-    params = {"log_ell_pp": jnp.zeros((n, 2), jnp.float32),
-              "log_noise": jnp.asarray(-2.0, jnp.float32)}
+    y = _true_fn(x) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
     opt = optax.adam(1e-2)
-    opt_state = opt.init(params)
     m = make_chunked_mll(
         block=2048, num_probes=8, chunk_iters=ci, n_chunks=nc, tol=1e-6,
         precond_rank=rank, precond="nystrom", precond_shift=10.0,
@@ -54,31 +123,55 @@ def main():
 
     key = jax.random.PRNGKey(5)
     pkey = jax.random.PRNGKey(17)
-    losses, times, relres_last = [], [], None
-    for i in range(steps):
-        t0 = time.time()
-        aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
-        val, relres, (kg, xg, rg, s2g) = m.value_and_grad(
-            None, aug, y, jnp.exp(params["log_noise"]), key, pkey)
-        params, opt_state = apply(params, opt_state, xg, s2g)
-        loss = -float(val) / n
-        relres_last = float(jnp.max(relres))
-        dt = time.time() - t0
-        losses.append(loss); times.append(dt)
-        print(json.dumps({"step": i, "loss": loss, "s": round(dt, 1),
-                          "relres_max": relres_last}), flush=True)
+    run_rows, params = [], None
+    for r in range(runs):
+        params = {"log_ell_pp": jnp.zeros((n, 2), jnp.float32),
+                  "log_noise": jnp.asarray(-2.0, jnp.float32)}
+        opt_state = opt.init(params)
+        losses, times, relres_last = [], [], None
+        for i in range(steps):
+            t0 = time.time()
+            aug = jnp.concatenate([x, params["log_ell_pp"]], axis=1)
+            val, relres, (kg, xg, rg, s2g) = m.value_and_grad(
+                None, aug, y, jnp.exp(params["log_noise"]), key, pkey)
+            params, opt_state = apply(params, opt_state, xg, s2g)
+            loss = -float(val) / n
+            relres_last = float(jnp.max(relres))
+            dt = time.time() - t0
+            losses.append(loss); times.append(dt)
+            print(json.dumps({"run": r, "step": i, "loss": loss,
+                              "s": round(dt, 1),
+                              "relres_max": relres_last}), flush=True)
+        run_rows.append({
+            "s_steps": [round(t, 1) for t in times],
+            "s_median": round(sorted(times[1:])[len(times[1:]) // 2], 1)
+            if len(times) > 1 else round(times[0], 1),
+            "loss0": losses[0], "lossT": losses[-1],
+            "relres_max_final": relres_last,
+        })
+    hr = {}
+    if heldout:
+        rmse, base, arr = _heldout_rmse(x, params, y, n, ci, nc, rank, heldout)
+        hr = {"heldout_rmse": rmse, "heldout_baseline_rmse": base,
+              "heldout_n": heldout, "state_alpha_relres": arr,
+              "heldout_note": "RMSE vs the known generating function at "
+              "fresh points (mean-only amortized state, NN lengthscale "
+              "transfer) vs the predict-zero baseline — 'trains' means "
+              "'learns', VERDICT r4 #2"}
+    med = sorted(rr["s_median"] for rr in run_rows)[len(run_rows) // 2]
+    worst_rr = max(rr["relres_max_final"] for rr in run_rows)
     benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}-s10-{n}",
              method="host-chunked-eager",
-             s_per_step_median=round(sorted(times[1:])[len(times[1:]) // 2], 1)
-             if len(times) > 1 else round(times[0], 1),
-             s_steps=[round(t, 1) for t in times],
-             loss0=losses[0], lossT=losses[-1],
-             relres_max_final=relres_last,
-             converged=relres_last is not None and relres_last <= 1e-2,
+             s_per_step_median=med,
+             runs=run_rows,
+             relres_max_final=worst_rr,
+             converged=worst_rr <= 1e-2,
              chunk_iters=ci, n_chunks=nc,
+             **hr,
              note="eager host-chunked driver (make_chunked_mll): per-step "
                   "wall includes all phase dispatches; no device program "
                   "exceeds the ~60-90 s execution wall (DESIGN.md 27)")
+
 
 if __name__ == "__main__":
     main()
