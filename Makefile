@@ -1,6 +1,6 @@
 # Convenience targets (see CLAUDE.md for environment quirks)
 
-.PHONY: test bench benchmarks native clean check-tpu
+.PHONY: test bench benchmarks native clean check-tpu serve-largen-smoke
 
 # on-chip parity gate for every shipped Pallas kernel vs its XLA oracle
 # (interpret-mode CI cannot catch Mosaic lowering bugs) — run before any
@@ -32,3 +32,10 @@ clean:
 # 3-20 min remote compiles are paid once, not per experiment run
 warm:
 	python tools/warm_cache.py
+
+# slow-tier smoke (TPU, ~30-60 min cold): the REAL serve CLI round-trip
+# at N = 65536 through the matrix-free path — fit, amortized state,
+# 256-point predict, raw-unit CSV — wallclock + relres evidence recorded
+# in tools/serve_largen_smoke.json (VERDICT r4 #7).  Never share the chip.
+serve-largen-smoke:
+	python tools/serve_largen_smoke.py 65536 20

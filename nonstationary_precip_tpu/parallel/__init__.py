@@ -14,8 +14,11 @@ from nonstationary_precip_tpu.parallel.distributed_chol import (  # noqa: F401
     sharded_mvn_logpdf,
 )
 from nonstationary_precip_tpu.parallel.sharded_cg import (  # noqa: F401
+    make_sharded_chunked_mll,
     sharded_cg_mll,
     sharded_cg_posterior,
+    sharded_posterior_query,
+    sharded_posterior_state,
 )
 from nonstationary_precip_tpu.parallel.sharded_predict import sharded_marginals  # noqa: F401
 from nonstationary_precip_tpu.parallel.sharded_sgpr import (  # noqa: F401

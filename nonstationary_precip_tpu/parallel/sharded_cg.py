@@ -373,6 +373,359 @@ def _posterior_machinery(
     )
 
 
+# ---------------------------------------------------------------------------
+# host-chunked sharded MLL (the frontier: past the execution wall AND past
+# one chip's HBM — multi-chip is the only route beyond the 1M octave)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def make_sharded_chunked_mll(
+    mesh,
+    axis: str,
+    num_probes: int,
+    chunk_iters: int,
+    n_chunks: int,
+    tol: float,
+    precond_rank: int,
+    precond: str,
+    precond_shift: float,
+    cross_fn: Callable,
+    local_matvec_builder: Optional[Callable] = None,
+):
+    """Row-sharded counterpart of ``ops.lazy_cg.make_chunked_mll``: the
+    host drives the same phases (setup / k × mBCG chunk / finalize /
+    backward panel sweep), but each device program runs under a
+    ``shard_map`` over ``mesh`` — the matvec is local row panels +
+    a tiled ``all_gather`` over ICI, the backward forms only local
+    cotangent rows, and every CG scalar is replicated math, exactly as
+    in :func:`sharded_cg_mll`.  No device program holds more than
+    ``chunk_iters`` O(N²/P) matvecs, so the driver is valid PAST the
+    ~60–90 s single-program execution wall (DESIGN.md §27) at N past one
+    chip's HBM simultaneously.
+
+    ``value_and_grad(kernel, x, resid, sigma2, key, pkey=None,
+    early_stop=True)`` has the same contract as the single-device
+    ``ChunkedMLL`` — under the same probe key the two walk the same row
+    dot products, merely partitioned (dryrun 8 asserts parity).
+    Preconditioner factor + probes are replicated math outside the
+    shard_map (zero collectives), as in :func:`sharded_cg_mll`."""
+    import numpy as _np
+
+    from nonstationary_precip_tpu.ops.bbmm import mbcg_chunk, mbcg_init
+
+    use_pre = precond_rank > 0
+
+    def _make_setup(keyed: bool):
+        @jax.jit
+        def setup(kernel, x, resid, sigma2, key, pkey):
+            n = x.shape[0]
+            if use_pre:
+                lpc = build_precond_factor(
+                    precond, kernel, x, precond_rank, cross_fn,
+                    pkey if keyed else None,
+                )
+                c = precond_shift * sigma2
+                minv = _woodbury(lpc, c)
+                probes = sample_precond_probes(key, lpc, c, num_probes)
+                rights = minv(probes)
+                probe_w = jnp.sum(probes * rights, axis=0)
+                logdet_p = precond_logdet(lpc, c, n)
+            else:
+                lpc = jnp.zeros((n, 0), x.dtype)
+                probes = jax.random.rademacher(
+                    key, (n, num_probes), dtype=x.dtype
+                )
+                rights = probes
+                probe_w = jnp.sum(probes * probes, axis=0)
+                logdet_p = jnp.asarray(0.0, resid.dtype)
+            rhs = jnp.concatenate([resid[:, None], probes], axis=1)
+            minv2 = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
+            _, safe_bnorm, carry0 = mbcg_init(rhs, minv2)
+            return lpc, rights, probe_w, logdet_p, safe_bnorm, carry0
+
+        return setup
+
+    setup_keyed = _make_setup(True)
+    setup_unkeyed = _make_setup(False)
+
+    def chunk_inner(kernel, x_local, x, sigma2, lpc, safe_bnorm, carry):
+        if local_matvec_builder is not None:
+            local_mv = local_matvec_builder(kernel, x_local, x, sigma2, axis)
+
+            def matvec(v):
+                return jax.lax.all_gather(local_mv(v), axis, tiled=True)
+
+        else:
+            k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+
+            def matvec(v):
+                return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+
+        minv = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
+        return mbcg_chunk(matvec, carry, chunk_iters, tol, safe_bnorm, minv)
+
+    chunk_sm = jax.jit(shard_map(
+        chunk_inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), (P(), P(), P())),
+        check_vma=False,
+    ))
+
+    @jax.jit
+    def finalize(resid, carry, alphas, betas, probe_w, logdet_p, safe_bnorm):
+        n = resid.shape[0]
+        x_sol, res = carry[0], carry[1]
+        broke = carry[7]
+        alpha = x_sol[:, 0]
+        solves = x_sol[:, 1:]
+        logdet = logdet_p + lanczos_logdet(
+            alphas[:, 1:], betas[:, 1:], probe_w
+        )
+        val = (
+            -0.5 * jnp.dot(resid, alpha)
+            - 0.5 * logdet
+            - 0.5 * n * jnp.log(jnp.asarray(2.0 * jnp.pi, resid.dtype))
+        )
+        val = jnp.where(jnp.any(broke), jnp.nan, val)
+        relres = jnp.linalg.norm(res, axis=0) / safe_bnorm
+        return val, alpha, solves, relres
+
+    def bwd_inner(kernel, x_local, x, sigma2, alpha_l, alpha, solves_l,
+                  solves, rights):
+        # identical cotangent algebra to _mll_machinery's bwd_inner at g=1
+        r = rights.shape[-1]
+        rights_l = jax.lax.dynamic_slice_in_dim(
+            rights, jax.lax.axis_index(axis) * alpha_l.shape[0],
+            alpha_l.shape[0],
+        )
+        kbar_l = (
+            0.5 * jnp.outer(alpha_l, alpha)
+            - (0.25 / r) * (solves_l @ rights.T + rights_l @ solves.T)
+        )
+
+        def build(kern, xl, xf, s2):
+            return _gram_rows(kern, xl, xf, s2, axis, cross_fn)
+
+        _, vjp = jax.vjp(build, kernel, x_local, x, sigma2)
+        kgrad, xl_grad, xf_grad, s2grad = vjp(kbar_l)
+        return (
+            jax.tree.map(lambda t: jax.lax.psum(t, axis), kgrad),
+            xl_grad,
+            jax.lax.psum(xf_grad, axis),
+            jax.lax.psum(s2grad, axis),
+        )
+
+    bwd_sm = jax.jit(shard_map(
+        bwd_inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(axis), P(), P(axis), P(), P()),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False,
+    ))
+
+    class ShardedChunkedMLL:
+        def value_and_grad(self, kernel, x, resid, sigma2, key,
+                           pkey=None, early_stop=True):
+            setup = setup_unkeyed if pkey is None else setup_keyed
+            if pkey is None:
+                pkey = jax.random.PRNGKey(0)
+            lpc, rights, probe_w, logdet_p, safe_bnorm, carry = setup(
+                kernel, x, resid, sigma2, key, pkey
+            )
+            a_parts, b_parts = [], []
+            ran = 0
+            for _ in range(n_chunks):
+                carry, (al, be, _) = chunk_sm(
+                    kernel, x, x, sigma2, lpc, safe_bnorm, carry
+                )
+                a_parts.append(al)
+                b_parts.append(be)
+                ran += 1
+                if early_stop and bool(_np.asarray(carry[5]).all()):
+                    break
+            r1 = a_parts[0].shape[1]
+            pad = (n_chunks - ran) * chunk_iters
+            if pad:
+                a_parts.append(jnp.zeros((pad, r1), x.dtype))
+                b_parts.append(jnp.zeros((pad, r1), x.dtype))
+            alphas = jnp.concatenate(a_parts, axis=0)
+            betas = jnp.concatenate(b_parts, axis=0)
+            val, alpha, solves, relres = finalize(
+                resid, carry, alphas, betas, probe_w, logdet_p, safe_bnorm
+            )
+            kg, xl_g, xf_g, s2g = bwd_sm(
+                kernel, x, x, sigma2, alpha, alpha, solves, solves, rights
+            )
+            xg = xl_g + xf_g
+            return val, relres, (kg, xg, -alpha, s2g)
+
+    return ShardedChunkedMLL()
+
+
+# ---------------------------------------------------------------------------
+# sharded amortized posterior state (serving past one chip's HBM)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _state_solve_machinery(mesh, axis, max_iters, tol, cross_fn,
+                           local_matvec_builder, use_pre, precond_shift):
+    def inner(kernel, x_local, x, rhs, sigma2, lpc):
+        if local_matvec_builder is not None:
+            local_mv = local_matvec_builder(kernel, x_local, x, sigma2, axis)
+
+            def matvec(v):
+                return jax.lax.all_gather(local_mv(v), axis, tiled=True)
+
+        else:
+            k_local = _gram_rows(kernel, x_local, x, sigma2, axis, cross_fn)
+
+            def matvec(v):
+                return jax.lax.all_gather(k_local @ v, axis, tiled=True)
+
+        minv = _woodbury(lpc, precond_shift * sigma2) if use_pre else None
+        res = mbcg(matvec, rhs, max_iters=max_iters, tol=tol, precond=minv)
+        return res.x, res.residnorm, jnp.any(res.broke)
+
+    return jax.jit(shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+
+
+def sharded_posterior_state(
+    kernel,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    mesh,
+    *,
+    max_iters: int = 64,
+    tol: float = 1e-8,
+    axis: str = DATA_AXIS,
+    precond_rank: int = 150,
+    precond: str = "pivchol",
+    precond_key=None,
+    precond_shift: float = 1.0,
+    cross_fn: Optional[Callable] = None,
+    local_matvec_builder: Optional[Callable] = None,
+):
+    """Row-sharded build of ``ops.lazy_cg.LazyPosteriorState``: the α
+    solve runs as sharded mBCG (Gram never global), the factor is
+    replicated math.  Returns the SAME state pytree as the single-chip
+    builder — mean-only queries are then one sharded cross contraction
+    (:func:`sharded_posterior_query`), and the state ships to any
+    worker.  Dryrun 9 asserts parity with the single-device state."""
+    from nonstationary_precip_tpu.ops.lazy_cg import LazyPosteriorState
+
+    _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    _warn_unstable_cross_fn(cross_fn)
+    cross = cross_fn or _default_cross
+    kernel = jax.tree.map(jax.lax.stop_gradient, kernel)
+    x = jax.lax.stop_gradient(x)
+    sigma2 = jax.lax.stop_gradient(sigma2)
+    precond_rank = min(precond_rank, x.shape[0])
+    if precond_rank > 0:
+        lpc = jax.lax.stop_gradient(
+            build_precond_factor(
+                precond, kernel, x, precond_rank, cross, precond_key
+            )
+        )
+    else:
+        lpc = jnp.zeros((x.shape[0], 0), x.dtype)
+    fn = _state_solve_machinery(
+        mesh, axis, max_iters, tol, cross, local_matvec_builder,
+        precond_rank > 0, precond_shift,
+    )
+    sol, residnorm, broke = fn(kernel, x, x, resid[:, None], sigma2, lpc)
+    alpha = jnp.where(broke, jnp.nan, sol[:, 0])
+    return LazyPosteriorState(kernel, x, alpha, lpc, sigma2, residnorm[0])
+
+
+@functools.lru_cache(maxsize=16)
+def _query_mean_machinery(mesh, axis, cross_fn):
+    """Sharded mean contraction + row-sharded cross build; lru-cached so
+    repeated query batches never retrace (axon compiles are minutes)."""
+
+    def inner(kern, x_local, alpha_local, xt):
+        b_local = cross_fn(kern, x_local, xt)  # (N/P, N*)
+        return jax.lax.psum(b_local.T @ alpha_local, axis), b_local
+
+    return jax.jit(shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    ))
+
+
+def sharded_posterior_query(
+    state,
+    x_test: jnp.ndarray,
+    mesh,
+    *,
+    mean_only: bool = False,
+    max_iters: int = 64,
+    tol: float = 1e-6,
+    axis: str = DATA_AXIS,
+    precond_shift: float = 1.0,
+    cross_fn: Optional[Callable] = None,
+    local_matvec_builder: Optional[Callable] = None,
+    return_info: bool = False,
+):
+    """(mean, cov) at ``x_test`` from a prebuilt (sharded or single-chip
+    — same pytree) state: the mean is one sharded cross contraction
+    psum-ed over the mesh (no solve), the variance one sharded mBCG with
+    N* right-hand sides reusing the state's replicated factor.  Same
+    ``return_info`` convergence-evidence contract as
+    ``ops.lazy_cg.lazy_posterior_query``."""
+    kernel, x, alpha, lpc, sigma2, alpha_relres = state
+    _check_divisible(x.shape[0], mesh.shape[axis], "x")
+    _warn_unstable_cross_fn(cross_fn)
+    cross = cross_fn or _default_cross
+    mean, b_rows = _query_mean_machinery(mesh, axis, cross)(
+        kernel, x, alpha, x_test
+    )
+    if mean_only:
+        if return_info:
+            info = {
+                "relres": jnp.zeros((0,), mean.dtype),
+                "relres_max": jnp.asarray(alpha_relres, mean.dtype),
+                "broke": jnp.asarray(False),
+            }
+            return mean, None, info
+        return mean, None
+    use_pre = lpc.shape[-1] > 0
+    fn = _state_solve_machinery(
+        mesh, axis, max_iters, tol, cross, local_matvec_builder,
+        use_pre, precond_shift,
+    )
+    b_cols = b_rows  # (N, N*): shard_map already reassembled the rows
+    sol, residnorm, broke = fn(kernel, x, x, b_cols, sigma2, lpc)
+    from nonstationary_precip_tpu.ops.lazy_cg import _query_cov_jit
+
+    cov = _query_cov_jit(cross)(kernel, x_test, b_cols, sol)
+    mean = jnp.where(broke, jnp.nan, mean)
+    cov = jnp.where(broke, jnp.nan, cov)
+    if return_info:
+        info = {
+            "relres": residnorm,
+            "relres_max": jnp.maximum(
+                jnp.max(residnorm),
+                jnp.asarray(alpha_relres, residnorm.dtype),
+            ),
+            "broke": broke,
+        }
+        return mean, cov, info
+    return mean, cov
+
+
 def sharded_cg_posterior(
     kernel,
     x: jnp.ndarray,
