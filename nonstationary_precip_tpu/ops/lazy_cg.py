@@ -584,6 +584,8 @@ def make_chunked_mll(
     cross_fn: Callable,
     matvec_builder: Optional[Callable],
     panel_vjp: Callable,
+    panel_vjp_rows: Optional[Callable] = None,
+    bwd_row_chunks: int = 1,
 ):
     """Host-chunked `lazy_cg_mll` + gradients for N past the axon
     worker's ~60–90 s single-program execution wall (DESIGN.md §27: at
@@ -690,6 +692,33 @@ def make_chunked_mll(
         kg, xg, s2g = panel_vjp(kernel, x, sigma2, alpha, solves, rights, one)
         return kg, xg, -alpha, s2g
 
+    # host-chunked backward (row blocks) for N where even ONE panel sweep
+    # crosses the ~60-90 s execution wall (DESIGN §27; ~1.5M+ rows)
+    @jax.jit
+    def grads_block(kernel, x, sigma2, alpha, solves, rights, i0):
+        one = jnp.asarray(1.0, x.dtype)
+        nr = x.shape[0] // bwd_row_chunks
+        return panel_vjp_rows(
+            kernel, x, sigma2, alpha, solves, rights, one, i0, nr
+        )
+
+    @jax.jit
+    def grads_rows_finalize(kernel, gaug_cat, sp_total, alpha, solves,
+                            rights, sigma2):
+        from nonstationary_precip_tpu.utils.transforms import positive
+
+        one = jnp.asarray(1.0, gaug_cat.dtype)
+        r = solves.shape[-1]
+        s2g = one * (
+            0.5 * jnp.dot(alpha, alpha)
+            - (0.5 / r) * jnp.sum(solves * rights)
+        )
+        if kernel is None:
+            return None, gaug_cat, -alpha, s2g
+        s2, pullback = jax.vjp(positive, kernel)
+        (kg,) = pullback(one * sp_total)
+        return kg, s2 * gaug_cat, -alpha, s2g
+
     class ChunkedMLL:
         def value_and_grad(self, kernel, x, resid, sigma2, key,
                            pkey=None, early_stop=True):
@@ -728,7 +757,31 @@ def make_chunked_mll(
             val, alpha, solves, relres = finalize(
                 resid, carry, alphas, betas, probe_w, logdet_p, safe_bnorm
             )
-            kg, xg, rg, s2g = grads(kernel, x, sigma2, alpha, solves, rights)
+            if bwd_row_chunks > 1:
+                if panel_vjp_rows is None:
+                    raise ValueError(
+                        "bwd_row_chunks > 1 needs panel_vjp_rows (e.g. "
+                        "ops.pallas_matvec.packed_gibbs_panel_vjp_rows)"
+                    )
+                n = x.shape[0]
+                check_divisible(n, bwd_row_chunks, "x", "bwd row chunks")
+                nr = n // bwd_row_chunks
+                gaug_parts, sp_total = [], jnp.asarray(0.0, x.dtype)
+                for ci in range(bwd_row_chunks):
+                    gaug_r, sp_part = grads_block(
+                        kernel, x, sigma2, alpha, solves, rights,
+                        jnp.asarray(ci * nr, jnp.int32),
+                    )
+                    gaug_parts.append(gaug_r)
+                    sp_total = sp_total + sp_part
+                kg, xg, rg, s2g = grads_rows_finalize(
+                    kernel, jnp.concatenate(gaug_parts, axis=0), sp_total,
+                    alpha, solves, rights, sigma2,
+                )
+            else:
+                kg, xg, rg, s2g = grads(
+                    kernel, x, sigma2, alpha, solves, rights
+                )
             return val, relres, (kg, xg, rg, s2g)
 
     return ChunkedMLL()

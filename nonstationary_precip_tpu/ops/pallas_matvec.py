@@ -398,6 +398,57 @@ def packed_gibbs_panel_grads(x, ell, alpha, solves, rights):
     return out[:n, 0:d], out[:n, 8 : 8 + d], out[:n, 16]
 
 
+def packed_gibbs_panel_grads_rows(
+    x_rows, ell_rows, alpha_rows, solves_rows, rights_rows,
+    x, ell, alpha, solves, rights,
+):
+    """Row-BLOCK slice of :func:`packed_gibbs_panel_grads`: the same
+    fused sweep restricted to ``x_rows`` on the row side (full x on the
+    column side).  Exists for the host-chunked backward past the ~60–90 s
+    program-execution wall (DESIGN §27): at N = 2M the full sweep is one
+    ~75 s device program — fatal — while ⌈N/nr⌉ row-block programs each
+    stay well under it.  Concatenating the row blocks reproduces the full
+    sweep exactly (each output row only ever sums over columns).
+    Returns ``(gx (nr, d), gell (nr, d), sp (nr,))``."""
+    nr, d = x_rows.shape
+    n = x.shape[0]
+    r = solves.shape[-1]
+    n1p, n2p = _ceil_to(nr, TILE_BM), _ceil_to(n, TILE_BN)
+    p1 = _pack_rows(x_rows, ell_rows, n1p)
+    p2t = _pack_rows(x, ell, n2p).T
+    c = 0.25 / r
+    f1 = (
+        jnp.zeros((n1p, _FEAT), x.dtype)
+        .at[:nr, 0].set(0.5 * alpha_rows)
+        .at[:nr, 1 : 1 + r].set(-c * solves_rows)
+        .at[:nr, 1 + r : 1 + 2 * r].set(-c * rights_rows)
+    )
+    f2 = (
+        jnp.zeros((n2p, _FEAT), x.dtype)
+        .at[:n, 0].set(alpha)
+        .at[:n, 1 : 1 + r].set(rights)
+        .at[:n, 1 + r : 1 + 2 * r].set(solves)
+    )
+    fw = min(_ceil_to(1 + 2 * r, 8), _FEAT)
+    body = functools.partial(_gibbs_panel_bwd_kernel, d=d, fw=fw)
+    grid = (n1p // TILE_BM, n2p // TILE_BN)
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_FEAT, TILE_BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_BM, _FEAT), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n1p, _FEAT), jnp.float32),
+    )(p1, p2t, f1, f2.T)
+    return out[:nr, 0:d], out[:nr, 8 : 8 + d], out[:nr, 16]
+
+
 @functools.lru_cache(maxsize=8)
 def packed_gibbs_panel_vjp(d: int):
     """Fused replacement for ``lazy_cg_mll``'s backward panel scan, for
@@ -514,6 +565,38 @@ def rbf_gram_matvec(x1, x2, ell, v, precision: str = "highest"):
 # matvec builders for ops/lazy_cg.py (stable identities — machinery is
 # lru-cached on the builder object, like cross_fn)
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def packed_gibbs_panel_vjp_rows(d: int):
+    """Row-block form of :func:`packed_gibbs_panel_vjp` for HOST-chunked
+    backwards (the full sweep is one device program whose runtime grows
+    O(N²); past ~1.5M rows it crosses the ~60–90 s execution wall).
+
+        rows(kernel, aug, sigma2, alpha, solves, rights, g, i0, nr)
+            -> (gaug_rows_raw (nr, 2d), sp_sum (scalar partial))
+
+    ``nr`` static, ``i0`` traced — one compiled program serves every
+    block.  The caller concatenates ``gaug_rows_raw`` over blocks, scales
+    by s² = positive(kernel) if scaled, chains the outputscale pullback
+    through Σ sp_sum, and computes the (global, O(N·R)) σ² trace-identity
+    gradient separately — exactly the algebra of the one-shot vjp."""
+
+    def rows(kernel, aug, sigma2, alpha, solves, rights, g, i0, nr):
+        xr_aug = jax.lax.dynamic_slice_in_dim(aug, i0, nr)
+        ar = jax.lax.dynamic_slice_in_dim(alpha, i0, nr)
+        sr = jax.lax.dynamic_slice_in_dim(solves, i0, nr)
+        rr = jax.lax.dynamic_slice_in_dim(rights, i0, nr)
+        x, le = aug[:, :d], aug[:, d:]
+        ell_r = jnp.exp(xr_aug[:, d:])
+        gx, gl, sp = packed_gibbs_panel_grads_rows(
+            xr_aug[:, :d], ell_r, ar, sr, rr,
+            x, jnp.exp(le), alpha, solves, rights,
+        )
+        gaug_r = 2.0 * g * jnp.concatenate([gx, gl * ell_r], axis=1)
+        return gaug_r, jnp.sum(sp)
+
+    return rows
 
 
 @functools.lru_cache(maxsize=8)

@@ -331,6 +331,56 @@ def test_chunked_pkey_selects_same_factor_as_monolithic():
     assert abs(float(v_keyed) - float(v_unkeyed)) > 1e-7
 
 
+def test_row_chunked_backward_matches_full_sweep():
+    """bwd_row_chunks splits the backward panel sweep into host-driven
+    row-block programs (the only way past the execution wall at N ≥ ~1.5M,
+    DESIGN §27) — gradients must equal the one-shot sweep exactly (each
+    output row only sums over columns)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nonstationary_precip_tpu.ops.lazy_cg import make_chunked_mll
+    from nonstationary_precip_tpu.ops.pallas_matvec import (
+        packed_gibbs_panel_vjp,
+        packed_gibbs_panel_vjp_rows,
+    )
+
+    n = 256
+    x, y = _xy(n=n, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    le = jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float32)
+    aug = jnp.concatenate([x, le], axis=1)
+    s2 = jnp.asarray(0.05, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    cross = packed_gibbs_cross(2)
+    kw = dict(block=64, num_probes=4, chunk_iters=16, n_chunks=2,
+              tol=1e-8, precond_rank=32, precond="pivchol",
+              precond_shift=1.0, cross_fn=cross, matvec_builder=None)
+
+    with pltpu.force_tpu_interpret_mode():
+        m_full = make_chunked_mll(
+            panel_vjp=packed_gibbs_panel_vjp(2), **kw
+        )
+        v_f, _, (kg_f, xg_f, rg_f, sg_f) = m_full.value_and_grad(
+            jnp.asarray(0.4, jnp.float32), aug, y, s2, key
+        )
+        m_rows = make_chunked_mll(
+            panel_vjp=packed_gibbs_panel_vjp(2),
+            panel_vjp_rows=packed_gibbs_panel_vjp_rows(2),
+            bwd_row_chunks=4, **kw
+        )
+        v_r, _, (kg_r, xg_r, rg_r, sg_r) = m_rows.value_and_grad(
+            jnp.asarray(0.4, jnp.float32), aug, y, s2, key
+        )
+
+    np.testing.assert_allclose(float(v_r), float(v_f), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(xg_r), np.asarray(xg_f), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(kg_r), float(kg_f), rtol=1e-5)
+    np.testing.assert_allclose(float(sg_r), float(sg_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rg_r), np.asarray(rg_f), rtol=1e-7)
+
+
 def test_keyed_diagnostics_certify_the_keyed_factor():
     """ADVICE r4 (low): lazy_cg_diagnostics with precond_key must build
     the keyed factor (the one lazy_cg_mll solves with), not silently the

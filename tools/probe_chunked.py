@@ -22,7 +22,9 @@ from nonstationary_precip_tpu.ops.lazy_cg import (
     make_chunked_mll,
 )
 from nonstationary_precip_tpu.ops.pallas_matvec import (
-    packed_gibbs_matvec_builder, packed_gibbs_panel_vjp,
+    packed_gibbs_matvec_builder,
+    packed_gibbs_panel_vjp,
+    packed_gibbs_panel_vjp_rows,
 )
 from tools.bench_cg import _gibbs_cross, log as benchlog
 from nonstationary_precip_tpu.utils.backend import wait_for_backend
@@ -101,6 +103,9 @@ def main():
     rank = int(sys.argv[5]) if len(sys.argv) > 5 else 1024
     runs = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     heldout = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    # row-chunked backward (the panel sweep crosses the execution wall
+    # around N ~ 1.5M as one program; DESIGN §27)
+    bwd_chunks = int(sys.argv[8]) if len(sys.argv) > 8 else 1
     wait_for_backend()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
@@ -112,6 +117,10 @@ def main():
         cross_fn=_gibbs_cross,
         matvec_builder=packed_gibbs_matvec_builder(2),
         panel_vjp=packed_gibbs_panel_vjp(2),
+        panel_vjp_rows=(
+            packed_gibbs_panel_vjp_rows(2) if bwd_chunks > 1 else None
+        ),
+        bwd_row_chunks=bwd_chunks,
     )
 
     @jax.jit
@@ -160,7 +169,8 @@ def main():
               "'learns', VERDICT r4 #2"}
     med = sorted(rr["s_median"] for rr in run_rows)[len(run_rows) // 2]
     worst_rr = max(rr["relres_max_final"] for rr in run_rows)
-    benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}-s10-{n}",
+    bwd_tag = f"-bwd{bwd_chunks}" if bwd_chunks > 1 else ""
+    benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}{bwd_tag}-s10-{n}",
              method="host-chunked-eager",
              s_per_step_median=med,
              runs=run_rows,
