@@ -712,6 +712,7 @@ def make_chunked_map_loss(
     prior_precond_shift: float = 1.0,
     fused_matvec: bool = True,
     matvec_precision: str = "highest",
+    bwd_row_chunks: int = 1,
 ) -> ChunkedMAPLoss:
     """Build a :class:`ChunkedMAPLoss` for d-dimensional inputs.
 
@@ -737,20 +738,34 @@ def make_chunked_map_loss(
 
     builder = None
     panel_vjp = None
+    panel_vjp_rows = None
     if fused_matvec:
         from nonstationary_precip_tpu.ops.pallas_matvec import (
             packed_gibbs_panel_vjp,
+            packed_gibbs_panel_vjp_rows,
             scaled_packed_gibbs_matvec_builder,
         )
 
         builder = scaled_packed_gibbs_matvec_builder(d, matvec_precision)
         panel_vjp = packed_gibbs_panel_vjp(d)
+        if bwd_row_chunks > 1:
+            # past ~1.5M rows even ONE backward sweep crosses the
+            # execution wall — split it into host-driven row blocks
+            panel_vjp_rows = packed_gibbs_panel_vjp_rows(d)
+    elif bwd_row_chunks > 1:
+        raise ValueError(
+            "bwd_row_chunks > 1 needs the fused (Mosaic) backward — "
+            "there is no jnp row-block sweep (and no CPU needs one: the "
+            "wall is an axon TPU property)"
+        )
     mll = make_chunked_mll(
         block=block, num_probes=num_probes, chunk_iters=chunk_iters,
         n_chunks=n_chunks, tol=tol, precond_rank=precond_rank,
         precond=precond, precond_shift=precond_shift,
         cross_fn=packed_gibbs_cross(d), matvec_builder=builder,
         panel_vjp=panel_vjp,
+        panel_vjp_rows=panel_vjp_rows,
+        bwd_row_chunks=bwd_row_chunks,
     )
     prior_solve = make_chunked_solve(
         block, prior_chunk_iters, prior_n_chunks, tol, _dim_cross, None,

@@ -100,6 +100,9 @@ class ServeConfig(ExperimentConfig):
     chunked: bool = False
     chunk_iters: int = 8
     n_chunks: int = 4
+    # past ~1.5M rows even ONE backward panel sweep crosses the execution
+    # wall: split it into this many host-driven row-block programs
+    bwd_row_chunks: int = 1
     # preconditioner factor rule: pivchol | nystrom | "" = auto (pivchol
     # up to rank 200, nystrom above — the measured crossover, DESIGN §20-21)
     precond: str = ""
@@ -207,6 +210,7 @@ def _build(name: str, train_x, train_y, cfg: ServeConfig, key):
                     tol=1e-6, precond_rank=rank, precond=precond,
                     precond_shift=cfg.precond_shift,
                     include_prior=True, fused_matvec=fused,
+                    bwd_row_chunks=cfg.bwd_row_chunks if fused else 1,
                 )
                 return model, loss_obj, model.trainable(), (pre,)
             return (

@@ -47,7 +47,14 @@ def _nn_field(x_train, log_ell, x_test, chunk=256):
 
     @jax.jit
     def one(xb):
-        d2 = jnp.sum((xb[:, None, :] - x_train[None, :, :]) ** 2, axis=-1)
+        # |a-b|^2 via the matmul expansion: the (chunk, N) block is the
+        # ONLY O(chunk*N) tensor (the broadcast-difference form would
+        # materialise (chunk, N, d) — 4.3 GB at N = 2M)
+        d2 = (
+            jnp.sum(xb * xb, axis=1)[:, None]
+            + jnp.sum(x_train * x_train, axis=1)[None, :]
+            - 2.0 * (xb @ x_train.T)
+        )
         return log_ell[jnp.argmin(d2, axis=1)]
 
     outs = [one(xt[i:i + chunk]) for i in range(0, xt.shape[0], chunk)]
