@@ -215,6 +215,46 @@ def test_fit_chunked_trains_and_respects_mask():
     assert res2.steps == 2
 
 
+def test_fit_chunked_composes_with_best_checkpointer(tmp_path):
+    """VERDICT r4 #1's composition requirement: fit_chunked's callback
+    hook drives BestCheckpointer exactly like the whole-scan fit path —
+    the best-objective checkpoint restores to a real model state."""
+    from nonstationary_precip_tpu.train.checkpoint import (
+        BestCheckpointer,
+        restore_pytree,
+    )
+    from nonstationary_precip_tpu.train.optim import fit_chunked
+
+    n = 96
+    x, y = _xy(n=n, dtype=jnp.float32)
+    model = _model(x, dtype=jnp.float32)
+    pre = model.prior_pre_matrixfree(
+        x, jax.random.PRNGKey(9), rank=12, block=48,
+        num_probes=4, max_iters=150, tol=1e-9,
+    )
+    loss = make_chunked_map_loss(
+        2, block=48, num_probes=4, chunk_iters=8, n_chunks=3, tol=1e-7,
+        precond_rank=12, precond="pivchol", precond_shift=1.0,
+        include_prior=True, prior_chunk_iters=16, prior_n_chunks=8,
+        fused_matvec=False,
+    )
+    ck = BestCheckpointer(tmp_path / "ck")
+
+    def cb(step, m, losses):
+        ck.update(step, m, objective=losses[-1])
+
+    res = fit_chunked(
+        model, loss, x, y, pre, key=jax.random.PRNGKey(0), num_steps=4,
+        lr=0.05, mask=model.trainable(), callback=cb,
+    )
+    assert (tmp_path / "ck" / "best" / "meta.json").exists()
+    restored = restore_pytree(tmp_path / "ck" / "best" / "model", model)
+    # monotone loss here -> best == final
+    np.testing.assert_array_equal(
+        np.asarray(restored.log_ell), np.asarray(res.model.log_ell)
+    )
+
+
 def test_posterior_state_chunked_routes_match_monolithic():
     """chunk_iters on posterior_state_matrixfree / _from_state must
     reproduce the monolithic state/query (and the dense posterior)."""
