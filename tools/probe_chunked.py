@@ -165,6 +165,11 @@ def main():
             "loss0": losses[0], "lossT": losses[-1],
             "relres_max_final": relres_last,
         })
+        # checkpoint the row after EVERY completed run — an axon
+        # service stall mid-run must not destroy finished evidence
+        # (measured 2026-08-20: a run-1 stall ate 46 min and the whole
+        # in-process row)
+        _write_row(n, ci, nc, rank, bwd_chunks, run_rows, {})
     hr = {}
     if heldout:
         rmse, base, arr = _heldout_rmse(x, params, y, n, ci, nc, rank, heldout)
@@ -174,6 +179,10 @@ def main():
               "fresh points (mean-only amortized state, NN lengthscale "
               "transfer) vs the predict-zero baseline — 'trains' means "
               "'learns', VERDICT r4 #2"}
+    _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr)
+
+
+def _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr):
     med = sorted(rr["s_median"] for rr in run_rows)[len(run_rows) // 2]
     worst_rr = max(rr["relres_max_final"] for rr in run_rows)
     bwd_tag = f"-bwd{bwd_chunks}" if bwd_chunks > 1 else ""
