@@ -421,6 +421,43 @@ def test_row_chunked_backward_matches_full_sweep():
     np.testing.assert_allclose(np.asarray(rg_r), np.asarray(rg_f), rtol=1e-7)
 
 
+def test_product_loss_row_chunked_backward_matches():
+    """make_chunked_map_loss(bwd_row_chunks=...) — the product surface of
+    the past-1.5M backward — must reproduce the one-shot product loss
+    (model-pytree grads, prior included)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 128
+    x, y = _xy(n=n, dtype=jnp.float32)
+    model = _model(x, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    pre = model.prior_pre_matrixfree(
+        x, jax.random.PRNGKey(9), rank=16, block=64,
+        num_probes=4, max_iters=200, tol=1e-10,
+    )
+    kw = dict(block=64, num_probes=4, chunk_iters=8, n_chunks=4,
+              tol=1e-8, precond_rank=16, precond="pivchol",
+              precond_shift=1.0, include_prior=True,
+              prior_chunk_iters=16, prior_n_chunks=8, fused_matvec=True)
+    with pltpu.force_tpu_interpret_mode():
+        l1 = make_chunked_map_loss(2, **kw)
+        v1, g1, _ = l1.value_and_grad(model, x, y, pre, key)
+        l4 = make_chunked_map_loss(2, bwd_row_chunks=4, **kw)
+        v4, g4, _ = l4.value_and_grad(model, x, y, pre, key)
+    np.testing.assert_allclose(float(v4), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g4.log_ell), np.asarray(g1.log_ell),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        float(g4.raw_outputscale), float(g1.raw_outputscale), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(g4.likelihood.raw_noise), float(g1.likelihood.raw_noise),
+        rtol=1e-5,
+    )
+
+
 def test_keyed_diagnostics_certify_the_keyed_factor():
     """ADVICE r4 (low): lazy_cg_diagnostics with precond_key must build
     the keyed factor (the one lazy_cg_mll solves with), not silently the

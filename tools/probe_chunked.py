@@ -158,6 +158,17 @@ def main():
             print(json.dumps({"run": r, "step": i, "loss": loss,
                               "s": round(dt, 1),
                               "relres_max": relres_last}), flush=True)
+            if n >= (1 << 21):
+                # sixth-octave steps are ~22+ min each: checkpoint the
+                # partial row per STEP so a wall-clock cutoff or service
+                # stall still leaves numbers behind
+                _write_row(n, ci, nc, rank, bwd_chunks, run_rows + [{
+                    "s_steps": [round(t, 1) for t in times],
+                    "s_median": round(times[-1], 1),
+                    "loss0": losses[0], "lossT": losses[-1],
+                    "relres_max_final": relres_last,
+                    "partial_steps": i + 1,
+                }], {})
         run_rows.append({
             "s_steps": [round(t, 1) for t in times],
             "s_median": round(sorted(times[1:])[len(times[1:]) // 2], 1)
