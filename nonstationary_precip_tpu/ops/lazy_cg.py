@@ -196,6 +196,36 @@ def lazy_pivoted_cholesky(
     return l
 
 
+def _warn_dead_rank(lam, cutoff, rank):
+    """Capacity guard (VERDICT r4 #3, DESIGN §30): when the landmark Gram
+    keeps only a small fraction of the requested rank above the cutoff,
+    the extra columns buy no preconditioning (same kept subspace) while
+    enlarging the f32 Woodbury inner problem — the measured failure
+    direction at the 1M octave.  Host-side only: under jit the spectrum
+    is traced and the check silently skips (the chunked/serving paths
+    build factors eagerly, which is where a user can act on it)."""
+    import jax.core
+
+    if isinstance(lam, jax.core.Tracer):
+        return
+    try:
+        k = int(jnp.sum(lam > cutoff))
+    except Exception:
+        return
+    if k < rank // 8:
+        import warnings
+
+        warnings.warn(
+            f"lazy_nystrom_factor: only {k}/{rank} landmark-Gram "
+            f"eigendirections sit above the cutoff {float(cutoff):.2e} — "
+            f"the remaining columns add no preconditioning capacity and "
+            f"erode the f32 Woodbury stability margin at scale.  Prefer "
+            f"rank ≈ {max(2 * k, 64)}, or raise ridge/precond_shift "
+            f"(DESIGN.md §30).",
+            stacklevel=3,
+        )
+
+
 def lazy_nystrom_factor(
     kernel,
     x: jnp.ndarray,
@@ -246,6 +276,7 @@ def lazy_nystrom_factor(
     w = cross_fn(kernel, x_lm, x_lm)
     lam, v = jnp.linalg.eigh(w)  # ascending
     cutoff = ridge * lam[-1]
+    _warn_dead_rank(lam, cutoff, rank)
     inv_sqrt = jnp.where(lam > cutoff, 1.0 / jnp.sqrt(jnp.maximum(lam, cutoff)), 0.0)
     proj = v * inv_sqrt[None, :]  # (rank, rank): W^{-1/2} on the kept subspace
 

@@ -458,6 +458,30 @@ def test_product_loss_row_chunked_backward_matches():
     )
 
 
+def test_nystrom_dead_rank_guard_warns_eagerly_only():
+    """DESIGN §30 capacity guard: an eager factor build whose landmark
+    Gram keeps <1/8 of the requested rank warns (with a usable rank
+    suggestion); under jit the traced spectrum silently skips."""
+    import warnings
+
+    from nonstationary_precip_tpu.ops.lazy_cg import lazy_nystrom_factor
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(512, 2)), jnp.float32)
+    params = (jnp.asarray([1.5, 1.5], jnp.float32),
+              jnp.asarray(1.0, jnp.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lazy_nystrom_factor(params, x, 256, _dim_cross)
+    assert any("eigendirections" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jax.jit(
+            lambda xx: lazy_nystrom_factor(params, xx, 256, _dim_cross)
+        )(x)
+    assert not any("eigendirections" in str(x.message) for x in w)
+
+
 def test_keyed_diagnostics_certify_the_keyed_factor():
     """ADVICE r4 (low): lazy_cg_diagnostics with precond_key must build
     the keyed factor (the one lazy_cg_mll solves with), not silently the
