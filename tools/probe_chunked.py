@@ -127,6 +127,9 @@ def main():
     # row-chunked backward (the panel sweep crosses the execution wall
     # around N ~ 1.5M as one program; DESIGN §27)
     bwd_chunks = int(sys.argv[8]) if len(sys.argv) > 8 else 1
+    # Woodbury ridge shift c = shift*sigma^2 (DESIGN 22/30): the f32
+    # margin collapses with N — 2M at shift 10 diverged (relres 14.7)
+    shift = float(sys.argv[9]) if len(sys.argv) > 9 else 10.0
     wait_for_backend()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-3, 3, size=(n, 2)), jnp.float32)
@@ -134,7 +137,7 @@ def main():
     opt = optax.adam(1e-2)
     m = make_chunked_mll(
         block=2048, num_probes=8, chunk_iters=ci, n_chunks=nc, tol=1e-6,
-        precond_rank=rank, precond="nystrom", precond_shift=10.0,
+        precond_rank=rank, precond="nystrom", precond_shift=shift,
         cross_fn=_gibbs_cross,
         matvec_builder=packed_gibbs_matvec_builder(2),
         panel_vjp=packed_gibbs_panel_vjp(2),
@@ -182,7 +185,7 @@ def main():
                     "loss0": losses[0], "lossT": losses[-1],
                     "relres_max_final": relres_last,
                     "partial_steps": i + 1,
-                }], {})
+                }], {}, shift)
         run_rows.append({
             "s_steps": [round(t, 1) for t in times],
             "s_median": round(sorted(times[1:])[len(times[1:]) // 2], 1)
@@ -194,7 +197,7 @@ def main():
         # service stall mid-run must not destroy finished evidence
         # (measured 2026-08-20: a run-1 stall ate 46 min and the whole
         # in-process row)
-        _write_row(n, ci, nc, rank, bwd_chunks, run_rows, {})
+        _write_row(n, ci, nc, rank, bwd_chunks, run_rows, {}, shift)
     hr = {}
     if heldout:
         np.savez(f"/tmp/probe_chunked_params_{n}.npz",
@@ -210,14 +213,15 @@ def main():
               "fresh points (mean-only amortized state, NN lengthscale "
               "transfer) vs the predict-zero baseline — 'trains' means "
               "'learns', VERDICT r4 #2"}
-    _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr)
+    _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr, shift)
 
 
-def _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr):
+def _write_row(n, ci, nc, rank, bwd_chunks, run_rows, hr, shift=10.0):
     med = sorted(rr["s_median"] for rr in run_rows)[len(run_rows) // 2]
     worst_rr = max(rr["relres_max_final"] for rr in run_rows)
     bwd_tag = f"-bwd{bwd_chunks}" if bwd_chunks > 1 else ""
-    benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}{bwd_tag}-s10-{n}",
+    shift_tag = f"-sh{int(shift)}" if shift != 10.0 else ""
+    benchlog(f"chunked-lazygnys-r{rank}-i{ci*nc}x{nc}{bwd_tag}{shift_tag}-s10-{n}",
              method="host-chunked-eager",
              s_per_step_median=med,
              runs=run_rows,
